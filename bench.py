@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the flagship queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (count() forces the full plan; the
+driver-facing results stay distributed — no collect of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = [
+    "resume_pending",
+    "q01_pricing_summary",
+    "q03_top_revenue",
+    "q05_region_revenue",
+    "q_window_topk_per_segment",
+    "q_distinct_agg",
+    "events_session_windows",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
+    "doc_stats",
+    "doc_langid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+    from collect_mobile_devices_datalake_spark.session import get_spark
+
+    _ensure_loaded()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so we measure query time, not startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

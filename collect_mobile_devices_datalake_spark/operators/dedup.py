@@ -1,0 +1,267 @@
+"""Deduplication operators over ``documents`` (north-star M5).
+
+Scale design: exact dedup is a hash groupBy (one shuffle on the content
+key — at 100 TB use the fingerprint, not the raw text, as the shuffle
+key). Near-dup is MinHash-LSH: shingle → hash → banded signature →
+bucket join, so candidate generation is linear-ish instead of O(n²);
+only candidates pay the exact-Jaccard verification join.
+
+All hashes are pure-arithmetic polynomial rolling hashes (see
+``functions.text.rolling_hash``) so signatures are bit-reproducible in
+any engine — which is what makes the DuckDB oracle possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import rolling_hash, word_ngrams
+from ..registry import register
+from ..session import load_table
+
+P = 1_000_000_007
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+# word trigram shingles, deduped
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKENS_SQL}) - 1, 1)), "
+    f"i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]))"
+)
+# rolling hash of one shingle string g
+_HASH_ONE_SQL = (
+    "list_reduce(list_transform(range(1, length(g) + 1), "
+    "i -> CAST(ascii(substring(g, i, 1)) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+_HASHES_SQL = f"list_transform({_SHINGLES_SQL}, g -> {_HASH_ONE_SQL})"
+# 16-perm minhash signature over the hash list
+_SIG_SQL = (
+    f"list_transform(range(0, {NUM_PERM}), "
+    f"j -> list_min(list_transform(h, x -> (x * (2*j + 1) + (j*j + 7)) % 1000000007)))"
+)
+
+
+def _shingles(text: Column | str) -> Column:
+    return F.array_distinct(word_ngrams(text, 3))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) per document; sig_j = min((h·(2j+1) + j²+7) mod P).
+
+    Shape matters for scale: explode shingles → hash each ONCE → one
+    groupBy(doc_id) carrying 16 ``min`` aggregates (map-side partial agg,
+    single shuffle keyed on doc_id). The tempting all-array formulation
+    (``transform(perms, j -> array_min(transform(hashes, …)))``) makes
+    Catalyst re-evaluate the O(len²) rolling-hash array once per
+    permutation — 16× the work, measured 100× slower at sf0.1.
+    """
+    g = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    h = g.select("doc_id", rolling_hash("shingle").alias("h"))
+    sig_cols = [
+        F.min((F.col("h") * (2 * j + 1) + (j * j + 7)) % P).alias(f"sig_{j}")
+        for j in range(NUM_PERM)
+    ]
+    sigs = h.groupBy("doc_id").agg(*sig_cols)
+    return sigs.select(
+        "doc_id", F.array(*[f"sig_{j}" for j in range(NUM_PERM)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing ≥1 LSH band (doc_a < doc_b)."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", F.col("band.band_sig").cast("array<bigint>").alias("band_sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text AS content, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text HAVING COUNT(*) >= 1
+    """,
+    doc="Exact dedup: hash-groupBy on content, keep lowest doc_id.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy(F.col("text").alias("content")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_by_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+    doc="Exact dedup keyed on the 64-bit fingerprint — the 100 TB shuffle key "
+    "(shuffle 8-byte keys, not document bodies).",
+)
+def q_dedup_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select("doc_id", rolling_hash("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) AS jaccard
+    FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+                  JOIN sizes sb ON sb.doc_id = s.doc_b
+    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) >= 0.1
+    """,
+    doc="N-gram Jaccard near-dup pairs: inverted-index self-join on shingles "
+    "(set-similarity join), threshold 0.1.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    g = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    )
+    SELECT doc_id, unnest(range(0, {NUM_PERM})) AS perm_id, unnest({_SIG_SQL}) AS minhash
+    FROM sh
+    """,
+    doc="MinHash signatures (16 perms, arithmetic hash family) — exploded to rows "
+    "for engine-independent comparison.",
+)
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(d)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("perm_id", "minhash")
+    ).select("doc_id", F.col("perm_id").cast("bigint").alias("perm_id"), "minhash")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    sig AS (SELECT doc_id, {_SIG_SQL} AS s FROM sh),
+    bands AS (
+      SELECT doc_id, unnest(range(0, {BANDS})) AS band_id,
+             unnest(list_transform(range(0, {BANDS}),
+                    b -> list_slice(s, b * {ROWS_PER_BAND} + 1, b * {ROWS_PER_BAND} + {ROWS_PER_BAND}))) AS band_sig
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 4 bands × 4 rows; bucket-join on band signature.",
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return lsh_candidate_pairs(minhash_signatures(d))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(0, 32),
+               j -> CASE WHEN len(list_filter(h, x -> ((x * (2*j + 3) + j*5 + 1) % 1000000007) % 2 = 1)) * 2 > len(h)
+                         THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
+             (acc, x) -> acc + x) AS simhash
+    FROM sh
+    """,
+    doc="32-bit SimHash: per-bit majority vote over shingle-hash family; near-dups "
+    "cluster at small Hamming distance.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    shingled = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    hashes = F.transform(F.col("shingles"), lambda s: rolling_hash(s))
+    n = F.size("shingles")
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda j: F.when(
+            F.size(F.filter(hashes, lambda h: ((h * (2 * j + 3) + j * 5 + 1) % P) % 2 == 1)) * 2 > n,
+            F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    simhash = F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return shingled.select("doc_id", simhash.alias("simhash"))

@@ -1,0 +1,415 @@
+"""Analytic/relational surface over the lake (SURVEY.md §7 M3).
+
+The reference stores spec data but has no query engine; this module is
+the engine. Conventions for oracle parity + 100 TB scale:
+
+- Money/quantity aggregates go through DECIMAL(18,4): decimal addition is
+  exact and associative, so the sum is identical regardless of partial-agg
+  order across partitions (and matches DuckDB bit-for-bit after the final
+  cast to double). Plain double sums would be partition-order dependent.
+- Every top-k carries a deterministic tiebreak key.
+- Small dims (region, nation, supplier at any SF; customer at test SF) are
+  broadcast — Catalyst does it from size stats; `F.broadcast` marks the
+  intent explicitly where the dim is known-small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import load_table
+
+
+def dec(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")
+
+
+def dsum(c: Column | str) -> Column:
+    """Exact (decimal) sum, surfaced as double."""
+    return F.sum(dec(c)).cast("double")
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: scan + pushdown filter + partial/final agg.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    # keep the product within DECIMAL(38,*): combine the two double factors
+    # first, cast once — a triple decimal product overflows precision and
+    # degrades engine-dependently.
+    charge = dec("l_extendedprice") * dec((1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).cast("double").alias("avg_qty"),
+            (dsum("l_discount") / F.count("*")).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_top_revenue",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped: selective dim filter → fact join → top-k by aggregate.",
+)
+def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped multi-join: star joins with broadcast dims, local-supplier filter.",
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, "region", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    revenue = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="Hierarchical rollup (region → nation → grand total) — partial aggs reused per level.",
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_bal")
+    )
+
+
+@register(
+    "q_cube_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two low-cardinality dims.",
+)
+def q_cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+@register(
+    "q_window_topk_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    ) WHERE rk <= 3
+    """,
+    doc="Top-k per group via ranked window — shuffles once on the partition key.",
+)
+def q_window_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q_window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS running_total,
+           lag(o_totalprice) OVER w AS prev_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3 AS DOUBLE) AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),
+           w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS 2 PRECEDING)
+    """,
+    doc="Running totals, lag, and a moving average in one windowed pass.",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.lag("o_totalprice").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("prev_price"),
+        (F.sum(dec("o_totalprice")).over(w3).cast("double") / F.count("*").over(w3))
+        .cast("double")
+        .alias("moving_avg3"),
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="UNION / INTERSECT / EXCEPT composition (reference's Set algebra, app.js:406-413, 477-479).",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("c_custkey"))
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("c_custkey"))
+    # SQL precedence: INTERSECT binds tighter than UNION/EXCEPT; UNION/EXCEPT
+    # associate left-to-right.
+    return building.intersect(big).union(negative).distinct().subtract(finished)
+
+
+@register(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, 'has_big_order' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    UNION ALL
+    SELECT c.c_custkey, 'no_orders' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left_semi + left_anti — the join family behind crawl_resume (app.js:479).",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    big = o.filter(F.col("o_totalprice") > 300000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("tag")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionAll(anti)
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Multi-distinct aggregation (expand + two-phase agg in Spark).",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific; rows-only check
+    doc="approx_count_distinct (HLL++) — the 100 TB cardinality path; no exact oracle.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_name, 1, 5) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '-') AS type_dashed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand) AS brand_rev,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+    doc="String function battery (§2.2 scalar surface).",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_95,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+    FROM orders
+    """,
+    doc="Date/time function battery; dow normalized to Sunday=1 on both engines.",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_95"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(CAST(SUM(CASE WHEN o_totalprice > 200000 THEN CAST(o_totalprice AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS big_order_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Pivot-style conditional aggregation.",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("n_urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)).alias("n_low"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 200000, dec("o_totalprice")).otherwise(dec(F.lit(0)))
+        )
+        .cast("double")
+        .alias("big_order_value"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON payload extraction (versus window.__data analogue, app.js:682-692).",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )

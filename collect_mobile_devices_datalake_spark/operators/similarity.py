@@ -1,0 +1,230 @@
+"""Similarity search over the ``embeddings`` table (north-star M5).
+
+Baseline: brute-force cosine top-k (query-set × corpus, fold order fixed
+so doubles are bit-reproducible). Scale path: random-hyperplane LSH
+bucketing — candidates come from one bucket join instead of the full
+cross product, turning O(n·q) into O(q·bucket). At 100 TB the corpus
+side is scanned once, hashed, and bucket-partitioned; queries broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_similarity
+from ..registry import register
+from ..session import load_table
+
+N_PLANES = 12
+QUERY_MOD = 25  # vec_id % 25 == 0 → 20 query vectors over the 500-row table
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             list_reduce(list_transform(range(1, len(q.qv) + 1),
+                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+              * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+             AS cos
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, label, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="Brute-force cosine top-10 per query vector — the exact baseline ANN answers "
+    "are measured against.",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = _queries_df(emb)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            cosine_similarity("query_vec", "embedding").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", "label", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+def _plane_component(j: Column | int, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-10, 10]."""
+    jj = F.lit(j) if isinstance(j, int) else j
+    return (jj * 131 + i * 37 + (jj + 3) * (i + 5) % 11) % 21 - 10
+
+
+def lsh_bucket(vec: Column) -> Column:
+    """Random-hyperplane signature → integer bucket id (N_PLANES bits)."""
+    dim = F.size(vec)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.sequence(F.lit(1), dim),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(vec, i).cast("double") * _plane_component(j, i).cast("double"),
+            )
+            > 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+            lambda b, j: b * F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+_BUCKET_SQL = """
+    list_reduce(
+      list_transform(range(0, {n}),
+        j -> CASE WHEN list_reduce(
+                    list_transform(range(1, len({v}) + 1),
+                      i -> CAST({v}[i] AS DOUBLE) * CAST(((j*131 + i*37 + (j+3)*(i+5) % 11) % 21 - 10) AS DOUBLE)),
+                    (a, b) -> a + b) > 0
+             THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
+      (a, b) -> a + b)
+"""
+
+
+@register(
+    "knn_lsh_buckets",
+    oracle=f"""
+    SELECT {_BUCKET_SQL.format(n=N_PLANES, v='embedding')} AS bucket,
+           COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM embeddings GROUP BY 1
+    """,
+    doc="Random-hyperplane LSH bucket histogram — the partitioning the ANN scale "
+    "path shuffles on.",
+)
+def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select(lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "knn_lsh_probe",
+    oracle=None,  # recall-vs-bruteforce checked in tests/test_similarity.py
+    doc="ANN via LSH: candidates share the query's bucket; exact cosine re-rank "
+    "inside the bucket only.",
+)
+def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    with_bucket = emb.withColumn("bucket", lsh_bucket(F.col("embedding")))
+    q = with_bucket.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        F.broadcast(q)
+        .join(with_bucket, F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("query_vec", "embedding").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_component,
+           COUNT(*) AS n_vectors
+    FROM flat GROUP BY label, pos
+    """,
+    doc="Per-label centroid components (posexplode + exact decimal sums) — the "
+    "IVF coarse-quantizer build step.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("v").cast("decimal(18,9)").alias("v"))
+    return flat.groupBy("label", "pos").agg(
+        F.sum("v").cast("double").alias("sum_component"), F.count("*").alias("n_vectors")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    FROM scored WHERE cos >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.6) — semantic dedup.",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,192 @@
+"""Text-analysis operators over the ``documents`` table (north-star M5).
+
+All codegen'd built-ins — tokenization, ratios, n-grams, rolling-hash
+fingerprints — so the same plan scales from 500 docs to a 100 TB corpus
+(narrow projections, one shuffle per aggregate, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    punct_ratio,
+    quality_score,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from ..registry import register
+from ..session import load_table
+
+# DuckDB fragments shared across oracles.
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _sw_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, t -> lower(t) IN ({words})))"
+
+
+@register(
+    "doc_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+           round(CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0
+                 ELSE CAST({_sw_hits_sql('en')} AS DOUBLE) / len({_TOKENS_SQL}) END, 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-document token/char counts + punctuation & stopword ratios (quality filters).",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text", "en"), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+        round((
+          (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0
+                WHEN length(text) = 0 THEN 0.0 ELSE 0.5 END) +
+          (CASE WHEN (CASE WHEN length(text)=0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)/length(text) END) <= 0.2
+                THEN 1.0 ELSE 0.5 END) +
+          (CASE WHEN (CASE WHEN len({_TOKENS_SQL})=0 THEN 0.0
+                      ELSE CAST({_sw_hits_sql('en')} AS DOUBLE)/len({_TOKENS_SQL}) END) >= 0.05
+                THEN 1.0 ELSE 0.5 END)
+        ) / 3.0, 6) AS quality
+      FROM documents
+    )
+    SELECT doc_id, lang, source, quality FROM scored WHERE quality >= 0.8
+    """,
+    doc="Composite quality score + filter — the pre-training data gate.",
+)
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id", "lang", "source", F.round(quality_score("text"), 6).alias("quality")
+    ).filter(F.col("quality") >= 0.8)
+
+
+@register(
+    "doc_langid",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_actual,
+             {_sw_hits_sql('en')} AS en_h, {_sw_hits_sql('es')} AS es_h,
+             {_sw_hits_sql('de')} AS de_h, {_sw_hits_sql('fr')} AS fr_h,
+             {_sw_hits_sql('zh')} AS zh_h
+      FROM documents
+    )
+    SELECT doc_id, lang_actual,
+           CASE WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h AND en_h >= zh_h THEN 'en'
+                WHEN es_h >= de_h AND es_h >= fr_h AND es_h >= zh_h THEN 'es'
+                WHEN de_h >= fr_h AND de_h >= zh_h THEN 'de'
+                WHEN fr_h >= zh_h THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM hits
+    """,
+    doc="Stopword-profile language ID (first-preference tie-break en>es>de>fr>zh).",
+)
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+
+    def _hits(lang: str):
+        # NB: the lambda must be unary — a second (defaulted) parameter would
+        # be bound to the HOF's index argument.
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+    hit_cols = {lang: _hits(lang) for lang in ["en", "es", "de", "fr", "zh"]}
+    en, es, de, fr, zh = (hit_cols[x] for x in ["en", "es", "de", "fr", "zh"])
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en >= zh), "en")
+        .when((es >= de) & (es >= fr) & (es >= zh), "es")
+        .when((de >= fr) & (de >= zh), "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_actual"), pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                  list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) END AS fingerprint
+    FROM documents
+    """,
+    doc="Deterministic polynomial rolling-hash document fingerprint (engine-reproducible).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+@register(
+    "doc_top_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+    doc="Corpus-wide top-k word trigrams: explode → count → top-k with tiebreak.",
+)
+def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(word_ngrams("text", 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_tokens_per_source",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(len({_TOKENS_SQL})) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    doc="Token budget accounting per source — the sizing query for training-data mixes.",
+)
+def q_doc_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("total_tokens"),
+        (F.sum(token_count("text")).cast("double") / F.count("*"))
+        .cast("double")
+        .alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )

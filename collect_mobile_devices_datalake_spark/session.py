@@ -1,0 +1,75 @@
+"""SparkSession factory + table registry.
+
+The session is tuned for the local[32] test harness but every knob is the
+one you would set on a real cluster: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), Arrow on (vectorized pandas-UDF edge),
+sane shuffle-partition default that AQE then right-sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "collect-mobile-devices-datalake-spark", *, shuffle_partitions: int = 32) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    AQE is the scale story: at 100 TB the static ``shuffle.partitions``
+    is only a ceiling — AQE coalesces post-shuffle partitions to target
+    size and splits skewed ones, so the same plan survives a 1000×
+    scale-up with a larger initial partition count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type, so
+        # read as long and rebuild micros in load_table (matches DuckDB's
+        # ns→us truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    Plain ``spark.read.parquet`` keeps predicate pushdown + column pruning
+    available to every downstream plan (check ``PushedFilters`` /
+    ``ReadSchema`` in ``.explain``).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as nanos-since-epoch longs (see
+    # nanosAsLong in get_spark); truncate to micros exactly like DuckDB does.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every driver table and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
