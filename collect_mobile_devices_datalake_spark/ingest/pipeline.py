@@ -1,0 +1,116 @@
+"""Batch ingest pipeline: fetch(fixture) → parse → normalize → lake append.
+
+Reproduces the reference's EP2/EP3 write path (SURVEY §3) Spark-first:
+
+- ``crawl_resume`` (app.js:457-482)  → left_anti join on saved_list
+- per-source extract (app.js:539-753) → ``sources.parse.PARSERS``
+- normalize (to_key / merge / brand-model split, app.js:99-100, 579-582)
+  → built-in expressions
+- ``save_data_to_mysql`` + column sharding (app.js:401-436) → ONE parquet
+  append of the wide record; the open-ended payload is a
+  ``specs map<string,string>`` column (SURVEY §1.2), so there is no
+  ALTER-TABLE path and no 150-column sharding to emulate
+- ``saved_list`` checkpoint append (app.js:449) → parquet append after a
+  successful data write; delivery is at-least-once exactly like the
+  reference, upgraded to effectively-once by ``device_specs_view``'s
+  keep-first dedup on ``src_url`` (idempotent re-crawl)
+
+Scale notes: appends are partitioned by ``source`` so per-source scans
+prune; the resume anti-join shuffles on the url key only (no payload);
+re-runs are incremental by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import brand_model_split, merge_last_wins, to_key
+from ..operators.resume import resume_anti_join
+from ..sources.parse import PARSERS
+
+SPEC_SPINE = ["source", "brand", "model", "src_url", "img_url", "crawled_at"]
+
+
+def normalize_records(parsed: DataFrame, source: str) -> DataFrame:
+    """Un-normalized parse output → typed spine + ``specs`` map."""
+    keyed = F.transform(
+        F.col("entries"),
+        lambda e: F.struct(to_key(e["key"]).alias("key"), e["value"].alias("value")),
+    )
+    bm = brand_model_split(F.col("model_raw"))
+    return parsed.select(
+        F.lit(source).alias("source"),
+        bm["brand"].alias("brand"),
+        bm["model"].alias("model"),
+        F.col("url").alias("src_url"),
+        "img_url",
+        F.current_timestamp().alias("crawled_at"),
+        merge_last_wins(keyed).alias("specs"),
+    )
+
+
+def _saved_list_path(lake_dir: str, source: str) -> str:
+    return os.path.join(lake_dir, "saved_list", source)
+
+
+def _read_saved(spark: SparkSession, lake_dir: str, source: str) -> DataFrame:
+    path = _saved_list_path(lake_dir, source)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], "url string")
+
+
+def ingest_source(
+    spark: SparkSession, pages: DataFrame, lake_dir: str, source: str
+) -> int:
+    """Incremental ingest of one source's pages into the lake.
+
+    Returns the number of newly ingested records. Re-running with the
+    same pages is a no-op (resume anti-join), matching ``crawl_resume``.
+    """
+    ok = pages.filter(F.col("status") == 200)
+    saved = _read_saved(spark, lake_dir, source)
+    pending = resume_anti_join(ok.select(F.col("url")), saved)
+    todo = ok.join(pending, "url", "left_semi")
+
+    parsed = PARSERS[source](todo)
+    # quarantine: parse failures (entries NULL, e.g. key/value length
+    # mismatch — app.js:626) are written to a dead-letter table and NOT
+    # checkpointed, so the next run retries them (reference behavior #43).
+    good = parsed.filter(F.col("entries").isNotNull())
+    bad = parsed.filter(F.col("entries").isNull()).select("url")
+
+    records = normalize_records(good, source)
+    n = records.count()
+    if n:
+        # one subdirectory per source (the records carry their own `source`
+        # column, so this is plain layout partitioning: per-source scans
+        # touch one directory)
+        records.write.mode("append").parquet(
+            os.path.join(lake_dir, "device_specs", source)
+        )
+        records.select("src_url").withColumnRenamed("src_url", "url").write.mode(
+            "append"
+        ).parquet(_saved_list_path(lake_dir, source))
+    if bad.limit(1).count():
+        bad.write.mode("append").parquet(os.path.join(lake_dir, "dead_letter", source))
+    return n
+
+
+def device_specs_view(spark: SparkSession, lake_dir: str) -> DataFrame:
+    """Logical table over the lake with at-least-once dupes collapsed.
+
+    Keep-first on ``src_url`` (earliest crawled_at) — the idempotency
+    layer that upgrades the reference's at-least-once delivery.
+    """
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(os.path.join(lake_dir, "device_specs", "*"))
+    w = Window.partitionBy("src_url").orderBy("crawled_at")
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )

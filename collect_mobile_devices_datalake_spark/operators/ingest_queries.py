@@ -1,0 +1,150 @@
+"""Parse-operator queries: parse(render(part)) must equal part.
+
+Each query renders a source's fixture pages from ``part`` (JVM-side
+concat), runs the real parse + normalize pipeline, and explodes the
+resulting specs map. The oracle recomputes the expected rows DIRECTLY
+from ``part`` — so a hash match proves the parser inverts the page
+format exactly (keys through to_key, values trimmed, continuation and
+tooltip-fallback rules included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.pipeline import normalize_records
+from ..registry import register
+from ..session import load_table
+from ..sources.fixtures import spec_pages
+from ..sources.parse import PARSERS
+
+_URL = "'https://example.com/devices/{src}/p_' || CAST(p_partkey AS VARCHAR)"
+_PRICE = "CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS VARCHAR)"
+
+
+def _parse_query(source: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        part = load_table(spark, "part", sf_dir)
+        pages = spec_pages(part, source).filter(F.col("status") == 200)
+        normalized = normalize_records(PARSERS[source](pages), source)
+        return normalized.select(
+            F.col("src_url").alias("url"),
+            "brand",
+            "model",
+            F.explode("specs").alias("spec_key", "spec_value"),
+        )
+
+    return q
+
+
+register(
+    "parse_gsmarena",
+    oracle=f"""
+    WITH p AS (SELECT *, {_URL.format(src='gsmarena')} AS url
+               FROM part WHERE p_partkey % 29 <> 3)
+    SELECT url, p_brand AS brand, p_name AS model, 'general_brand' AS spec_key, p_brand AS spec_value FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'general_type', p_type || ' ' || p_name FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'general_retail_price', {_PRICE} FROM p
+    """,
+    doc="gsmarena spec-table extract incl. 1-char-subtitle continuation "
+    "(app.js:547-566) — pandas-UDF parse, oracle recomputed from part.",
+)(_parse_query("gsmarena"))
+
+
+register(
+    "parse_geekbench",
+    oracle=f"""
+    WITH p AS (SELECT *, {_URL.format(src='geekbench')} AS url
+               FROM part WHERE p_partkey % 29 <> 3)
+    SELECT url, p_brand AS brand, p_name AS model, 'cpu' AS spec_key,
+           'armv8 ' || CAST(p_size * 100 AS VARCHAR) || ' MHz' AS spec_value FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'single_core_score', CAST(p_size * 13 AS VARCHAR) FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'multi_core_score', CAST(p_size * 47 AS VARCHAR) FROM p
+    """,
+    doc="geekbench fixed-position + parallel-array extract (app.js:599-627) — "
+    "all built-ins (regexp_extract_all + zip_with).",
+)(_parse_query("geekbench"))
+
+
+register(
+    "parse_productz",
+    oracle=f"""
+    WITH p AS (SELECT *, {_URL.format(src='productz')} AS url FROM part)
+    SELECT url, p_brand AS brand, p_name AS model, 'brand' AS spec_key, p_brand AS spec_value FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'display_type', p_type FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'weight', CAST(p_size * 7 AS VARCHAR) || ' g' FROM p
+    """,
+    doc="productz label/cell extract with tooltip fallback (app.js:644-670) — "
+    "built-ins; coalesce(cell, tooltip).",
+)(_parse_query("productz"))
+
+
+register(
+    "parse_versus",
+    oracle=f"""
+    WITH p AS (SELECT *, {_URL.format(src='versus')} AS url FROM part)
+    SELECT url, p_brand AS brand, p_name AS model, 'screen_size' AS spec_key,
+           CAST(p_size AS VARCHAR) || ' in' AS spec_value FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'price', {_PRICE} FROM p
+    """,
+    doc="versus embedded window.__data JSON extract (app.js:682-704) — "
+    "regexp_extract + from_json + nested explode, zero Python.",
+)(_parse_query("versus"))
+
+
+register(
+    "parse_phonearena",
+    oracle=f"""
+    WITH p AS (SELECT *, {_URL.format(src='phonearena')} AS url FROM part)
+    SELECT url, p_brand AS brand, p_name AS model, 'display_size' AS spec_key,
+           CAST(p_size AS VARCHAR) || ' inches' AS spec_value FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'display_type', p_type FROM p
+    UNION ALL
+    SELECT url, p_brand, p_name, 'hardware_brand', p_brand FROM p
+    """,
+    doc="phonearena nested block extract with title prefixing (app.js:713-742) — "
+    "pandas-UDF parse.",
+)(_parse_query("phonearena"))
+
+
+@register(
+    "ingest_specs_per_source",
+    oracle=f"""
+    WITH ok AS (
+      SELECT 'gsmarena' AS source, 3 AS n_specs FROM part WHERE p_partkey % 29 <> 3
+      UNION ALL SELECT 'geekbench', 3 FROM part WHERE p_partkey % 29 <> 3
+      UNION ALL SELECT 'productz', 3 FROM part
+      UNION ALL SELECT 'versus', 2 FROM part
+      UNION ALL SELECT 'phonearena', 3 FROM part
+    )
+    SELECT source, COUNT(*) AS n_records, CAST(SUM(n_specs) AS BIGINT) AS n_spec_values
+    FROM ok GROUP BY source
+    """,
+    doc="End-to-end ingest accounting: records + spec values per source after "
+    "parse+normalize across all five crawlers.",
+)
+def q_ingest_specs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    outs = []
+    for source in PARSERS:
+        pages = spec_pages(part, source).filter(F.col("status") == 200)
+        normalized = normalize_records(PARSERS[source](pages), source)
+        outs.append(
+            normalized.select("source", F.size("specs").alias("n_specs"))
+        )
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    return union.groupBy("source").agg(
+        F.count("*").alias("n_records"),
+        F.sum("n_specs").alias("n_spec_values"),
+    )

@@ -62,6 +62,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         crawler,
         dedup,
+        ingest_queries,
         relational,
         similarity,
         streaming_batch,

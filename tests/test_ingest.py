@@ -1,0 +1,74 @@
+"""End-to-end ingest pipeline: render → parse → normalize → lake append,
+with crawl_resume incremental semantics (reference EP2/EP3, SURVEY §3)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.ingest.pipeline import (
+    device_specs_view,
+    ingest_source,
+)
+from collect_mobile_devices_datalake_spark.session import load_table
+from collect_mobile_devices_datalake_spark.sources.fixtures import spec_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def lake():
+    d = tempfile.mkdtemp(prefix="lake_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ingest_full_then_noop(spark, lake):
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "gsmarena")
+    n_ok = pages.filter(F.col("status") == 200).count()
+
+    n1 = ingest_source(spark, pages, lake, "gsmarena")
+    assert n1 == n_ok
+
+    # re-run: everything checkpointed → resume anti-join yields nothing
+    n2 = ingest_source(spark, pages, lake, "gsmarena")
+    assert n2 == 0
+
+    view = device_specs_view(spark, lake)
+    assert view.count() == n_ok
+    row = view.filter(F.col("src_url").endswith("/p_1")).first()
+    assert row["brand"].startswith("Brand#")
+    assert row["specs"]["general_brand"] == row["brand"]
+    # continuation rule: general_type carries p_type + ' ' + p_name
+    assert " " in row["specs"]["general_type"]
+
+
+def test_ingest_incremental_delta(spark, lake):
+    part = load_table(spark, "part", SF)
+    first_half = spec_pages(part.filter(F.col("p_partkey") < 100), "productz")
+    rest = spec_pages(part, "productz")
+
+    n1 = ingest_source(spark, first_half, lake, "productz")
+    n2 = ingest_source(spark, rest, lake, "productz")
+    assert n1 + n2 == part.count()
+    # no duplicates even though `rest` re-contains the first half
+    view = device_specs_view(spark, lake)
+    assert view.count() == view.select("src_url").distinct().count() == part.count()
+
+
+def test_ingest_non_200_skipped_and_multisource(spark, lake):
+    part = load_table(spark, "part", SF)
+    for src in ["gsmarena", "geekbench", "versus"]:
+        ingest_source(spark, spec_pages(part, src), lake, src)
+    view = device_specs_view(spark, lake)
+    by_src = {r["source"]: r["n"] for r in view.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_parts = part.count()
+    n_bad = part.filter(F.col("p_partkey") % 29 == 3).count()
+    assert by_src["versus"] == n_parts
+    assert by_src["gsmarena"] == by_src["geekbench"] == n_parts - n_bad
+    one = view.filter(F.col("source") == "versus").first()
+    assert set(one["specs"].keys()) == {"screen_size", "price"}
