@@ -1,0 +1,134 @@
+"""Structured Streaming: window semantics anchored to batch, dedup,
+checkpointed kill-and-resume ingest, custom stateful operator."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.session import load_table
+from collect_mobile_devices_datalake_spark.sources.fixtures import spec_pages
+from collect_mobile_devices_datalake_spark.streaming.pipeline import (
+    EVENTS_SCHEMA,
+    start_ingest_stream,
+)
+from collect_mobile_devices_datalake_spark.streaming.windows import (
+    dedup_stream,
+    tumbling_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp():
+    d = tempfile.mkdtemp(prefix="stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_dir(spark, tmp, n_chunks=3):
+    """Write events (micros ts) as n parquet chunk-files: the file stream."""
+    ev = load_table(spark, "events", SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    d = os.path.join(tmp, "events_in")
+    for i in range(n_chunks):
+        ev.filter(F.col("event_id") % n_chunks == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    return d, ev
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, tmp):
+    d, ev = _events_dir(spark, tmp)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(tumbling_counts_stream(stream), name, "complete")
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    # batch twin: the same builder on the static frame (whose semantics the
+    # DuckDB oracle already hash-checks via events_tumbling_hourly)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_counts_stream(ev).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup(spark, tmp):
+    d, ev = _events_dir(spark, tmp)
+    # duplicate one chunk wholesale
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dedup_stream(stream), name, "append")
+    assert spark.table(name).count() == ev.count()
+
+
+def test_ingest_stream_kill_and_resume(spark, tmp):
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "productz")
+    pages_dir = os.path.join(tmp, "pages")
+    lake = os.path.join(tmp, "lake")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    first = pages.filter(F.col("p_partkey") < 100)
+    first.coalesce(1).write.mode("append").parquet(pages_dir)
+
+    q1 = start_ingest_stream(spark, pages_dir, lake, "productz", ckpt)
+    q1.awaitTermination(120)
+    target = os.path.join(lake, "device_specs_stream", "productz")
+    n1 = spark.read.parquet(target).count()
+    assert n1 == first.count()
+
+    # "kill": query already stopped (availableNow). Restart with the SAME
+    # checkpoint after more pages land — only the delta is processed, and
+    # re-delivery cannot duplicate (anti-join upsert).
+    pages.filter(F.col("p_partkey") >= 100).coalesce(1).write.mode("append").parquet(pages_dir)
+    q2 = start_ingest_stream(spark, pages_dir, lake, "productz", ckpt)
+    q2.awaitTermination(120)
+    df = spark.read.parquet(target)
+    assert df.count() == pages.count()
+    assert df.select("src_url").distinct().count() == pages.count()
+
+    # third run with nothing new: checkpoint says all files done → no-op
+    q3 = start_ingest_stream(spark, pages_dir, lake, "productz", ckpt)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(target).count() == pages.count()
+
+
+def test_stateful_running_totals(spark, tmp):
+    from collect_mobile_devices_datalake_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    d, ev = _events_dir(spark, tmp)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(running_user_totals(stream), name, "update")
+    # last update per user must equal the batch totals
+    got = spark.table(name)
+    w_latest = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    assert {tuple(r) for r in w_latest.collect()} == {tuple(r) for r in want.collect()}
