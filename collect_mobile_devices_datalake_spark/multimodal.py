@@ -1,0 +1,132 @@
+"""Multimodal columns: binary payloads + typed metadata (north-star M5).
+
+Model: media assets are opaque ``binary`` columns with a typed metadata
+struct alongside — the lakehouse pattern for images/audio/video at
+100 TB (payload stays columnar+compressed; metadata predicates prune
+without touching bytes).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake, clearly marked); everything Spark-side — schema,
+partitioning, Arrow batch shape, UDF signatures — is real and tested.
+A production deployment swaps ``_decode_stub`` for PIL/libsndfile
+behind the same ``mapInPandas`` signature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, "
+    "n_pixels bigint, mean_byte double"
+)
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents``.
+
+    Payload = utf-8 bytes of the text (a stand-in blob); metadata derived
+    from doc_id — image rows get width/height, audio rows sample_rate.
+    """
+    is_image = F.col("doc_id") % 2 == 0
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(is_image, "image").otherwise("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.when(is_image, (F.col("doc_id") % 8 + 1) * 64).cast("int").alias("width"),
+            F.when(is_image, (F.col("doc_id") % 4 + 1) * 64).cast("int").alias("height"),
+            F.when(~is_image, F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(~is_image, F.col("n_chars") * 10).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+# --- Arrow-batched byte-level feature extraction (REAL plumbing) ------------
+
+
+# NB: a DataType instance, not a DDL string — strings are parsed at import
+# time and require a live SparkContext.
+@pandas_udf(LongType())
+def payload_byte_sum(payload: pd.Series) -> pd.Series:
+    """Sum of payload bytes — stands in for any per-asset feature kernel;
+    Arrow ships the binary column batch-wise, no per-row Python overhead."""
+    return payload.map(lambda b: int(sum(b)) if b is not None else 0)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("payload").alias("payload_len"),
+        payload_byte_sum("payload").alias("byte_sum"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
+# --- decode / resize / frame-sample: STUBBED codecs, real dataflow ----------
+
+
+def _decode_stub(payload: bytes, width: int, height: int) -> list[int]:
+    """STUB: a real build decodes via PIL/ffmpeg here. The deterministic
+    fake repeats payload bytes to width*height so downstream shape logic
+    (resize, pixel stats) is exercised for real."""
+    n = width * height
+    reps = (n // max(len(payload), 1)) + 1
+    return list((payload * reps)[:n])
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """mapInPandas decode: image rows → per-asset pixel stats.
+
+    Batch shape: one Arrow batch in, one out; payload column never leaves
+    the executor.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            rows = []
+            for _, r in img.iterrows():
+                w = int(r["meta"]["width"]) if r["meta"]["width"] is not None else 0
+                h = int(r["meta"]["height"]) if r["meta"]["height"] is not None else 0
+                px = _decode_stub(bytes(r["payload"]), w, h)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "width": w,
+                        "height": h,
+                        "n_pixels": len(px),
+                        "mean_byte": round(sum(px) / len(px), 6) if px else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "width", "height", "n_pixels", "mean_byte"
+            ])
+
+    return media.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
+    """Audio/video frame sampling plan: sampled frame indices per asset
+    (sequence + explode; the decode of each sampled frame is the stub)."""
+    audio = media.filter(F.col("kind") == "audio")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
+    )
+    return audio.select(
+        "media_id", F.explode(idx).alias("frame_idx")
+    )

@@ -1,0 +1,245 @@
+"""Advanced relational operators: iterative frontier BFS, as-of join,
+pivot, grouping sets, percentiles, array-function battery.
+
+Each one is an operator class the reference either hand-rolls
+imperatively (frontier recursion, app.js:166-189) or lacks entirely;
+all are expressed as DataFrame plans with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import load_table
+
+# --- iterative frontier discovery (reference #6, app.js:156-194) ------------
+
+BFS_DEPTH = 6
+
+
+@register(
+    "frontier_bfs",
+    oracle=f"""
+    WITH RECURSIVE b(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION
+      SELECT nxt, depth + 1 FROM (
+        SELECT (2 * node + 1) % (SELECT COUNT(*) FROM orders) AS nxt, depth
+        FROM b WHERE depth < {BFS_DEPTH}
+        UNION ALL
+        SELECT (3 * node + 2) % (SELECT COUNT(*) FROM orders) AS nxt, depth
+        FROM b WHERE depth < {BFS_DEPTH}
+      ) t
+    )
+    SELECT node, CAST(MIN(depth) AS INTEGER) AS depth FROM b GROUP BY node
+    """,
+    doc="Iterative BFS frontier (gsmarena nav recursion app.js:166-189 as a "
+    "driver-side loop of distributed set ops); node graph derived from orders.",
+)
+def q_frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    m = orders.count()  # orderkeys are 0..m-1 contiguous
+    seed = spark.createDataFrame([(1, 0)], "node bigint, depth int")
+    visited = seed
+    frontier = seed
+    for depth in range(1, BFS_DEPTH + 1):
+        nxt = (
+            frontier.select(((2 * F.col("node") + 1) % m).alias("node"))
+            .unionAll(frontier.select(((3 * F.col("node") + 2) % m).alias("node")))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("depth"))
+        )
+        # materialize each level: keeps the lineage flat so the loop doesn't
+        # build an exponentially deep plan (driver-side BFS, not recursion)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited
+
+
+# --- as-of join (events: purchase ← most recent click at-or-before) ---------
+
+
+@register(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join via the union+window method: one shuffle on user_id, "
+    "last_value(ignorenulls) carries the latest click forward — no range "
+    "explosion at scale (vs join+filter+max).",
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("kind")
+    )
+    merged = purchases.unionAll(clicks)
+    # clicks sort before purchases at equal ts (kind 0 < 1) → at-or-before
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("last_click_ts", click_ts)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_ts",
+        )
+    )
+
+
+# --- pivot -------------------------------------------------------------------
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Pivot (explicit value list → no extra distinct pass) with count cells.",
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    aliases = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return pivoted.select(
+        "o_orderstatus", *[F.col(f"`{p}`").alias(aliases[p]) for p in PRIORITIES]
+    )
+
+
+# --- grouping sets -----------------------------------------------------------
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (neither pure rollup nor cube).",
+)
+def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+# --- percentiles -------------------------------------------------------------
+
+
+@register(
+    "percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(MIN(o_totalprice), 4) AS lo,
+           round(MAX(o_totalprice), 4) AS hi
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile ≡ DuckDB "
+    "quantile_cont); approx_percentile is the 100 TB path, checked rows-only.",
+)
+def q_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+@register(
+    "approx_percentiles",
+    oracle=None,  # sketch-based; rows-only
+    doc="approx_percentile (KLL-style sketch) — mergeable, single pass, the "
+    "percentile path that scales.",
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("median_est"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_exact"),
+    )
+
+
+# --- array-function battery --------------------------------------------------
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(list_reverse(toks[1:3]), ' ') AS first3_reversed
+    FROM t
+    """,
+    doc="Array function battery: size/distinct/sort/slice/contains/reverse/join.",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.reverse(F.slice(toks, 1, 3)), " ").alias("first3_reversed"),
+    )

@@ -60,9 +60,11 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        advanced,
         crawler,
         dedup,
         ingest_queries,
+        multimodal_queries,
         relational,
         similarity,
         streaming_batch,

@@ -1,0 +1,51 @@
+"""Multimodal column plumbing: binary payloads, metadata pruning, decode stub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.multimodal import (
+    decode_images,
+    frame_sample,
+    media_features,
+    media_table,
+)
+from collect_mobile_devices_datalake_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_table_schema_and_metadata_pruning(spark):
+    d = load_table(spark, "documents", SF)
+    m = media_table(d)
+    assert dict(m.dtypes)["payload"] == "binary"
+    # metadata predicate never touches payload bytes
+    imgs = m.filter(F.col("meta.width") > 128).select("media_id", "meta.width")
+    assert imgs.count() > 0
+    kinds = {r["kind"] for r in m.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio"}
+
+
+def test_decode_stub_shapes(spark):
+    d = load_table(spark, "documents", SF).limit(20)
+    out = decode_images(media_table(d)).collect()
+    assert all(r["kind"] == "image" for r in out)
+    for r in out:
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert 0 <= r["mean_byte"] <= 255
+
+
+def test_frame_sample_stride(spark):
+    d = load_table(spark, "documents", SF).limit(20)
+    rows = frame_sample(media_table(d), every_n=1000).collect()
+    assert rows and all(r["frame_idx"] % 1000 == 0 for r in rows)
+
+
+def test_byte_features_match_python(spark):
+    d = load_table(spark, "documents", SF).limit(5)
+    feats = {r["media_id"]: r for r in media_features(media_table(d)).collect()}
+    for row in d.collect():
+        want = sum(row["text"].encode())
+        got = feats[row["doc_id"]]
+        assert got["byte_sum"] == want
+        assert got["payload_len"] == len(row["text"].encode())
