@@ -1,0 +1,62 @@
+"""Catalog introspection + CLI dispatch."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from collect_mobile_devices_datalake_spark.catalog import (
+    column_count,
+    describe_lake,
+    list_ingested_sources,
+    spec_key_catalog,
+    table_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_table_columns_and_counts(spark):
+    assert table_columns(spark, "lineitem", SF)[:2] == ["l_orderkey", "l_partkey"]
+    assert column_count(spark, "lineitem", SF) == 11
+    d = {r["table_name"]: r["n_columns"] for r in describe_lake(spark, SF).collect()}
+    assert d["region"] == 2 and d["lineitem"] == 11
+
+
+def test_spec_key_catalog_observes_dynamic_schema(spark):
+    from collect_mobile_devices_datalake_spark.ingest.pipeline import (
+        device_specs_view,
+        ingest_source,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.sources.fixtures import spec_pages
+
+    lake = tempfile.mkdtemp(prefix="cat_")
+    try:
+        part = load_table(spark, "part", SF)
+        ingest_source(spark, spec_pages(part, "versus"), lake, "versus")
+        assert list_ingested_sources(spark, lake) == ["versus"]
+        keys = {
+            r["spec_key"]: r["n_records"]
+            for r in spec_key_catalog(device_specs_view(spark, lake)).collect()
+        }
+        assert set(keys) == {"screen_size", "price"}
+        assert keys["price"] == part.count()
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+def test_cli_init_crawl_status(spark, capsys):
+    from collect_mobile_devices_datalake_spark.cli import main
+
+    lake = tempfile.mkdtemp(prefix="cli_")
+    try:
+        assert main(["productz", "init", "--sf-dir", SF, "--lake-dir", lake]) == 0
+        assert main(["productz", "crawl", "--sf-dir", SF, "--lake-dir", lake]) == 0
+        assert main(["productz", "status", "--sf-dir", SF, "--lake-dir", lake]) == 0
+        out = capsys.readouterr().out
+        assert "frontier initialized (200 urls)" in out
+        assert "ingested 200 new records" in out
+        assert "productz: 200 records in lake" in out
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)

@@ -1,0 +1,64 @@
+"""Scale-property assertions on physical plans (the 100 TB checklist)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.operators.resume import resume_anti_join
+from collect_mobile_devices_datalake_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    plan_has,
+    scan_pushdown_report,
+)
+from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+from collect_mobile_devices_datalake_spark.session import load_table
+
+_ensure_loaded()
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark):
+    li = load_table(spark, "lineitem", SF)
+    q = li.filter(F.col("l_shipdate") <= F.lit("1997-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_quantity"
+    )
+    scans = scan_pushdown_report(q)
+    assert scans, formatted_plan(q)
+    assert "IsNotNull(l_shipdate)" in scans[0]["pushed_filters"]
+    assert "LessThanOrEqual(l_shipdate" in scans[0]["pushed_filters"]
+    # column pruning: a 2-column projection must not read all 11 columns
+    assert "l_quantity" in scans[0]["read_schema"]
+    assert "l_extendedprice" not in scans[0]["read_schema"]
+
+
+def test_q05_broadcasts_small_dims(spark):
+    q = REGISTRY["q05_region_revenue"].spark(spark, SF)
+    flags = plan_has(q, "BroadcastHashJoin", "BroadcastExchange")
+    assert all(flags.values()), formatted_plan(q)
+
+
+def test_q01_partial_aggregation(spark):
+    q = REGISTRY["q01_pricing_summary"].spark(spark, SF)
+    plan = formatted_plan(q)
+    # two-phase agg: map-side partial_sum before the exchange, final after
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_resume_is_single_shuffle(spark):
+    orders = load_table(spark, "orders", SF)
+    from collect_mobile_devices_datalake_spark.sources.synthetic import (
+        saved_list,
+        source_list,
+    )
+
+    q = resume_anti_join(source_list(orders), saved_list(orders))
+    # one hash exchange on the url key — not 3 (2×distinct + join)
+    assert count_exchanges(q) == 1, formatted_plan(q)
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    q = REGISTRY["knn_bruteforce"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastExchange" in plan  # the small query set moves, not the corpus
