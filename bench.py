@@ -29,6 +29,10 @@ HEADLINE = [
     "knn_bruteforce",
     "doc_stats",
     "doc_langid",
+    "parse_gsmarena",
+    "asof_purchase_click",
+    "knn_lsh_probe",
+    "join_salted_skew",
 ]
 
 

@@ -190,3 +190,50 @@ def q_doc_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_tokens"),
         F.count("*").alias("n_docs"),
     )
+
+
+@register(
+    "doc_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(list_transform({_TOKENS_SQL}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT)),
+                            (a, b) -> a + b)
+                + length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS BIGINT) AS bpe_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+    doc="BPE-ish sub-word token estimate: ceil(len/4) pieces per word + punct marks.",
+)
+def q_doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    return d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", bpe_ish_token_count("text").cast("bigint").alias("bpe_tokens")
+    )
+
+
+@register(
+    "doc_top_char_shingles",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+                                   i -> substring(text, i, 5))) AS shingle
+      FROM documents WHERE length(text) >= 5
+    )
+    SELECT shingle, COUNT(*) AS n FROM g
+    GROUP BY shingle ORDER BY n DESC, shingle LIMIT 20
+    """,
+    doc="Top character 5-gram shingles corpus-wide (the SimHash/MinHash feature space).",
+)
+def q_doc_top_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_ngrams
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.filter(F.length("text") >= 5)
+        .select(F.explode(char_ngrams("text", 5)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "shingle")
+        .limit(20)
+    )

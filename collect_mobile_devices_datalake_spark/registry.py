@@ -61,6 +61,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         advanced,
+        coverage2,
         crawler,
         dedup,
         ingest_queries,
