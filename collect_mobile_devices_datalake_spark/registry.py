@@ -62,6 +62,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         advanced,
         coverage2,
+        coverage3,
         crawler,
         dedup,
         ingest_queries,

@@ -1,0 +1,75 @@
+"""Property-based tests: Spark normalization vs an independent Python
+reference implementation of the reference's JS semantics.
+
+Hypothesis generates adversarial strings; they're run through Spark in
+ONE batch per property (a per-example SparkSession round-trip would be
+seconds per case).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.functions.normalize import (
+    brand_model_split,
+    to_key,
+    strip_trailing_underscores,
+)
+
+# independent reimplementation of app.js:99-100 (JS regex semantics)
+_JS_CLASS = re.compile(r"[\s!\"#$%&'()*+,\-./:;<=>?@\[\]\^`{|}~]")
+
+
+def py_to_key(t: str) -> str:
+    return _JS_CLASS.sub("_", t.lower())
+
+
+def py_strip(t: str) -> str:
+    return re.sub(r"_+$", "", t)
+
+
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + string.punctuation + " \t",
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_to_key_matches_js_reference(spark, data):
+    cases = [data.draw(TEXT) for _ in range(80)]
+    df = spark.createDataFrame([(c,) for c in cases], "raw string")
+    got = [
+        r["k"]
+        for r in df.select(
+            strip_trailing_underscores(to_key(F.col("raw"))).alias("k")
+        ).collect()
+    ]
+    want = [py_strip(py_to_key(c)) for c in cases]
+    assert got == want
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_brand_model_split_invariants(spark, data):
+    # non-empty tokens, no spaces inside tokens
+    token = st.text(alphabet=string.ascii_letters, min_size=1, max_size=8)
+    models = [
+        " ".join(data.draw(st.lists(token, min_size=1, max_size=4)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(m,) for m in models], "m string")
+    rows = df.select(F.col("m"), brand_model_split(F.col("m")).alias("s")).collect()
+    for r in rows:
+        toks = r["m"].split(" ")
+        assert r["s"]["brand"] == toks[0]
+        if len(toks) > 1:
+            assert r["s"]["model"] == " ".join(toks[1:])
+            assert r["m"] == f"{r['s']['brand']} {r['s']['model']}"
+        else:
+            assert r["s"]["model"] == r["m"]
