@@ -50,6 +50,32 @@ def _shingles(text: Column | str) -> Column:
     return F.array_distinct(word_ngrams(text, 3))
 
 
+def shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, sh) with the token array materialized FIRST.
+
+    ``word_ngrams`` inlines its tokenize step into the per-element lambda,
+    so building shingles straight off ``text`` re-splits the document once
+    per position — O(words²) (8.5 s for 500 long docs). Checkpointing the
+    token arrays makes each slice O(1) over stored data: same values,
+    O(words) work.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), "\\s+").alias("toks")
+    ).localCheckpoint(eager=True)
+    count = F.size("toks") - 2
+    sh = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.array_join(F.slice("toks", i, 3), " "),
+        )
+    )
+    return (
+        toks.select("doc_id", F.array_distinct(sh).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n"), "sh")
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sig) per document; sig_j = min((h·(2j+1) + j²+7) mod P).
 
@@ -60,16 +86,19 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Catalyst re-evaluate the O(len²) rolling-hash array once per
     permutation — 16× the work, measured 100× slower at sf0.1.
     """
-    g = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    g = shingled_docs(docs).select("doc_id", F.explode("sh").alias("shingle"))
     h = g.select("doc_id", rolling_hash("shingle").alias("h"))
     sig_cols = [
         F.min((F.col("h") * (2 * j + 1) + (j * j + 7)) % P).alias(f"sig_{j}")
         for j in range(NUM_PERM)
     ]
     sigs = h.groupBy("doc_id").agg(*sig_cols)
-    return sigs.select(
+    out = sigs.select(
         "doc_id", F.array(*[f"sig_{j}" for j in range(NUM_PERM)]).alias("sig")
     )
+    # LSH banding self-joins this frame; materialize so signature hashing
+    # runs once, not once per join side
+    return out.localCheckpoint(eager=True)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -164,24 +193,29 @@ def q_dedup_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    g = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # carry |shingle set| through the explode: no separate sizes aggregate,
+    # no post-join size lookups — the self-join output already has both ns
+    # materialize the exploded shingle index ONCE: it feeds both sides of
+    # the self-join, and the shingling expression re-evaluates the whole
+    # tokenize+ngram pipeline per reference otherwise (measured 2.5x)
+    g = (
+        shingled_docs(d)
+        .select("doc_id", "n", F.explode("sh").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     a, b = g.alias("a"), g.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    return (
-        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return shared.filter(jac >= 0.1).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -251,9 +285,7 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    shingled = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    shingled = shingled_docs(d).withColumnRenamed("sh", "shingles")
     hashes = F.transform(F.col("shingles"), lambda s: rolling_hash(s))
     n = F.size("shingles")
     bits = F.transform(
@@ -265,3 +297,83 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     simhash = F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return shingled.select("doc_id", simhash.alias("simhash"))
+
+
+_PAIRS_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    sig AS (SELECT doc_id, {_SIG_SQL} AS s FROM sh),
+    bands AS (
+      SELECT doc_id, unnest(range(0, {BANDS})) AS band_id,
+             unnest(list_transform(range(0, {BANDS}),
+                    b -> list_slice(s, b * {ROWS_PER_BAND} + 1, b * {ROWS_PER_BAND} + {ROWS_PER_BAND}))) AS band_sig
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    nodes AS (SELECT DISTINCT doc_a AS node FROM pairs
+              UNION SELECT DISTINCT doc_b FROM pairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Near-dup clustering: connected components over the MinHash-LSH pair "
+    "graph via iterative min-label propagation (driver loop of joins; the "
+    "distributed form of union-find). cluster_id = lowest doc_id in the "
+    "component — the survivor each cluster keeps.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(d))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    # min-label propagation to fixpoint; components from banded LSH are
+    # small-diameter, so this converges in a handful of rounds
+    for _ in range(8):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -51,17 +51,29 @@ def _queries_df(emb: DataFrame) -> DataFrame:
     "are measured against.",
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_product, l2_norm
+
     emb = load_table(spark, "embeddings", sf_dir)
-    q = _queries_df(emb)
+    # norms are per-vector, not per-pair: project them once on each side so
+    # the cross join evaluates one dot product per pair instead of three
+    # array folds (dot + 2 norms recomputed q times per vector)
+    corpus = emb.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    q = corpus.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("nrm").alias("qnrm"),
+    )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(corpus)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "label",
-            cosine_similarity("query_vec", "embedding").alias("cos"),
+            F.when(F.col("qnrm") * F.col("nrm") == 0, F.lit(0.0))
+            .otherwise(dot_product("query_vec", "embedding") / (F.col("qnrm") * F.col("nrm")))
+            .alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
