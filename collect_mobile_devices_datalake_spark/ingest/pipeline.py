@@ -56,6 +56,20 @@ def _saved_list_path(lake_dir: str, source: str) -> str:
     return os.path.join(lake_dir, "saved_list", source)
 
 
+def _log(spark: SparkSession, lake_dir: str, source: str, event: str, n: int) -> None:
+    """Append-only structured log (the reference's timestamped log file,
+    app.js:6, 37-41 — as a queryable lake table instead of text lines)."""
+    spark.createDataFrame(
+        [(source, event, n)], "source string, event string, n bigint"
+    ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
+        os.path.join(lake_dir, "logs")
+    )
+
+
+def read_logs(spark: SparkSession, lake_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(lake_dir, "logs"))
+
+
 def _read_saved(spark: SparkSession, lake_dir: str, source: str) -> DataFrame:
     path = _saved_list_path(lake_dir, source)
     try:
@@ -86,6 +100,7 @@ def ingest_source(
 
     records = normalize_records(good, source)
     n = records.count()
+    _log(spark, lake_dir, source, "ingest_batch", n)
     if n:
         # one subdirectory per source (the records carry their own `source`
         # column, so this is plain layout partitioning: per-source scans

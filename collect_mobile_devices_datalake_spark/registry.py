@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
         coverage2,
         coverage3,
         crawler,
+        crawler2,
         dedup,
         ingest_queries,
         multimodal_queries,

@@ -72,3 +72,16 @@ def test_ingest_non_200_skipped_and_multisource(spark, lake):
     assert by_src["gsmarena"] == by_src["geekbench"] == n_parts - n_bad
     one = view.filter(F.col("source") == "versus").first()
     assert set(one["specs"].keys()) == {"screen_size", "price"}
+
+
+def test_ingest_log_sink(spark, lake):
+    from collect_mobile_devices_datalake_spark.ingest.pipeline import read_logs
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    part = load_table(spark, "part", SF)
+    ingest_source(spark, spec_pages(part, "versus"), lake, "versus")
+    ingest_source(spark, spec_pages(part, "versus"), lake, "versus")
+    logs = read_logs(spark, lake).collect()
+    events = [(r["source"], r["event"], r["n"]) for r in logs]
+    assert ("versus", "ingest_batch", part.count()) in events
+    assert ("versus", "ingest_batch", 0) in events  # the no-op rerun logged too
