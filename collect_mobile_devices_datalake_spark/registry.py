@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         similarity,
         streaming_batch,
         text_analysis,
+        udf_surface,
     )
 
     _LOADED = True

@@ -75,3 +75,34 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     — the streaming form of the frontier `new Set` dedup (app.js:477).
     """
     return events.withWatermark("ts", WATERMARK).dropDuplicates(["event_id", "ts"])
+
+
+def purchase_click_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks within the preceding hour. Both sides watermarked so
+    the join state is bounded; the time-range predicate lets Spark evict
+    rows once the watermark passes."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "p_user", "p_ts", "c_id", "c_ts")
