@@ -1,0 +1,20 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline queries."""
+from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+from collect_mobile_devices_datalake_spark.plans.explain import formatted_plan
+from collect_mobile_devices_datalake_spark.session import get_spark
+
+HEADLINE = [
+    "resume_pending", "q01_pricing_summary", "q05_region_revenue",
+    "dedup_minhash_lsh_pairs", "knn_lsh_probe", "events_session_windows",
+]
+_ensure_loaded()
+spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
+with open("PLANS.md", "w") as f:
+    f.write("# Physical plans (sf0.001) — regenerate with `python scripts_gen_plans.py`\n\n")
+    f.write("What to look for: PushedFilters/ReadSchema on every scan, "
+            "BroadcastHashJoin for small dims, partial_sum before each "
+            "exchange, single Exchange in the resume plan.\n")
+    for name in HEADLINE:
+        df = REGISTRY[name].spark(spark, "/root/testdata/sf0.001")
+        f.write(f"\n## {name}\n\n```\n{formatted_plan(df)}\n```\n")
+print("PLANS.md written")

@@ -62,3 +62,23 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     q = REGISTRY["knn_bruteforce"].spark(spark, SF)
     plan = formatted_plan(q)
     assert "BroadcastExchange" in plan  # the small query set moves, not the corpus
+
+
+def test_partition_pruning(spark, tmp_path):
+    # hive-style partitioned layout: a filter on the partition column must
+    # become a PartitionFilter (files outside the partition never open)
+    orders = load_table(spark, "orders", SF)
+    out = str(tmp_path / "orders_part")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    # the salted fact side must shuffle on (key, salt), not key alone
+    q = REGISTRY["join_salted_skew"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "salt" in plan

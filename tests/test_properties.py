@@ -73,3 +73,22 @@ def test_brand_model_split_invariants(spark, data):
             assert r["m"] == f"{r['s']['brand']} {r['s']['model']}"
         else:
             assert r["s"]["model"] == r["m"]
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.data())
+def test_rolling_hash_matches_python(spark, data):
+    from collect_mobile_devices_datalake_spark.functions.text import rolling_hash
+
+    cases = [data.draw(st.text(alphabet=string.printable[:94], min_size=0, max_size=30))
+             for _ in range(60)]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["h"] for r in df.select(rolling_hash(F.col("s")).alias("h")).collect()]
+
+    def py_hash(s: str, mod=1_000_000_007, base=31) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * base + ord(ch)) % mod
+        return acc
+
+    assert got == [py_hash(c) for c in cases]
