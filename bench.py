@@ -48,8 +48,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so we measure query time, not startup
+    # warm the JVM, codegen, and parquet footers so we measure query time,
+    # not first-touch costs (the first timed query otherwise absorbs them)
     spark.range(1).count()
+    from collect_mobile_devices_datalake_spark import TABLES
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    for t in TABLES:
+        load_table(spark, t, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -266,3 +266,24 @@ def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+    doc="Unpivot/melt: wide columns -> (metric, value) long form.",
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")

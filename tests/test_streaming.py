@@ -150,3 +150,20 @@ def test_stream_stream_interval_join(spark, tmp):
     assert got <= want
     assert len(got) >= len(want) * 0.8
     assert len(want) > 0
+
+
+def test_ingest_stream_rate_limited_batches(spark, tmp):
+    # maxFilesPerTrigger=1 -> one micro-batch per file (the reference's
+    # chunk-of-5 pacing, app.js:498-506, as declarative backpressure)
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "versus")
+    pages_dir = os.path.join(tmp, "pages")
+    for i in range(3):
+        pages.filter(F.col("p_partkey") % 3 == i).coalesce(1).write.mode("append").parquet(pages_dir)
+    lake, ckpt = os.path.join(tmp, "lake"), os.path.join(tmp, "ckpt")
+    q = start_ingest_stream(spark, pages_dir, lake, "versus", ckpt, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3
+    target = os.path.join(lake, "device_specs_stream", "versus")
+    assert spark.read.parquet(target).count() == part.count()
