@@ -287,3 +287,29 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
     return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), '\\s+')[1:4]) AS ks
+      FROM documents
+    )
+    SELECT doc_id, k AS map_key, CAST(length(k) * 2 AS INTEGER) AS map_value
+    FROM t, unnest(ks) AS u(k)
+    WHERE length(k) % 2 = 0
+    """,
+    doc="Map-function battery: map_from_arrays -> transform_values -> "
+    "map_filter -> explode (the specs-map manipulation toolkit).",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    ks = F.array_distinct(F.slice(F.split(F.trim("text"), "\\s+"), 1, 4))
+    m = F.map_from_arrays(ks, F.transform(ks, lambda k: F.length(k)))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    even_keys = F.map_filter(doubled, lambda k, v: F.length(k) % 2 == 0)
+    return d.select("doc_id", F.explode(even_keys).alias("map_key", "map_value")).select(
+        "doc_id", "map_key", F.col("map_value").cast("int").alias("map_value")
+    )
