@@ -313,3 +313,33 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(even_keys).alias("map_key", "map_value")).select(
         "doc_id", "map_key", F.col("map_value").cast("int").alias("map_value")
     )
+
+
+@register(
+    "string_similarity_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+    FROM part a JOIN part b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey % 10 = 0 AND levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    doc="Edit-distance near-dup pairs, blocked on the first token (blocking "
+    "keeps the pair space linear-ish — the classic fuzzy-matching shape).",
+)
+def q_string_similarity_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_name", F.split("p_name", " ")[0].alias("blk")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .filter((F.col("a.p_partkey") % 10 == 0) & (lev <= 4))
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            lev.cast("int").alias("edit_distance"),
+        )
+    )

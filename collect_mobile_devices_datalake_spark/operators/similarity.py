@@ -351,3 +351,89 @@ def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
+    """Lloyd's k-means as a driver-side loop of DataFrame ops (no MLlib):
+    assign = broadcast-centroid argmin; update = posexplode + groupBy mean.
+    Deterministic: seeds are vec_id 0,1,..k-1; ties broken by cell id.
+    Returns (cell, centroid array<double>)."""
+    cents = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        scored = (
+            emb.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "cell",
+                cosine_similarity("embedding", "centroid").alias("sim"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        cents = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("c"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda x: x["c"]).alias("centroid"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+@register(
+    "knn_ivf_kmeans_probe",
+    oracle=None,  # recall-vs-bruteforce asserted in tests/test_similarity.py
+    doc="True IVF: k-means coarse quantizer (Lloyd iterations as DataFrame "
+    "loops), nprobe=3 of k=8 cells, exact re-rank inside probed cells.",
+)
+def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = kmeans_centroids(emb, k=8, iters=4)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cell", cosine_similarity("embedding", "centroid").alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+        .localCheckpoint(eager=True)
+    )
+    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "query_vec", "cell",
+                cosine_similarity("query_vec", "centroid").alias("csim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), "cell")
+    probes = qc.withColumn("prk", F.row_number().over(wq)).filter(F.col("prk") <= 3)
+    cands = (
+        probes.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine_similarity("query_vec", "embedding").alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cands.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
+    )

@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         similarity,
         streaming_batch,
         text_analysis,
+        tpch_more,
         udf_surface,
     )
 

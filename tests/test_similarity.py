@@ -45,3 +45,9 @@ def test_approx_scores_match_exact_for_found_neighbors(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:
             assert r["cosine"] == bf[key]
+
+
+def test_kmeans_ivf_recall(spark):
+    bf = _pairs(spark, "knn_bruteforce")
+    km = _pairs(spark, "knn_ivf_kmeans_probe")
+    assert _recall(bf, km) >= 0.55, "k-means IVF recall regressed"

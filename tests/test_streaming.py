@@ -167,3 +167,49 @@ def test_ingest_stream_rate_limited_batches(spark, tmp):
     assert len(batches) == 3
     target = os.path.join(lake, "device_specs_stream", "versus")
     assert spark.read.parquet(target).count() == part.count()
+
+
+def test_watermark_drops_late_data(spark, tmp):
+    """Run 1 advances the watermark past t0; run 2 delivers an event older
+    than watermark-gap behind — the late row must NOT create/patch a window
+    in append-mode output."""
+    import datetime as dt
+
+    d = os.path.join(tmp, "late_in")
+    ckpt = os.path.join(tmp, "late_ckpt")
+    out_dir = os.path.join(tmp, "late_out")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    # batch 1: events up to 14:00 -> watermark advances to 13:30 (30 min gap)
+    mk([(1, base, 10, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=2), 10, "click", 1.0, "{}")]
+       ).coalesce(1).write.mode("append").parquet(d)
+
+    def run():
+        q = (
+            tumbling_counts_stream(spark.readStream.schema(EVENTS_SCHEMA).parquet(d))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch 2: an event at 12:05 — far behind the 13:30 watermark
+    mk([(3, base + dt.timedelta(minutes=5), 10, "click", 1.0, "{}")]
+       ).coalesce(1).write.mode("append").parquet(d)
+    # plus a fresh event to push processing forward
+    mk([(4, base + dt.timedelta(hours=3), 10, "click", 1.0, "{}")]
+       ).coalesce(1).write.mode("append").parquet(d)
+    run()
+
+    res = spark.read.parquet(out_dir)
+    noon = {r["n_events"] for r in res.filter(F.col("window_start") == base.replace(minute=0)).collect()}
+    # the 12:00 window was finalized with ONLY event 1; late event 3 dropped
+    assert noon == {1}, res.orderBy("window_start").collect()
