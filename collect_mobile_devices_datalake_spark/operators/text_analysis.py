@@ -237,3 +237,63 @@ def q_doc_top_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "shingle")
         .limit(20)
     )
+
+
+@register(
+    "doc_context_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST((cum - n_tokens) // 2048 AS INTEGER) AS bin_id
+    FROM c
+    """,
+    doc="Context-window packing: sequential-fill of documents into 2048-token "
+    "bins via one cumulative-sum window. NB: global ordering = one window "
+    "partition; at 100 TB pack per shard (partitionBy a shard key) — the "
+    "semantics here define one shard's fill.",
+)
+def q_doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir).filter(F.length(F.trim("text")) > 0)
+    t = d.select("doc_id", token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("int")
+        .alias("bin_id"),
+    )
+
+
+@register(
+    "doc_vocabulary",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM w GROUP BY word
+    ORDER BY term_freq DESC, word LIMIT 50
+    """,
+    doc="Vocabulary build: term frequency + document frequency per word, "
+    "top-50 (the tokenizer-training precursor).",
+)
+def q_doc_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    return (
+        w.groupBy("word")
+        .agg(F.count("*").alias("term_freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("term_freq"), "word")
+        .limit(50)
+    )
