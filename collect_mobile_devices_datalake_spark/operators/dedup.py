@@ -114,14 +114,19 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", F.col("band.band_sig").cast("array<bigint>").alias("band_sig"))
+    ).select(
+        "doc_id",
+        # shuffle an 8-byte bucket key, not the signature array: xxhash64 of
+        # (band_id, sig...) — collisions are ~2^-64 per bucket pair, and the
+        # sf0.01 oracle parity gate would surface one
+        F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -200,12 +205,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+ngram pipeline per reference otherwise (measured 2.5x)
     g = (
         shingled_docs(d)
-        .select("doc_id", "n", F.explode("sh").alias("shingle"))
+        # join on the shingle's 64-bit hash, not the string: the self-join
+        # shuffles 8-byte keys instead of n-gram text (the 100 TB shuffle-
+        # bytes rule); xxhash64 collisions would fail the oracle gate
+        .select("doc_id", "n", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
+        .select("doc_id", "n", F.explode("sh").alias("shingle_h"))
         .localCheckpoint(eager=True)
     )
     a, b = g.alias("a"), g.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(
             F.count("*").alias("n_shared"),
