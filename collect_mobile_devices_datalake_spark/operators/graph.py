@@ -1,0 +1,130 @@
+"""Iterative graph algorithms over lake tables (generic driver-loop form).
+
+The reference's only iterative dataflow is the frontier BFS of its
+crawler (app.js:156-194); this module generalizes that pattern to the
+other canonical lake-graph workload: PageRank over the bipartite
+customer↔part purchase graph (lineitem ⋈ orders). The same loop shape
+(join → aggregate → checkpoint barrier → repeat) serves label
+propagation (``dedup_clusters``) and BFS (``frontier_bfs``).
+
+Determinism for the oracle gate: per-edge contributions ``pr/outdeg``
+are doubles (IEEE-identical in any engine); each is cast to
+DECIMAL(28,18) *before* the sum so the aggregate is exact decimal
+addition — associative, partition-order independent — then cast back to
+double (via VARCHAR in DuckDB, see memory gotchas). Every per-iteration
+value is therefore bit-identical across engines with no rounding slack.
+
+Scale: edges are written once, repartitioned on src, and checkpointed —
+each of the k iterations re-joins against that stable partitioning, so
+only the (small) rank table moves per round. At 100 TB the checkpoint
+becomes a persisted bucketed table and the loop is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+
+DAMPING = 0.85
+ITERS = 3
+
+_EDGES_SQL = """
+    pairs AS (
+      SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+                      'p' || CAST(l.l_partkey AS VARCHAR) AS pnode
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT cnode AS src, pnode AS dst FROM pairs
+      UNION ALL
+      SELECT pnode, cnode FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT node FROM deg),
+    n_total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)
+"""
+
+
+def _pagerank_oracle(iters: int) -> str:
+    ctes = [_EDGES_SQL.strip(), "pr0 AS (SELECT node, 1.0 / (SELECT n FROM n_total) AS pr FROM nodes)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""s{k} AS (
+      SELECT e.dst AS node,
+             CAST(CAST(SUM(CAST(p.pr / d.outdeg AS DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS contrib
+      FROM edges e JOIN pr{k - 1} p ON e.src = p.node JOIN deg d ON d.node = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT n.node,
+             (1.0 - CAST({DAMPING} AS DOUBLE)) / (SELECT n FROM n_total)
+               + CAST({DAMPING} AS DOUBLE) * COALESCE(s.contrib, 0.0) AS pr
+      FROM nodes n LEFT JOIN s{k} s ON n.node = s.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(pr, 12) AS pagerank FROM pr{iters}"
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = ITERS, damping: float = DAMPING) -> DataFrame:
+    """PageRank over a directed edge list (src, dst); returns (node, pagerank)."""
+    edges = edges.repartition("src").localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    deg = deg.localCheckpoint(eager=True)
+    n_total = deg.count()
+    base = (1.0 - damping) / n_total
+    pr = deg.select("node", (F.lit(1.0) / n_total).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src").withColumnRenamed("outdeg", "od"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum((F.col("pr") / F.col("od")).cast("decimal(28,18)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        pr = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("node", F.round("pr", 12).alias("pagerank"))
+
+
+@register(
+    "pagerank_purchase_graph",
+    oracle=_pagerank_oracle(ITERS),
+    doc=f"PageRank ({ITERS} iterations, d={DAMPING}) over the bipartite "
+    "customer↔part purchase graph; symmetric edges so every node has "
+    "outdegree ≥ 1 (no dangling mass). Value-level oracle: contributions "
+    "decimal-routed per iteration, so Spark and DuckDB agree bit-for-bit.",
+)
+def q_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("pnode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cnode").alias("src"), F.col("pnode").alias("dst")).unionAll(
+        pairs.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    return pagerank(edges)

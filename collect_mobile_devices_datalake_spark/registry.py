@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         crawler,
         crawler2,
         dedup,
+        graph,
         ingest_queries,
         multimodal_queries,
         relational,
@@ -73,6 +74,7 @@ def _ensure_loaded() -> None:
         streaming_batch,
         text_analysis,
         tpch_more,
+        tpch_wave2,
         udf_surface,
     )
 
