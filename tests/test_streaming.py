@@ -213,3 +213,51 @@ def test_watermark_drops_late_data(spark, tmp):
     noon = {r["n_events"] for r in res.filter(F.col("window_start") == base.replace(minute=0)).collect()}
     # the 12:00 window was finalized with ONLY event 1; late event 3 dropped
     assert noon == {1}, res.orderBy("window_start").collect()
+
+
+def test_session_window_append_finalizes_sessions(spark, tmp):
+    """Session windows in append mode: sessions split across micro-batches
+    must merge in state, and every session finalizes once the watermark
+    passes it. Two far-future 'flush' files advance the watermark (first
+    one passes it, second gives Spark a batch in which to emit)."""
+    import datetime as dt
+
+    from collect_mobile_devices_datalake_spark.streaming.windows import (
+        sessionized_stream,
+    )
+
+    # chunk files by TIME RANGE (not id): each batch moves event time
+    # forward, so the stepping watermark never marks real data late
+    ev = load_table(spark, "events", SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    d = os.path.join(tmp, "events_in")
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (tmax - tmin) / 3
+    lo, hi = tmin + span, tmin + 2 * span
+    for cond in [F.col("ts") < lo, (F.col("ts") >= lo) & (F.col("ts") < hi), F.col("ts") >= hi]:
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(d)
+    future = dt.datetime(2100, 1, 1)
+    for i in range(2):
+        spark.createDataFrame(
+            [(10_000_000 + i, future + dt.timedelta(days=i), -1, "click", 0.0, "{}")],
+            EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one batch per file → watermark steps
+        .parquet(d)
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sessionized_stream(stream), name, "append")
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table(name).filter(F.col("user_id") >= 0).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionized_stream(ev).collect()
+    }
+    assert got == want and len(got) > 0
