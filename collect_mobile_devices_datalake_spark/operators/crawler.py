@@ -21,8 +21,12 @@ from ..functions.normalize import (
 )
 from ..registry import register
 from ..session import load_table
-from ..sources.synthetic import SAVED_LIST_SQL, SOURCE_LIST_SQL, saved_list, source_list
-from .resume import resume_anti_join
+from ..sources.synthetic import (
+    SAVED_LIST_SQL,
+    SOURCE_LIST_SQL,
+    frontier_events,
+    source_list,
+)
 
 # Shared DuckDB regex: same char class as functions/normalize.KEY_PUNCT_REGEX,
 # with SQL quote doubling ('' for ').
@@ -36,11 +40,21 @@ _KEY_PUNCT_SQL = "[\\s!\"#$%&''()*+,\\-./:;<=>?@\\[\\]\\^`{|}~]"
     SELECT s.url FROM (SELECT DISTINCT url FROM src) s
     WHERE NOT EXISTS (SELECT 1 FROM sav WHERE sav.url = s.url)
     """,
-    doc="Flagship: crawl_resume set difference (app.js:457-482) as a left_anti join.",
+    doc="Flagship: crawl_resume set difference (app.js:457-482). Physical "
+    "form: single-scan fused frontier∪checkpoint (sources/synthetic.py::"
+    "frontier_events) + one groupBy — the union+marker rewrite of "
+    "operators/resume.py with the derivation's four orders scans fused "
+    "into one.",
 )
 def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
-    return resume_anti_join(source_list(orders), saved_list(orders))
+    return (
+        frontier_events(orders)
+        .groupBy("url")
+        .agg(F.max("saved").alias("_any_saved"))
+        .filter(F.col("_any_saved") == 0)
+        .select("url")
+    )
 
 
 @register(
@@ -59,8 +73,7 @@ def q_resume_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(app.js:480) as a proper aggregate.",
 )
 def q_resume_pending_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
-    pending = resume_anti_join(source_list(orders), saved_list(orders))
+    pending = q_resume_pending(spark, sf_dir)
     return pending.groupBy(
         F.regexp_extract("url", "devices/([a-z]+)/", 1).alias("source")
     ).agg(F.count("*").alias("n_pending"))

@@ -76,16 +76,27 @@ def _pagerank_oracle(iters: int) -> str:
 
 def pagerank(edges: DataFrame, iters: int = ITERS, damping: float = DAMPING) -> DataFrame:
     """PageRank over a directed edge list (src, dst); returns (node, pagerank)."""
-    edges = edges.repartition("src").localCheckpoint(eager=True)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    deg = deg.localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    # fold outdegree into the edge ONCE: each iteration then needs a single
+    # join (vs edges⋈pr⋈deg), against a partitioning that never changes.
+    # Keep od (not 1/od): pr/od must stay the same IEEE division the oracle
+    # performs — pr * (1/od) rounds differently.
+    edges_w = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", F.col("outdeg").alias("od"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
     n_total = deg.count()
     base = (1.0 - damping) / n_total
     pr = deg.select("node", (F.lit(1.0) / n_total).alias("pr"))
     for _ in range(iters):
         contrib = (
-            edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src").withColumnRenamed("outdeg", "od"), "src")
+            edges_w.join(pr.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum((F.col("pr") / F.col("od")).cast("decimal(28,18)"))

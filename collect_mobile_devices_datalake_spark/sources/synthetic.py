@@ -70,6 +70,46 @@ def saved_list(orders: DataFrame) -> DataFrame:
     return done.unionAll(foreign)
 
 
+def frontier_events(orders: DataFrame) -> DataFrame:
+    """Single-scan fusion of ``source_list`` ∪ ``saved_list`` → (url, saved).
+
+    ``resume_pending`` only needs the union of both sides tagged with a
+    side marker (operators/resume.py), and both sides derive from the
+    same ``orders`` scan — so emit every row-class one order produces as
+    a conditional array and explode: ONE parquet scan instead of four.
+    At 100 TB this is the difference between reading the fact table once
+    and reading it four times; the same multi-output-per-input-row shape
+    serves any fan-out derivation (it is the reference's per-page
+    "emit N spec rows" loop, app.js:690-710, as a column expression).
+
+    ``saved`` carries 0 for frontier rows, 1 for checkpoint rows —
+    ``max(saved) == 0`` per url ⇒ pending.
+    """
+    url = _url_expr()
+    rows = F.array(
+        F.struct(
+            F.when(F.col("o_orderkey") % 50 == 7, F.lit("")).otherwise(url).alias("url"),
+            F.lit(0).alias("saved"),
+        ),
+        F.when(
+            F.col("o_orderkey") % 20 == 0,
+            F.struct(url.alias("url"), F.lit(0).alias("saved")),
+        ),
+        F.when(
+            (F.col("o_orderkey") % 10 < 6) & (F.col("o_orderkey") % 50 != 7),
+            F.struct(url.alias("url"), F.lit(1).alias("saved")),
+        ),
+        F.when(
+            F.col("o_orderkey") % 100 == 7,
+            F.struct(F.concat(url, F.lit("_extra")).alias("url"), F.lit(1).alias("saved")),
+        ),
+    )
+    return (
+        orders.select(F.explode(F.array_compact(rows)).alias("e"))
+        .select("e.url", "e.saved")
+    )
+
+
 # --- DuckDB-oracle twins (same rows, ANSI SQL over the `orders` view) ---
 
 URL_SQL = (
