@@ -1,0 +1,418 @@
+"""TPC-H analogue wave 3: q2/q9/q11/q12/q15/q16/q17/q20/q21 shapes.
+
+Completes the 22-query TPC-H surface (waves 1-2 cover
+q1/3/4/5/6/7/8/10/13/14/18/19/22). The driver's testdata has no
+``partsupp``, ``l_shipmode``, ``l_commitdate`` or ``l_receiptdate``, so
+the partsupp-backed queries derive a supply relation from distinct
+``(l_partkey, l_suppkey)`` lineitem pairs, and the date-lag queries
+(q12/q21) keep their join/quantifier topology over the columns that
+exist (``o_orderpriority``, ``l_returnflag``). Shared determinism rules
+(decimal-routed sums, VARCHAR-routed decimal→double in DuckDB,
+deterministic tiebreaks) per ``relational.py``.
+
+Correlated subqueries are re-expressed the Spark-native way:
+per-group windows (q2), scalar-subquery → broadcast cross join
+(q11/q15/q17), quantified EXISTS/NOT EXISTS → one order-level
+aggregate joined back (q21) — each turns an O(n²) correlated probe
+into one shuffle on the correlation key, which is the form that
+survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..session import load_table
+from .relational import dec, dsum
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
+
+def _rev() -> F.Column:
+    return dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+
+
+# Derived supply relation standing in for partsupp: one row per distinct
+# (partkey, suppkey) observed in lineitem, costed at the cheapest observed
+# price for that pair (MIN over doubles — exact, engine-independent).
+_SUPPLY_SQL = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice) AS ps_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _supply(li: DataFrame) -> DataFrame:
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min("l_extendedprice").alias("ps_cost"))
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, sp.ps_cost
+    FROM part p
+      JOIN supply sp ON sp.ps_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = sp.ps_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 15 AND p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+      AND sp.ps_cost = (
+        SELECT MIN(sp2.ps_cost) FROM supply sp2
+          JOIN supplier s2 ON s2.s_suppkey = sp2.ps_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE sp2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey LIMIT 100
+    """,
+    doc="TPC-H Q2-shaped: cheapest EUROPE supplier per qualifying part. The "
+    "correlated MIN becomes a window min over the partkey partition — one "
+    "shuffle on partkey instead of a correlated re-scan per part; dims "
+    "broadcast. Tiebreak (s_name, p_partkey) is unique per row.",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "PROMO")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    # EUROPE-based supply offers (the correlated subquery's domain) — built
+    # once, reused for both the per-part min and the output rows.
+    eu_supply = (
+        _supply(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eu_supply.withColumn("min_cost", F.min("ps_cost").over(w))
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(18,4))
+             - CAST(p.p_retailprice * 0.1 AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(18,4))
+           ) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9-shaped: profit by supplier nation and order year for one "
+    "product family (supply cost stands in as 10% of retail — no partsupp). "
+    "part/supplier/nation broadcast; the only big shuffle is "
+    "lineitem⋈orders on orderkey then the final group-by.",
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    profit = _rev() - dec(F.col("p_retailprice") * 0.1) * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(CAST(v AS VARCHAR) AS DOUBLE)
+          > CAST(CAST((SELECT SUM(v) FROM val) AS VARCHAR) AS DOUBLE) * 0.0001
+    """,
+    doc="TPC-H Q11-shaped: parts whose ASIA-supplied value exceeds a fraction "
+    "of the total. Scalar subquery → one-row broadcast cross join; both the "
+    "per-part and grand total are exact decimal sums, so the threshold "
+    "comparison is bit-identical cross-engine.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_regionkey") == 2)
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("v"))
+    )
+    total = val.agg((F.sum("v").cast("double") * 0.0001).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12-shaped (no l_shipmode → l_returnflag carries the class): "
+    "urgent-vs-other line counts per class for one ship year — the "
+    "conditional-count pivot over a fact/fact join, fully map-side "
+    "combinable after the orderkey shuffle.",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(CAST(SUM({_REV_SQL}) AS VARCHAR) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15-shaped: supplier(s) with max quarterly revenue. The view + "
+    "scalar MAX becomes one aggregate reused for both the per-supplier rows "
+    "and the broadcast max; revenue is an exact decimal sum surfaced as "
+    "double, so the MAX-equality join is deterministic cross-engine.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        .localCheckpoint(eager=True)  # computed once, used twice (rows + max)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle=f"""
+    WITH supply AS ({_SUPPLY_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT sp.ps_suppkey) AS supplier_cnt
+    FROM supply sp JOIN part p ON p.p_partkey = sp.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND sp.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16-shaped: distinct supplier count per (brand, type, size) "
+    "excluding one brand/type and negative-balance suppliers (the "
+    "complaint-supplier NOT IN → broadcast anti-join).",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _supply(li)
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'ECONOMY'
+      AND l.l_quantity < (
+        SELECT 0.2 * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q17-shaped: revenue lost to small-quantity orders of one "
+    "brand/type. The correlated per-part average becomes a groupBy over "
+    "the (part-pruned) lineitems joined back on partkey — one aggregation "
+    "keyed by the correlation key. Threshold arithmetic (0.2 * exact-sum/"
+    "count) is op-for-op identical to the oracle.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "ECONOMY")
+    )
+    # prune lineitem to qualifying parts FIRST — the correlated avg only
+    # ever evaluates on those parts' lineitems.
+    pruned = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    avg_qty = pruned.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.2) * (dsum("l_quantity") / F.count("*"))).alias("threshold")
+    )
+    return (
+        pruned.join(F.broadcast(avg_qty), pruned.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_excess_shipments",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 3
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 50)
+    """,
+    doc="TPC-H Q20-shaped: EUROPE suppliers who moved >50 units of some red "
+    "part in 1997 (no ps_availqty → fixed threshold). The IN-subquery is a "
+    "grouped HAVING on lineitem semi-joined to suppliers — aggregation "
+    "before the semi-join keeps the probe side tiny.",
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("red%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_regionkey") == 3)
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")  # dup suppkeys fine — the semi-join dedups
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_lone_returner",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n.n_regionkey = 2
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+    doc="TPC-H Q21-shaped (no l_receiptdate → 'late' = returnflag R): ASIA "
+    "suppliers who were the sole returner in a multi-supplier finished "
+    "order. Both quantifiers (EXISTS other-supplier, NOT EXISTS "
+    "other-returner) collapse into ONE order-level aggregate — distinct "
+    "suppliers and distinct R-suppliers per order — joined back to the R "
+    "rows: one lineitem shuffle on orderkey replaces two correlated "
+    "self-join probes.",
+)
+def q21_lone_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir).filter(F.col("n_regionkey") == 2)
+    order_stats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_returners"
+        ),
+    )
+    r_rows = li.filter(F.col("l_returnflag") == "R")
+    return (
+        r_rows.join(o, r_rows.l_orderkey == o.o_orderkey, "left_semi")
+        .join(order_stats, r_rows.l_orderkey == F.col("ok"))
+        # multi-supplier order, and this R row's supplier is the only returner
+        .filter((F.col("n_supp") > 1) & (F.col("n_returners") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -75,6 +75,7 @@ def _ensure_loaded() -> None:
         text_analysis,
         tpch_more,
         tpch_wave2,
+        tpch_wave3,
         udf_surface,
     )
 
