@@ -1,0 +1,188 @@
+"""Training-data curation operators (north-star extensions, BASELINE.json).
+
+Four ops every LLM-scale data pipeline runs between the lake and the
+trainer, each with a value-level DuckDB oracle:
+
+- deterministic train/val/test split (multiplicative hash → buckets);
+- per-vector int8 embedding quantization (zero-point + scale);
+- PII redaction (email/phone regex scrub);
+- cross-split contamination check (train↔test shingle overlap).
+
+Determinism notes: the split hash is pure BIGINT arithmetic (no engine
+hash functions — Spark's xxhash64 and DuckDB's hash() disagree, a
+Knuth-style multiplicative hash is bit-identical everywhere and is what
+you'd ship anyway so the split survives engine migrations). Quantization
+does all arithmetic in DOUBLE with identical op order in both engines;
+``floor`` avoids the round-half tie rules that differ cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+from .dedup import _SHINGLES_SQL, shingled_docs
+
+# Knuth multiplicative hash constant (2654435761 = 2^32 * golden ratio);
+# dockey * K mod 2^32 scatters sequential ids uniformly, then % 100 buckets.
+_K = 2654435761
+_M = 4294967296
+_SPLIT_BUCKET_SQL = f"(doc_id * {_K}) % {_M} % 100"
+_SPLIT_SQL = (
+    f"CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' "
+    f"WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def split_bucket(doc_id: F.Column | str) -> F.Column:
+    col = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return (col * _K) % _M % 100
+
+
+@register(
+    "train_split_assign",
+    oracle=f"""
+    SELECT doc_id, {_SPLIT_BUCKET_SQL} AS bucket, {_SPLIT_SQL} AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment via multiplicative "
+    "hash of the doc key. Pure projection — no shuffle, no state; the "
+    "same row lands in the same split on any engine, any partitioning, "
+    "any day (the property reservoir/random splits lack).",
+)
+def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    b = split_bucket("doc_id")
+    return d.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    mm AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+    SELECT vec_id,
+           mn AS zero_point,
+           (mx - mn) / 255 AS scale,
+           CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> CAST(floor((x - mn) * 255 / (mx - mn)) AS INTEGER))
+           END AS q
+    FROM mm
+    """,
+    doc="Per-vector asymmetric int8 quantization: zero_point = min, scale = "
+    "range/255, element -> floor((x - min) * 255 / range). Map-only over "
+    "the vector column (no shuffle); floor not round so no cross-engine "
+    "tie-breaking. The min/max are projected ONCE before the per-element "
+    "lambda — inlining them re-scans the vector per element (O(d²)).",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "embeddings", sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    # barrier: materialize v/mn/mx so CollapseProject cannot inline the
+    # array_min/array_max back into the quantize lambda (HOF O(d²) trap)
+    mm = e.select(
+        "vec_id", v.alias("v"), F.array_min(v).alias("mn"), F.array_max(v).alias("mx")
+    ).localCheckpoint(eager=True)
+    mn, mx = F.col("mn"), F.col("mx")
+    quant = F.transform(
+        "v", lambda x: F.floor((x - mn) * 255 / (mx - mn)).cast("int")
+    )
+    return mm.select(
+        "vec_id",
+        mn.alias("zero_point"),
+        ((mx - mn) / 255).alias("scale"),
+        F.when(mx == mn, F.transform("v", lambda x: F.lit(0))).otherwise(quant).alias("q"),
+    )
+
+
+# planted PII: deterministic email + phone appended to each document, so
+# the scrubber has known targets and the oracle can build identical rows.
+_PLANTED_SQL = (
+    "text || ' contact user_' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " or call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+@register(
+    "doc_pii_redact",
+    oracle=f"""
+    WITH planted AS (SELECT doc_id, {_PLANTED_SQL} AS body FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(body, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS redacted,
+           contains(regexp_replace(
+             regexp_replace(body, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'), '@') AS residual_at
+    FROM planted
+    """,
+    doc="PII scrub: email then phone regex rewritten to placeholder tokens, "
+    "plus a residual check column (any '@' left after the pass). Regex "
+    "subset chosen to behave identically under Java regex and RE2. "
+    "Map-only — runs at scan speed, no shuffle.",
+)
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user_"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(body, r"[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        r"[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        redacted.contains("@").alias("residual_at"),
+    )
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents
+    )
+    SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, COUNT(*) AS n_shared
+    FROM (SELECT doc_id, shingle FROM g WHERE b < 80) tr
+    JOIN (SELECT doc_id, shingle FROM g WHERE b >= 90) te ON tr.shingle = te.shingle
+    GROUP BY tr.doc_id, te.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+    doc="Train/test decontamination: distinct 3-gram shingles shared between "
+    "a train doc and a test doc (≥3 ⇒ flagged pair). The split needs no "
+    "join — the bucket is recomputed from doc_id arithmetic on the "
+    "exploded index; the overlap join shuffles 8-byte shingle hashes, "
+    "not n-gram text (same discipline as dedup_ngram_jaccard).",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    g = (
+        shingled_docs(d)
+        .select("doc_id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle_h"))
+        .withColumn("b", split_bucket("doc_id"))
+        .localCheckpoint(eager=True)  # feeds both sides of the self-join
+    )
+    tr = g.filter(F.col("b") < 80).select(F.col("doc_id").alias("train_doc"), "shingle_h")
+    te = g.filter(F.col("b") >= 90).select(F.col("doc_id").alias("test_doc"), "shingle_h")
+    return (
+        tr.join(te, "shingle_h")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         tpch_more,
         tpch_wave2,
         tpch_wave3,
+        training,
         udf_surface,
     )
 
