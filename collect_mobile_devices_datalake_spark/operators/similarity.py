@@ -192,7 +192,10 @@ def lsh_bucket_df(emb: DataFrame) -> DataFrame:
 )
 def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    buckets = lsh_bucket_df(emb)
+    # the 64-plane signature feeds BOTH the corpus index and the query
+    # probes — materialize once or the whole dot-product pipeline runs
+    # twice (at scale the index side is a persisted table anyway)
+    buckets = lsh_bucket_df(emb).localCheckpoint(eager=True)
     corpus = buckets.join(emb, "vec_id").select("vec_id", "embedding", "t", "bucket")
 
     qids = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(

@@ -6,6 +6,7 @@ from collect_mobile_devices_datalake_spark.session import get_spark
 HEADLINE = [
     "resume_pending", "q01_pricing_summary", "q05_region_revenue",
     "dedup_minhash_lsh_pairs", "knn_lsh_probe", "events_session_windows",
+    "q02_min_cost_supplier", "q21_lone_returner", "split_contamination",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
