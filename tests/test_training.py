@@ -1,0 +1,104 @@
+"""Invariant tests for the training-data curation ops (operators/training.py).
+
+The oracle gate proves cross-engine value equality; these prove the
+*semantic* properties a trainer relies on: split determinism and
+proportions, quantization round-trip error bounds, complete PII removal,
+and contamination pairs actually crossing the split boundary.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name, spark, sf=SF):
+    return REGISTRY[name].spark(spark, sf)
+
+
+class TestTrainSplit:
+    def test_deterministic_and_total(self, spark):
+        a = {r["doc_id"]: r["split"] for r in _q("train_split_assign", spark).collect()}
+        b = {r["doc_id"]: r["split"] for r in _q("train_split_assign", spark).collect()}
+        assert a == b and len(a) == 500
+
+    def test_proportions_roughly_80_10_10(self, spark):
+        counts = {
+            r["split"]: r["n"]
+            for r in _q("train_split_assign", spark)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        # multiplicative hash over 500 sequential ids: loose tolerance
+        assert 0.70 <= counts["train"] / n <= 0.90
+        assert 0.05 <= counts["val"] / n <= 0.15
+        assert 0.05 <= counts["test"] / n <= 0.15
+
+    def test_buckets_in_range(self, spark):
+        row = _q("train_split_assign", spark).agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        ).first()
+        assert 0 <= row["lo"] and row["hi"] <= 99
+
+
+class TestQuantize:
+    def test_roundtrip_error_within_one_step(self, spark):
+        # |x - (zero_point + q*scale)| <= scale for every element: floor
+        # quantization underestimates by < 1 step, never more
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+        dequant = F.transform(
+            "q", lambda qi: F.col("zero_point") + qi.cast("double") * F.col("scale")
+        )
+        err = F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            dequant,
+            lambda x, d: F.abs(x - d),
+        )
+        bad = (
+            _q("embedding_quantize_int8", spark)
+            .join(emb, "vec_id")
+            .select(F.array_max(err).alias("max_err"), "scale")
+            .filter(F.col("max_err") > F.col("scale") * 1.0000001)
+            .count()
+        )
+        assert bad == 0
+
+    def test_codes_in_int8_range(self, spark):
+        bad = (
+            _q("embedding_quantize_int8", spark)
+            .select(F.explode("q").alias("c"))
+            .filter((F.col("c") < 0) | (F.col("c") > 255))
+            .count()
+        )
+        assert bad == 0
+
+
+class TestRedact:
+    def test_no_pii_left(self, spark):
+        rows = _q("doc_pii_redact", spark).collect()
+        email = re.compile(r"[A-Za-z0-9._]+@")
+        phone = re.compile(r"[0-9]{3}-[0-9]{4}")
+        for r in rows:
+            assert not email.search(r["redacted"]), r["doc_id"]
+            assert not phone.search(r["redacted"]), r["doc_id"]
+            assert not r["residual_at"]
+        assert all("<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"] for r in rows)
+
+
+class TestContamination:
+    def test_pairs_cross_split_boundary(self, spark):
+        splits = {r["doc_id"]: r["split"] for r in _q("train_split_assign", spark).collect()}
+        pairs = _q("split_contamination", spark).collect()
+        assert pairs, "expected at least one contaminated pair at sf0.01"
+        for r in pairs:
+            assert splits[r["train_doc"]] == "train"
+            assert splits[r["test_doc"]] == "test"
+            assert r["n_shared"] >= 3
