@@ -261,3 +261,38 @@ def test_session_window_append_finalizes_sessions(spark, tmp):
         for r in sessionized_stream(ev).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_event_time_timeout_closes_idle_sessions(spark, tmp):
+    """EventTimeTimeout eviction: sessions emit exactly once, only after the
+    watermark passes last-event + 30-min gap; still-open sessions emit
+    nothing. Three files -> three micro-batches (maxFilesPerTrigger=1),
+    each 2h apart, so earlier users' state deterministically expires."""
+    from collect_mobile_devices_datalake_spark.streaming.stateful import (
+        idle_closed_sessions,
+    )
+
+    from datetime import datetime as DT
+
+    d = os.path.join(tmp, "sess_in")
+    schema = "ts timestamp, user_id bigint, value double"
+
+    def write_chunk(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+
+    write_chunk([(DT(2024, 1, 1, 0, 0), 1, 1.0), (DT(2024, 1, 1, 0, 5), 1, 2.0),
+                 (DT(2024, 1, 1, 0, 1), 2, 10.0)])
+    write_chunk([(DT(2024, 1, 1, 2, 0), 3, 5.0)])
+    write_chunk([(DT(2024, 1, 1, 4, 0), 4, 7.0)])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    name = f"c_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(idle_closed_sessions(stream), name, "append")
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in spark.table(name).collect()}
+    # users 1 and 2: last event + 30min far behind the batch-2/3 watermark
+    assert got[1] == (2, 3.0)
+    assert got[2] == (1, 10.0)
+    # user 4's session saw no later watermark advance past its deadline
+    assert 4 not in got
