@@ -139,3 +139,139 @@ def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("latest_value"),
         )
     )
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                                (SELECT hi FROM span),
+                                                INTERVAL 1 HOUR)) AS h) g
+    )
+    SELECT grid.event_type, grid.h AS hour, COALESCE(hourly.n, 0) AS n_events
+    FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    """,
+    doc="Time-series gap filling: dense (event_type x hour) grid via "
+    "sequence+explode, left-joined to observed hourly counts, zeros for "
+    "silent hours. The grid is generated, never scanned — at 100 TB the "
+    "grid side is dims x hours (tiny) and broadcasts; the fact side "
+    "aggregates BEFORE the join so the left join sees one row per cell.",
+)
+def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    span = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = e.select("event_type").distinct().crossJoin(hours)
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_e AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+      FROM events
+    )
+    SELECT f.cohort AS cohort_week,
+           CAST(datediff('day', f.cohort, a.w) / 7 AS INTEGER) AS week_offset,
+           COUNT(*) AS n_users
+    FROM first_e f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-activity week, counted in "
+    "each later active week. Two aggregations on the same user_id "
+    "partitioning (first-touch, distinct activity) then a join that "
+    "reuses it — no extra shuffle between stages at scale when the "
+    "events table is bucketed by user_id.",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    first_e = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    return (
+        first_e.join(act, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.datediff("w", "cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 END) AS n_viewed,
+           COUNT(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view THEN 1 END) AS n_clicked,
+           COUNT(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_purchased
+    FROM m
+    """,
+    doc="Ordered funnel (signup -> view -> click -> purchase by first "
+    "occurrence): one conditional-MIN pivot per user, then stage "
+    "predicates over the four timestamps — a single shuffle on user_id, "
+    "no per-stage self-joins.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+
+    def t_first(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    m = e.groupBy("user_id").agg(
+        t_first("signup").alias("t_signup"),
+        t_first("view").alias("t_view"),
+        t_first("click").alias("t_click"),
+        t_first("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    return m.agg(
+        F.count(F.when(s1, 1)).alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_viewed"),
+        F.count(F.when(s3, 1)).alias("n_clicked"),
+        F.count(F.when(s4, 1)).alias("n_purchased"),
+    )
