@@ -139,3 +139,72 @@ def q_pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pnode").alias("src"), F.col("cnode").alias("dst"))
     )
     return pagerank(edges)
+
+
+_COEDGES_SQL = """
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+    WITH e AS ({_COEDGES_SQL}),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    corners AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    """,
+    doc="Triangle counting on the co-purchase graph (parts bought together "
+    "in >=2 orders). Canonical a<b<c edge orientation means each triangle "
+    "is enumerated exactly once by the wedge join + closing-edge check. "
+    "At 100 TB: orient edges low-degree->high-degree instead of by id "
+    "(the standard trick bounding wedges by sum(d_v^2_out) with "
+    "d_out <= sqrt(m)); the filtered edge list broadcasts when small.",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+        # the filtered edge list feeds three joins — materialize once
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+            "left_semi",
+        )
+        .select(F.col("e1.pa").alias("a"), F.col("e1.pb").alias("b"), F.col("e2.pb").alias("c"))
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
