@@ -186,3 +186,64 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+@register(
+    "curriculum_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+      FROM documents
+    )
+    SELECT bin, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM binned GROUP BY bin
+    """,
+    doc="Curriculum binning: documents deciled by length (short->long "
+    "training order), deterministic via the doc_id tiebreak. ntile needs "
+    "a total order — at 100 TB replace it with bucketing on "
+    "percentile_approx cutpoints so no single-partition sort exists; the "
+    "decile semantics here are the spec for that cutover.",
+)
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "source_capped_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY (doc_id * {_K}) % {_M}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 20
+    """,
+    doc="Stratified downsampling: cap each source's contribution at K docs, "
+    "chosen by deterministic hash order (not first-K by id — that biases "
+    "toward old documents). One shuffle on source; per-group top-K via "
+    "row_number is rank-pruned by Spark's WindowGroupLimit at scale.",
+)
+def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy((F.col("doc_id") * _K) % _M, "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
