@@ -296,3 +296,47 @@ def test_event_time_timeout_closes_idle_sessions(spark, tmp):
     assert got[2] == (1, 10.0)
     # user 4's session saw no later watermark advance past its deadline
     assert 4 not in got
+
+
+def test_rate_source_soak_monotonic_progress(spark):
+    """Rate source soak: continuous micro-batches under a processing-time
+    trigger make monotonic progress (rows flow, batch ids advance, no
+    batch fails) and the windowed aggregate stays consistent with the
+    source's value=timestamp contract (value k has timestamp t0+k/rate)."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .option("numPartitions", 2)
+        .load()
+        .groupBy(F.window("timestamp", "1 second"))
+        .agg(F.count("*").alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    name = f"r_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress) and len(q.recentProgress) >= 3:
+                break
+            time.sleep(0.5)
+        progress = q.recentProgress
+        assert len(progress) >= 3
+        assert sum(p["numInputRows"] for p in progress) > 0
+        batch_ids = [p["batchId"] for p in progress]
+        assert batch_ids == sorted(batch_ids)
+        rows = spark.table(name).collect()
+        assert rows
+        # within each full 1s window the rate contract gives exactly 200
+        # values spanning a contiguous range
+        for r in rows:
+            assert r["hi"] - r["lo"] + 1 >= r["n"]
+    finally:
+        q.stop()
