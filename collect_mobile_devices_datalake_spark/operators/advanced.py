@@ -223,7 +223,7 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
-           list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3_sorted,
            CAST(list_contains(toks, 'the') AS BOOLEAN) AS has_the,
            array_to_string(list_reverse(toks[1:3]), ' ') AS first3_reversed
     FROM t
@@ -239,7 +239,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3_sorted"),
+        # Stringified: the driver's pandas canonicalizer cannot hash list cells.
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), " ").alias(
+            "first3_sorted"
+        ),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_join(F.reverse(F.slice(toks, 1, 3)), " ").alias("first3_reversed"),
     )

@@ -45,7 +45,7 @@ def q_minby_maxby_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ' ') AS nations,
            array_to_string(list_sort(list(DISTINCT CAST(c_nationkey AS VARCHAR))), ',') AS nations_csv
     FROM customer GROUP BY c_mktsegment
     """,
@@ -54,7 +54,15 @@ def q_minby_maxby_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     return c.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        # Stringified: the driver's pandas canonicalizer cannot hash list cells.
+        # Sort NUMERICALLY first, then cast each element — lexicographic string
+        # sort would diverge from the oracle's integer list_sort.
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("c_nationkey")), lambda x: x.cast("string")
+            ),
+            " ",
+        ).alias("nations"),
         F.array_join(
             F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))), ","
         ).alias("nations_csv"),

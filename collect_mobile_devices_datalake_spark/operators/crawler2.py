@@ -141,8 +141,8 @@ def q_max_part_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(list_distinct(record_keys)) AS INTEGER) AS n_record_keys,
-           list_sort(list_filter(list_distinct(record_keys), k -> NOT list_contains(catalog_cols, k))) AS keys_to_add,
-           list_sort(list_filter(list_distinct(record_keys), k -> list_contains(catalog_cols, k))) AS keys_existing
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(record_keys), k -> NOT list_contains(catalog_cols, k))), ' '), '') AS keys_to_add,
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(record_keys), k -> list_contains(catalog_cols, k))), ' '), '') AS keys_existing
     FROM t
     """,
     doc="Key-set union/diff vs live catalog columns (app.js:402-417): the "
@@ -156,6 +156,11 @@ def q_key_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(dk).cast("int").alias("n_record_keys"),
-        F.array_sort(F.filter(dk, lambda k: ~F.array_contains(catalog, k))).alias("keys_to_add"),
-        F.array_sort(F.filter(dk, lambda k: F.array_contains(catalog, k))).alias("keys_existing"),
+        # Stringified: the driver's pandas canonicalizer cannot hash list cells.
+        F.array_join(
+            F.array_sort(F.filter(dk, lambda k: ~F.array_contains(catalog, k))), " "
+        ).alias("keys_to_add"),
+        F.array_join(
+            F.array_sort(F.filter(dk, lambda k: F.array_contains(catalog, k))), " "
+        ).alias("keys_existing"),
     )

@@ -27,9 +27,30 @@ from .dedup import _SHINGLES_SQL, shingled_docs
 
 # Knuth multiplicative hash constant (2654435761 = 2^32 * golden ratio);
 # dockey * K mod 2^32 scatters sequential ids uniformly, then % 100 buckets.
+#
+# Overflow-safe form: doc_id * K overflows int64 for doc_id > ~3.47e9 (Spark
+# wraps silently, DuckDB raises). Reduce doc_id mod 2^32 first, then split K
+# into 16-bit halves (K = K_HI * 2^16 + K_LO) so every intermediate stays
+# below ~1.8e14: (r*K) mod 2^32 == ((r*K_LO) mod 2^32 + ((r*K_HI) mod 2^16)
+# * 2^16) mod 2^32. Bit-identical to the naive formula wherever that one
+# doesn't overflow, and exact everywhere — so the split survives both engine
+# migration AND 100 TB-scale 64-bit doc ids.
 _K = 2654435761
 _M = 4294967296
-_SPLIT_BUCKET_SQL = f"(doc_id * {_K}) % {_M} % 100"
+_K_HI = _K // 65536  # 40503
+_K_LO = _K % 65536  # 31153
+_SPLIT_HASH_SQL = (
+    f"((((doc_id % {_M}) * {_K_LO}) % {_M}"
+    f" + (((doc_id % {_M}) * {_K_HI}) % 65536) * 65536) % {_M})"
+)
+_SPLIT_BUCKET_SQL = f"{_SPLIT_HASH_SQL} % 100"
+
+
+def split_hash(doc_id: F.Column | str) -> F.Column:
+    """(doc_id * K) mod 2^32 without int64 overflow — see module constants."""
+    col = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    r = F.pmod(col, F.lit(_M))
+    return F.pmod((r * _K_LO) % _M + F.pmod(r * _K_HI, F.lit(65536)) * 65536, F.lit(_M))
 _SPLIT_SQL = (
     f"CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' "
     f"WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END"
@@ -37,8 +58,7 @@ _SPLIT_SQL = (
 
 
 def split_bucket(doc_id: F.Column | str) -> F.Column:
-    col = F.col(doc_id) if isinstance(doc_id, str) else doc_id
-    return (col * _K) % _M % 100
+    return split_hash(doc_id) % 100
 
 
 @register(
@@ -73,9 +93,10 @@ def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            mn AS zero_point,
            (mx - mn) / 255 AS scale,
-           CASE WHEN mx = mn THEN list_transform(v, x -> 0)
-                ELSE list_transform(v, x -> CAST(floor((x - mn) * 255 / (mx - mn)) AS INTEGER))
-           END AS q
+           array_to_string(
+             CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(floor((x - mn) * 255 / (mx - mn)) AS INTEGER))
+             END, ' ') AS q
     FROM mm
     """,
     doc="Per-vector asymmetric int8 quantization: zero_point = min, scale = "
@@ -96,11 +117,13 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = F.transform(
         "v", lambda x: F.floor((x - mn) * 255 / (mx - mn)).cast("int")
     )
+    qarr = F.when(mx == mn, F.transform("v", lambda x: F.lit(0))).otherwise(quant)
     return mm.select(
         "vec_id",
         mn.alias("zero_point"),
         ((mx - mn) / 255).alias("scale"),
-        F.when(mx == mn, F.transform("v", lambda x: F.lit(0))).otherwise(quant).alias("q"),
+        # Stringified: the driver's pandas canonicalizer cannot hash list cells.
+        F.array_join(F.transform(qarr, lambda x: x.cast("string")), " ").alias("q"),
     )
 
 
@@ -200,18 +223,44 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM binned GROUP BY bin
     """,
     doc="Curriculum binning: documents deciled by length (short->long "
-    "training order), deterministic via the doc_id tiebreak. ntile needs "
-    "a total order — at 100 TB replace it with bucketing on "
-    "percentile_approx cutpoints so no single-partition sort exists; the "
-    "decile semantics here are the spec for that cutover.",
+    "training order), deterministic via the doc_id tiebreak. Scale-safe "
+    "exact ranking: NO ntile / no single-partition total sort over the "
+    "docs table. Global rank = (count of docs with smaller n_chars, from "
+    "a cumulative sum over the tiny per-length aggregate) + (row_number "
+    "within the doc's own n_chars group, a PARTITIONED window). The only "
+    "global-order window runs over the distinct-length aggregate (bounded "
+    "by max doc length — KBs, not TBs). Bin from rank via exact ntile "
+    "arithmetic: the first N%10 bins take ceil(N/10) rows, the rest "
+    "floor(N/10) — bit-identical to the oracle's ntile(10).",
 )
 def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, "documents", sf_dir)
-    w = Window.orderBy("n_chars", "doc_id")
+    # Per-length counts: tiny relation (one row per distinct n_chars).
+    by_len = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = by_len.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("offset")
+    )
+    total = by_len.agg(F.sum("cnt").alias("n_total"))
+    w_in = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        d.select("doc_id", "n_chars", F.row_number().over(w_in).alias("rn_in"))
+        .join(F.broadcast(offsets), "n_chars")
+        .crossJoin(F.broadcast(total))
+        .withColumn("r", F.col("offset") + F.col("rn_in"))
+    )
+    # ntile(10) arithmetic on the exact global rank r (1-based), N rows:
+    # q = N div 10, rem = N mod 10; ranks 1..(q+1)*rem fill bins 1..rem
+    # with q+1 rows each, the rest fill bins rem+1..10 with q rows each.
+    q, rem, r = F.floor(F.col("n_total") / 10), F.col("n_total") % 10, F.col("r")
+    big_span = (q + 1) * rem
+    bin_col = F.when(r <= big_span, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - big_span) / F.greatest(q, F.lit(1)))
+    )
     return (
-        d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("bin"))
+        ranked.select("n_chars", bin_col.cast("int").alias("bin"))
         .groupBy("bin")
         .agg(
             F.count("*").alias("n_docs"),
@@ -227,7 +276,7 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT doc_id, source,
              row_number() OVER (PARTITION BY source
-                                ORDER BY (doc_id * {_K}) % {_M}, doc_id) AS rn
+                                ORDER BY {_SPLIT_HASH_SQL}, doc_id) AS rn
       FROM documents
     )
     SELECT doc_id, source FROM ranked WHERE rn <= 20
@@ -241,7 +290,7 @@ def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, "documents", sf_dir)
-    w = Window.partitionBy("source").orderBy((F.col("doc_id") * _K) % _M, "doc_id")
+    w = Window.partitionBy("source").orderBy(split_hash("doc_id"), "doc_id")
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)

@@ -54,6 +54,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     available to every downstream plan (check ``PushedFilters`` /
     ``ReadSchema`` in ``.explain``).
     """
+    # The driver / an embedding app may hand us a vanilla SparkSession that
+    # was NOT built by get_spark, so the nanos conf must be (re)applied at
+    # runtime — it is runtime-settable — or reading events.parquet throws
+    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as nanos-since-epoch longs (see
     # nanosAsLong in get_spark); truncate to micros exactly like DuckDB does.
