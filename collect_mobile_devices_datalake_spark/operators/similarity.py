@@ -266,26 +266,156 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-    WITH scored AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+# cosine similarity fragment shared by the near-dup oracles (exact fold order)
+_COS_SQL = """
              list_reduce(list_transform(range(1, len(a.embedding) + 1),
                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
              / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
               * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-             AS cos
+"""
+
+# multi-table bucket fragment: table t, bits jj in [0,8), global plane index
+# t*8+jj — mirrors _multitable_buckets below term for term (same fold order)
+_MT_BUCKET_SQL = """
+    list_reduce(list_transform(range(0, 8),
+      jj -> CASE WHEN list_reduce(
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST((((t*8+jj)*131 + i*37 + ((t*8+jj)+3)*(i+5) % 11) % 21 - 10) AS DOUBLE)),
+                  (x, y) -> x + y) > 0
+           THEN CAST(power(2, jj) AS BIGINT) ELSE 0 END),
+      (x, y) -> x + y)
+"""
+
+
+def _multitable_buckets(vec: Column) -> Column:
+    """Array of N_TABLES bucket ids for ``vec`` — one 8-bit random-hyperplane
+    signature per table, global plane index t*8+jj. Every dot product is a
+    SEQUENTIAL in-order fold (F.aggregate), bit-identical to the oracle's
+    list_reduce — a groupBy-sum would fold in partition order and a near-zero
+    dot could flip sign between engines."""
+    dim = F.size(vec)
+
+    def table_bucket(t: Column) -> Column:
+        def bit(jj: Column) -> Column:
+            j = t * 8 + jj
+            dot = F.aggregate(
+                F.sequence(F.lit(1), dim),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(vec, i).cast("double") * _plane_component(j, i).cast("double"),
+            )
+            return (
+                F.when(dot > 0, F.pow(F.lit(2.0), jj.cast("double")).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, jj: acc + bit(jj),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT e.vec_id, e.embedding, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+    ),
+    probes AS (
+      SELECT vec_id, t,
+             CASE WHEN f.f = 0 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+      FROM b CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM probes x JOIN b y ON x.t = y.t AND x.probe = y.bucket AND x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT cand.vec_a, cand.vec_b, {_COS_SQL} AS cos
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.vec_a
+      JOIN embeddings b ON b.vec_id = cand.vec_b
+    )
+    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    FROM scored WHERE cos >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs — semantic dedup, LSH-bucketed "
+    "with Hamming-1 multiprobe: candidates are pairs whose 8-bit signatures "
+    "differ in <= 1 bit in >= 1 of 8 LSH tables; exact cosine verifies "
+    "candidates only. This IS the 100 TB shape — the corpus is hashed once "
+    "(map-only), the self-join shuffles 8-byte (table, bucket) keys, and no "
+    "all-pairs product ever forms. The oracle mirrors the same bucketing, "
+    "so the gate stays value-level. Recall vs the all-pairs twin "
+    "(embedding_near_dup_exact) is asserted in tests/test_similarity.py; "
+    "for true near-dups (cos >= 0.9) collision probability is ~1.",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    buckets = emb.select(
+        "vec_id", F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket")
+    ).localCheckpoint(eager=True)  # feeds both the probe and plain sides
+    probes = buckets.select(
+        "vec_id",
+        "t",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+                    lambda f: F.col("bucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), f.cast("double")).cast("bigint")
+                    ),
+                ),
+            )
+        ).alias("probe"),
+    )
+    x = probes.alias("x")
+    y = buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.probe") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cosine_similarity("ea", "eb").alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_near_dup_exact",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SQL} AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b, round(cos, 6) AS cosine
     FROM scored WHERE cos >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.6) — semantic dedup.",
+    doc="All-pairs exact near-dup twin — the small-data truth set the LSH "
+    "variant's recall is measured against (tests/test_similarity.py). Like "
+    "knn_bruteforce, this is a baseline spec, NOT the scale path: the "
+    "inequality join is a nested-loop product, only ever run on samples.",
 )
-def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     a = emb.alias("a")
     b = emb.alias("b")

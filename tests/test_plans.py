@@ -82,3 +82,24 @@ def test_salted_join_spreads_hot_keys(spark):
     q = REGISTRY["join_salted_skew"].spark(spark, SF)
     plan = formatted_plan(q)
     assert "salt" in plan
+
+
+def test_near_dup_pairs_is_bucketed_not_all_pairs(spark):
+    # the LSH-candidate near-dup must never form an all-pairs product:
+    # no nested-loop / cartesian join anywhere in the physical plan
+    q = REGISTRY["embedding_near_dup_pairs"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_bins_has_no_global_sort_over_docs(spark):
+    # exact decile ranking must not total-sort the docs table: no ntile,
+    # and the docs scan feeds a hash exchange on n_chars (partitioned
+    # window), with at most one SinglePartition exchange — the cum-sum
+    # window over the tiny per-length aggregate
+    q = REGISTRY["curriculum_bins"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "ntile" not in plan.lower(), plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "hashpartitioning(n_chars" in plan, plan

@@ -51,3 +51,22 @@ def test_kmeans_ivf_recall(spark):
     bf = _pairs(spark, "knn_bruteforce")
     km = _pairs(spark, "knn_ivf_kmeans_probe")
     assert _recall(bf, km) >= 0.55, "k-means IVF recall regressed"
+
+
+def test_near_dup_lsh_recall_vs_exact(spark):
+    # multiprobe LSH candidates verified exactly: every returned pair must
+    # exist in the all-pairs truth set with the same cosine, and recall at
+    # the tau=0.4 threshold must hold (measured 0.68 at sf0.01; these are
+    # LOW-cosine pairs — true near-dups at cos>=0.9 collide with p~1)
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in REGISTRY["embedding_near_dup_exact"].spark(spark, SF).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in REGISTRY["embedding_near_dup_pairs"].spark(spark, SF).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH returned a pair the truth set lacks"
+    for k, v in lsh.items():
+        assert v == exact[k], f"cosine mismatch for {k}"
+    assert len(lsh) / len(exact) >= 0.5, f"recall regressed: {len(lsh)}/{len(exact)}"
