@@ -40,7 +40,14 @@ def normalize_records(parsed: DataFrame, source: str) -> DataFrame:
         F.col("entries"),
         lambda e: F.struct(to_key(e["key"]).alias("key"), e["value"].alias("value")),
     )
-    bm = brand_model_split(F.col("model_raw"))
+    if source == "geekbench":
+        # app.js:629-635: only the geekbench handler derives a device class
+        # from the URL (`url.split('com/')[1].split('_')[0]`) and forces
+        # brand='Apple' (model NOT shifted) when it is 'ios'.
+        device = F.split(F.split(F.col("url"), "com/").getItem(1), "_").getItem(0)
+        bm = brand_model_split(F.col("model_raw"), device)
+    else:
+        bm = brand_model_split(F.col("model_raw"))
     return parsed.select(
         F.lit(source).alias("source"),
         bm["brand"].alias("brand"),

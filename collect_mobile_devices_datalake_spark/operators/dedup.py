@@ -406,8 +406,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
     )
     # min-label propagation to fixpoint; components from banded LSH are
-    # small-diameter, so this converges in a handful of rounds
-    for _ in range(8):
+    # small-diameter, so this converges in a handful of rounds. The cap is
+    # a runaway guard only — returning non-converged labels would silently
+    # diverge from the recursive-CTE oracle on chain-shaped clusters whose
+    # diameter exceeds the cap, so hitting it is an error, not a result.
+    converged = False
+    for _ in range(64):
         neigh = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
@@ -430,5 +434,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not reach fixpoint "
+            "within 64 rounds — component diameter exceeds the safety cap"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -56,18 +56,27 @@ register(
 
 register(
     "parse_geekbench",
-    oracle=f"""
-    WITH p AS (SELECT *, {_URL.format(src='geekbench')} AS url
-               FROM part WHERE p_partkey % 29 <> 3)
-    SELECT url, p_brand AS brand, p_name AS model, 'cpu' AS spec_key,
+    oracle="""
+    WITH p AS (
+      SELECT *,
+             'https://example.com/'
+               || CASE WHEN p_partkey % 7 = 1 THEN 'ios' ELSE 'android' END
+               || '_devices/geekbench/p_' || CAST(p_partkey AS VARCHAR) AS url,
+             CASE WHEN p_partkey % 7 = 1 THEN 'Apple' ELSE p_brand END AS brand,
+             CASE WHEN p_partkey % 7 = 1 THEN p_brand || ' ' || p_name
+                  ELSE p_name END AS model
+      FROM part WHERE p_partkey % 29 <> 3)
+    SELECT url, brand, model, 'cpu' AS spec_key,
            'armv8 ' || CAST(p_size * 100 AS VARCHAR) || ' MHz' AS spec_value FROM p
     UNION ALL
-    SELECT url, p_brand, p_name, 'single_core_score', CAST(p_size * 13 AS VARCHAR) FROM p
+    SELECT url, brand, model, 'single_core_score', CAST(p_size * 13 AS VARCHAR) FROM p
     UNION ALL
-    SELECT url, p_brand, p_name, 'multi_core_score', CAST(p_size * 47 AS VARCHAR) FROM p
+    SELECT url, brand, model, 'multi_core_score', CAST(p_size * 47 AS VARCHAR) FROM p
     """,
     doc="geekbench fixed-position + parallel-array extract (app.js:599-627) — "
-    "all built-ins (regexp_extract_all + zip_with).",
+    "all built-ins (regexp_extract_all + zip_with); the url's device-class "
+    "segment drives the ios→Apple brand override (app.js:629-635), so the "
+    "oracle hash-checks the override on every 7th part.",
 )(_parse_query("geekbench"))
 
 

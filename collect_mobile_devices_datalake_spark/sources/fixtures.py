@@ -58,7 +58,21 @@ def gsmarena_pages(part: DataFrame) -> DataFrame:
 
 
 def geekbench_pages(part: DataFrame) -> DataFrame:
-    """Fixed-position fields + parallel benchmark name/score lists."""
+    """Fixed-position fields + parallel benchmark name/score lists.
+
+    Unlike the other sources, the URL carries a device-class segment the
+    way the reference's geekbench URLs do (``…com/ios_devices/…`` /
+    ``…com/android_devices/…``): app.js:629-635 derives
+    ``device = url.split('com/')[1].split('_')[0]`` and forces
+    brand='Apple' (model unshifted) when it is ``ios``. Every 7th part
+    (p_partkey % 7 == 1) renders as an ios page so the override path is
+    exercised end-to-end.
+    """
+    device = F.when(F.col("p_partkey") % 7 == 1, "ios").otherwise("android")
+    url = _c(
+        "https://example.com/", device, "_devices/geekbench/p_",
+        F.col("p_partkey").cast("string"),
+    )
     html = _c(
         '<div class="model">', F.col("p_brand"), " ", F.col("p_name"), "</div>",
         '<div class="cpu">armv8 ', (F.col("p_size") * 100).cast("string"), " MHz</div>",
@@ -68,7 +82,7 @@ def geekbench_pages(part: DataFrame) -> DataFrame:
         '<span class="score">', (F.col("p_size") * 47).cast("string"), "</span>",
     )
     return part.select(
-        page_url("geekbench").alias("url"),
+        url.alias("url"),
         F.lit("geekbench").alias("source"),
         F.when(F.col("p_partkey") % 29 == 3, 500).otherwise(200).alias("status"),
         html.alias("html"),

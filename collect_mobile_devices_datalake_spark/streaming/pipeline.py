@@ -27,6 +27,18 @@ EVENTS_SCHEMA = (
 PAGES_SCHEMA = "url string, source string, status int, html string"
 
 
+def _parquet_exists(path: str) -> bool:
+    """True when ``path`` holds at least one committed parquet part file.
+
+    Local-FS check is sufficient here (the lake root is a directory path);
+    on a cluster store the same gate is the catalog / _SUCCESS marker.
+    An empty directory (failed first write) counts as absent.
+    """
+    if not os.path.isdir(path):
+        return False
+    return any(n.endswith(".parquet") for n in os.listdir(path))
+
+
 def _upsert_batch(lake_dir: str, source: str) -> Callable[[DataFrame, int], None]:
     from ..ingest.pipeline import normalize_records
     from ..sources.parse import PARSERS
@@ -36,13 +48,17 @@ def _upsert_batch(lake_dir: str, source: str) -> Callable[[DataFrame, int], None
         parsed = PARSERS[source](ok).filter(F.col("entries").isNotNull())
         records = normalize_records(parsed, source)
         target = os.path.join(lake_dir, "device_specs_stream", source)
-        try:
+        # append-only MERGE emulation: anti-join makes re-delivered batches a
+        # no-op, so checkpoint replay cannot duplicate rows. Only a genuinely
+        # absent target (first batch) skips the anti-join; transient read
+        # failures (corrupt footer, IO error) must fail the batch so the
+        # checkpoint retries it — a swallowed error here would silently
+        # downgrade effectively-once to at-least-once with visible dupes.
+        if _parquet_exists(target):
             existing = batch.sparkSession.read.parquet(target).select("src_url")
             fresh = records.join(existing, "src_url", "left_anti")
-        except Exception:
+        else:
             fresh = records
-        # append-only MERGE emulation: anti-join makes re-delivered batches
-        # a no-op, so checkpoint replay cannot duplicate rows
         fresh.write.mode("append").parquet(target)
 
     return fn

@@ -74,6 +74,27 @@ def test_ingest_non_200_skipped_and_multisource(spark, lake):
     assert set(one["specs"].keys()) == {"screen_size", "price"}
 
 
+def test_ingest_geekbench_ios_brand_override(spark, lake):
+    """The REAL ingest path must apply the ios→Apple rule (app.js:629-635):
+    device comes from the url's `<device>_devices` segment; ios rows get
+    brand='Apple' with the model string unshifted, android rows keep the
+    plain first-token split."""
+    part = load_table(spark, "part", SF)
+    ingest_source(spark, spec_pages(part, "geekbench"), lake, "geekbench")
+    view = device_specs_view(spark, lake)
+
+    ios = view.filter(F.col("src_url").contains("/ios_devices/"))
+    android = view.filter(F.col("src_url").contains("/android_devices/"))
+    assert ios.count() == part.filter(
+        (F.col("p_partkey") % 7 == 1) & (F.col("p_partkey") % 29 != 3)
+    ).count()
+    assert ios.filter(F.col("brand") != "Apple").count() == 0
+    # ios model is the UNSHIFTED "<p_brand> <p_name>" string
+    assert ios.filter(~F.col("model").startswith("Brand#")).count() == 0
+    assert android.filter(F.col("brand") == "Apple").count() == 0
+    assert android.filter(F.col("model").startswith("Brand#")).count() == 0
+
+
 def test_ingest_log_sink(spark, lake):
     from collect_mobile_devices_datalake_spark.ingest.pipeline import read_logs
     from collect_mobile_devices_datalake_spark.session import load_table

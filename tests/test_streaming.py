@@ -118,6 +118,65 @@ def test_ingest_stream_kill_and_resume(spark, tmp):
     assert spark.read.parquet(target).count() == pages.count()
 
 
+def test_upsert_batch_replay_idempotent(spark, tmp):
+    """Forced batch replay (SURVEY §2.7 exactly-once vs the reference's
+    at-least-once, app.js:449-453): foreachBatch may re-deliver a batch id
+    after a crash between the sink write and the checkpoint commit. Calling
+    the upsert body twice with the SAME batch must leave the lake exactly
+    as one delivery would — the src_url anti-join is the MERGE guard."""
+    from collect_mobile_devices_datalake_spark.streaming.pipeline import (
+        _upsert_batch,
+    )
+
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "productz").filter(F.col("p_partkey") < 200)
+    lake = os.path.join(tmp, "lake")
+    fn = _upsert_batch(lake, "productz")
+
+    fn(pages, 0)  # normal delivery
+    target = os.path.join(lake, "device_specs_stream", "productz")
+    n1 = spark.read.parquet(target).count()
+    assert n1 == pages.count()
+
+    fn(pages, 0)  # replay of the same batch id after a simulated crash
+    replayed = spark.read.parquet(target)
+    assert replayed.count() == n1
+    assert replayed.select("src_url").distinct().count() == n1
+
+    # overlapping later batch: only genuinely-new urls land
+    overlap = spec_pages(part, "productz").filter(F.col("p_partkey") < 300)
+    fn(overlap, 1)
+    assert spark.read.parquet(target).count() == overlap.count()
+    assert (
+        spark.read.parquet(target).select("src_url").distinct().count()
+        == overlap.count()
+    )
+
+
+def test_upsert_batch_read_error_fails_batch(spark, tmp):
+    """A transient/corrupt read of the existing lake must FAIL the batch
+    (so checkpoint replay retries) — not silently disable the anti-join
+    and append duplicates."""
+    from collect_mobile_devices_datalake_spark.streaming.pipeline import (
+        _upsert_batch,
+    )
+
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "productz").filter(F.col("p_partkey") < 50)
+    lake = os.path.join(tmp, "lake")
+    target = os.path.join(lake, "device_specs_stream", "productz")
+    fn = _upsert_batch(lake, "productz")
+    fn(pages, 0)
+
+    # corrupt every part file's footer in place
+    for name in os.listdir(target):
+        if name.endswith(".parquet"):
+            with open(os.path.join(target, name), "wb") as f:
+                f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        fn(pages, 1)
+
+
 def test_stateful_running_totals(spark, tmp):
     from collect_mobile_devices_datalake_spark.streaming.stateful import (
         running_user_totals,
