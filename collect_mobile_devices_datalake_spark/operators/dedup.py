@@ -397,6 +397,15 @@ _PAIRS_SQL = f"""
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     pairs = lsh_candidate_pairs(minhash_signatures(d))
+    return cluster_labels(pairs)
+
+
+def cluster_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair graph.
+
+    Returns ``doc_id, cluster_id`` (lowest member id) for every node that
+    appears in a pair; singleton docs are absent (callers coalesce).
+    """
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

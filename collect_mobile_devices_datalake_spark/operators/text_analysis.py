@@ -26,6 +26,11 @@ from ..session import load_table
 # DuckDB fragments shared across oracles.
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
+# packing shard: engine-portable multiplicative hash (training.py) mod 16
+from .training import _SPLIT_HASH_SQL as _TRAIN_HASH_SQL  # noqa: E402
+
+_PACK_SHARD_SQL = f"({_TRAIN_HASH_SQL}) % 16"
+
 
 def _sw_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -243,35 +248,49 @@ def q_doc_top_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_context_packing",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
-      WHERE length(trim(text)) > 0
+      SELECT doc_id, {_PACK_SHARD_SQL} AS shard, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
     ),
     c AS (
-      SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
       FROM t
     )
-    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-           CAST((cum - n_tokens) // 2048 AS INTEGER) AS bin_id
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST((cum - n_tokens) // 2048 AS INTEGER) AS bin_in_shard
     FROM c
     """,
     doc="Context-window packing: sequential-fill of documents into 2048-token "
-    "bins via one cumulative-sum window. NB: global ordering = one window "
-    "partition; at 100 TB pack per shard (partitionBy a shard key) — the "
-    "semantics here define one shard's fill.",
+    "bins, PER HASH SHARD (16 shards here; one per task at scale). The "
+    "cumulative-sum window is partitioned by shard, so no single-partition "
+    "global sort exists anywhere in the plan — each shard fills its own "
+    "bins independently, which is exactly how a 100 TB packing job ships "
+    "(bin ids are only ever consumed shard-locally by the trainer).",
 )
 def q_doc_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from .training import split_hash
+
     d = load_table(spark, "documents", sf_dir).filter(F.length(F.trim("text")) > 0)
-    t = d.select("doc_id", token_count("text").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shard = split_hash("doc_id") % 16
+    t = d.select(
+        "doc_id", shard.alias("shard"), token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return t.select(
         "doc_id",
+        F.col("shard").cast("int").alias("shard"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
         .cast("int")
-        .alias("bin_id"),
+        .alias("bin_in_shard"),
     )
 
 

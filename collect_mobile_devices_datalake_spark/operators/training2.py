@@ -1,0 +1,203 @@
+"""Training-data curation operators, wave 2.
+
+Second batch of between-lake-and-trainer ops (companions to
+``training.py``), each with a value-level DuckDB oracle:
+
+- overlapping context-window chunking (explode, no Python);
+- near-dup cluster survivorship (keep the best doc per cluster);
+- deterministic shuffled sharding (the distributed form of "shuffle the
+  training set": hash-shard + in-shard order, no global sort);
+- domain mixture weights (per-source up/down-sampling factors).
+
+Scale notes: chunking is map-side explode (output partitions inherit the
+scan); survivorship reuses the LSH pair graph + label propagation from
+``dedup.py`` and adds one partitioned window; sharding's only shuffle is
+the hash partition itself — exactly the shuffle the trainer needs; mix
+weights aggregate to one row per source (tiny) before any math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+from .dedup import _PAIRS_SQL, cluster_labels, lsh_candidate_pairs, minhash_signatures
+from .training import _SPLIT_HASH_SQL, split_hash
+
+# chunk geometry: 200-char windows advancing 150 chars (50-char overlap) —
+# the char-level stand-in for token-window chunking with context overlap.
+_CHUNK = 200
+_STRIDE = 150
+
+_N_CHUNKS_SQL = (
+    f"CASE WHEN length(text) <= {_CHUNK} THEN 1 "
+    f"ELSE (length(text) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE} + 1 END"
+)
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, text, {_N_CHUNKS_SQL} AS n_chunks FROM documents),
+    c AS (
+      SELECT doc_id, text, CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           substring(text, chunk_idx * {_STRIDE} + 1, {_CHUNK}) AS chunk,
+           length(substring(text, chunk_idx * {_STRIDE} + 1, {_CHUNK})) AS chunk_len
+    FROM c
+    """,
+    doc="Context-window chunking: each document split into 200-char windows "
+    "advancing 150 chars (50 overlap), via sequence+explode — map-side "
+    "only, zero Python, output co-partitioned with the scan. The last "
+    "window starts before EOF by construction, so no empty tail chunks. "
+    "The char-window stand-in for token-window chunking (the reference "
+    "has no analogue; LLM-pipeline north star).",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    ln = F.length("text")
+    n_chunks = F.when(ln <= _CHUNK, F.lit(1)).otherwise(
+        F.floor((ln - _CHUNK + (_STRIDE - 1)) / _STRIDE) + 1
+    )
+    c = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    nodes AS (SELECT DISTINCT doc_a AS node FROM pairs
+              UNION SELECT DISTINCT doc_b FROM pairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    docs AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM docs
+    )
+    SELECT doc_id, cluster_id, rn = 1 AS is_survivor FROM ranked
+    """,
+    doc="Near-dup survivorship: every document labeled with its LSH cluster "
+    "(singletons are their own cluster) and exactly one survivor kept per "
+    "cluster — the longest doc, doc_id tiebreak. This is the dedup "
+    "DECISION step the filter pipeline consumes (keep is_survivor). One "
+    "partitioned window over cluster_id on top of the shared "
+    "label-propagation machinery — no new shuffle shape at 100 TB.",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    labels = cluster_labels(lsh_candidate_pairs(minhash_signatures(d)))
+    docs = (
+        d.select("doc_id", "n_chars")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return docs.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+_N_SHARDS = 64
+
+
+@register(
+    "training_shuffle_shards",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_SPLIT_HASH_SQL} AS hsh FROM documents)
+    SELECT doc_id,
+           CAST(hsh % {_N_SHARDS} AS INTEGER) AS shard,
+           row_number() OVER (PARTITION BY hsh % {_N_SHARDS}
+                              ORDER BY hsh, doc_id) AS pos
+    FROM h
+    """,
+    doc="Deterministic training-set shuffle as shard + position: docs land "
+    "in one of 64 hash shards and are ordered inside the shard by the "
+    "full hash (doc_id tiebreak). This IS how a 100 TB shuffle ships — "
+    "hash partition + in-partition sort, never a global total order; the "
+    "trainer reads shards in any order and each shard is internally "
+    "decorrelated from ingest order. Same engine-portable multiplicative "
+    "hash as the train/val/test split, so the order is reproducible "
+    "across engines and runs.",
+)
+def q_training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    h = d.select("doc_id", split_hash("doc_id").alias("hsh"))
+    w = Window.partitionBy(F.col("hsh") % _N_SHARDS).orderBy("hsh", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hsh") % _N_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+@register(
+    "domain_mix_weights",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM c)
+    SELECT source, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / total, 12) AS actual_share,
+           ROUND(CAST(total AS DOUBLE) / (n_sources * n_docs), 12) AS weight
+    FROM c CROSS JOIN t
+    """,
+    doc="Domain mixture weights: per-source sampling factor that rebalances "
+    "the corpus to a uniform target mixture (weight = target_share / "
+    "actual_share). The heavy work is one groupBy to a per-source row; "
+    "all arithmetic happens on the tiny aggregate, broadcast back if a "
+    "downstream sampler joins it against the corpus.",
+)
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_sources")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 12).alias("actual_share"),
+        F.round(
+            F.col("total").cast("double") / (F.col("n_sources") * F.col("n_docs")), 12
+        ).alias("weight"),
+    )

@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         dedup,
         similarity,
         training,
+        training2,
         text_analysis,
         streaming_batch,
         graph,

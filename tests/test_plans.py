@@ -93,6 +93,29 @@ def test_near_dup_pairs_is_bucketed_not_all_pairs(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_doc_chunking_is_map_only(spark):
+    # chunking = scan → sequence/explode → substring: zero shuffles
+    q = REGISTRY["doc_chunking"].spark(spark, SF)
+    assert count_exchanges(q) == 0, formatted_plan(q)
+
+
+def test_shuffle_shards_partitions_on_shard_not_single(spark):
+    # the training shuffle must hash-partition on the shard key; a
+    # SinglePartition window here would be the global-total-order trap
+    q = REGISTRY["training_shuffle_shards"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_context_packing_windows_are_sharded(spark):
+    # per-shard packing: cum-sum window partitioned by shard, never global
+    q = REGISTRY["doc_context_packing"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(shard" in plan, plan
+
+
 def test_curriculum_bins_has_no_global_sort_over_docs(spark):
     # exact decile ranking must not total-sort the docs table: no ntile,
     # and the docs scan feeds a hash exchange on n_chars (partitioned

@@ -54,8 +54,11 @@ class TestQuantize:
         # |x - (zero_point + q*scale)| <= scale for every element: floor
         # quantization underestimates by < 1 step, never more
         emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+        # q ships stringified (driver canonicalizer can't hash list cells) —
+        # split it back into codes for the round-trip check
         dequant = F.transform(
-            "q", lambda qi: F.col("zero_point") + qi.cast("double") * F.col("scale")
+            F.split("q", " "),
+            lambda qi: F.col("zero_point") + qi.cast("double") * F.col("scale"),
         )
         err = F.zip_with(
             F.transform("embedding", lambda x: x.cast("double")),
@@ -74,8 +77,8 @@ class TestQuantize:
     def test_codes_in_int8_range(self, spark):
         bad = (
             _q("embedding_quantize_int8", spark)
-            .select(F.explode("q").alias("c"))
-            .filter((F.col("c") < 0) | (F.col("c") > 255))
+            .select(F.explode(F.split("q", " ")).alias("c"))
+            .filter((F.col("c").cast("int") < 0) | (F.col("c").cast("int") > 255))
             .count()
         )
         assert bad == 0
