@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import rolling_hash, word_ngrams
 from ..registry import register
-from ..session import load_table
+from ..session import fan_out, load_table
 
 P = 1_000_000_007
 NUM_PERM = 16
@@ -59,7 +59,10 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
     token arrays makes each slice O(1) over stored data: same values,
     O(words) work.
     """
-    toks = docs.select(
+    # fan_out: the single-row-group local file scans as ONE task; shingling
+    # 5k docs single-threaded costs ~2 s that 32 cores do in ~0.1 s. No-op
+    # at real split counts.
+    toks = fan_out(docs, "doc_id").select(
         "doc_id", F.split(F.trim("text"), "\\s+").alias("toks")
     ).localCheckpoint(eager=True)
     count = F.size("toks") - 2

@@ -1,0 +1,93 @@
+"""Data-distribution diagnostics — the pre-flight checks a 100 TB job runs.
+
+Before shuffling 100 TB on a key, you want to know (a) whether the key is
+skewed (one hot key = one straggler task) and (b) how evenly the hash
+partitioner will spread it. Both reports aggregate FIRST (per-key counts,
+a shuffle on the diagnosed key itself at a fraction of payload width) and
+only then rank/bucket the tiny aggregate — the diagnostic never costs
+more than the shuffle it is diagnosing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+from .training import _SPLIT_HASH_SQL, split_hash
+
+_TOPK = 20
+
+
+@register(
+    "key_skew_report",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT SUM(n) AS total, CAST(AVG(n) AS DOUBLE) AS avg_n FROM c),
+    ranked AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank
+      FROM c
+    )
+    SELECT rank, key, n,
+           ROUND(CAST(n AS DOUBLE) / total, 12) AS share,
+           ROUND(CAST(n AS DOUBLE) / avg_n, 12) AS x_avg
+    FROM ranked CROSS JOIN t WHERE rank <= {_TOPK}
+    """,
+    doc="Join-key skew report: top-20 heaviest o_custkey values with their "
+    "share of rows and multiple-of-average — the straggler predictor you "
+    "run before shuffling on a key. Per-key counts first (map-side "
+    "partial agg), then top-K via rank over the aggregate: Spark plans "
+    "the limit as TakeOrdered over per-partition heaps, never a full "
+    "sort of the key domain.",
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.avg("n").cast("double").alias("avg_n")
+    )
+    ranked = c.select(
+        "key", "n", F.row_number().over(Window.orderBy(F.desc("n"), "key")).alias("rank")
+    ).filter(F.col("rank") <= _TOPK)
+    return ranked.crossJoin(F.broadcast(t)).select(
+        "rank",
+        "key",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 12).alias("share"),
+        F.round(F.col("n").cast("double") / F.col("avg_n"), 12).alias("x_avg"),
+    )
+
+
+_N_BUCKETS = 32
+
+
+@register(
+    "partition_size_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_SPLIT_HASH_SQL.replace("doc_id", "l_orderkey")} % {_N_BUCKETS}
+             AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_rows
+    FROM b GROUP BY bucket
+    """,
+    doc="Hash-partition balance preview: rows per bucket if lineitem were "
+    "shuffled 32 ways on l_orderkey, using the engine-portable "
+    "multiplicative hash so the histogram is reproducible anywhere. A "
+    "lopsided histogram here = executor OOM after the real shuffle; this "
+    "is the check that sizes spark.sql.shuffle.partitions before the job.",
+)
+def q_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    bucket = split_hash("l_orderkey") % _N_BUCKETS
+    return (
+        li.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"))
+    )

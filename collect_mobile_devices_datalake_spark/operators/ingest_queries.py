@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.pipeline import normalize_records
 from ..registry import register
-from ..session import load_table
+from ..session import fan_out, load_table
 from ..sources.fixtures import spec_pages
 from ..sources.parse import PARSERS
 
@@ -25,7 +25,9 @@ _PRICE = "CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS VARCHAR)"
 
 def _parse_query(source: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        part = load_table(spark, "part", sf_dir)
+        # fan_out: part scans as one task locally; the render + parse work
+        # (incl. the pandas-UDF parsers) would otherwise run single-core
+        part = fan_out(load_table(spark, "part", sf_dir), "p_partkey")
         pages = spec_pages(part, source).filter(F.col("status") == 200)
         normalized = normalize_records(PARSERS[source](pages), source)
         return normalized.select(
@@ -142,7 +144,7 @@ register(
     "parse+normalize across all five crawlers.",
 )
 def q_ingest_specs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, "part", sf_dir)
+    part = fan_out(load_table(spark, "part", sf_dir), "p_partkey")
     outs = []
     for source in PARSERS:
         pages = spec_pages(part, source).filter(F.col("status") == 200)

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_similarity
 from ..registry import register
-from ..session import load_table
+from ..session import fan_out, load_table
 
 N_PLANES = 12
 QUERY_MOD = 25  # vec_id % 25 == 0 → 20 query vectors over the 500-row table
@@ -53,7 +53,7 @@ def _queries_df(emb: DataFrame) -> DataFrame:
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot_product, l2_norm
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # norms are per-vector, not per-pair: project them once on each side so
     # the cross join evaluates one dot product per pair instead of three
     # array folds (dot + 2 norms recomputed q times per vector)
@@ -144,7 +144,7 @@ _BUCKET_SQL = """
     "path shuffles on.",
 )
 def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     return (
         emb.select(lsh_bucket(F.col("embedding")).alias("bucket"), "vec_id")
         .groupBy("bucket")
@@ -159,6 +159,9 @@ def lsh_bucket_df(emb: DataFrame) -> DataFrame:
     64-plane dot products are a single 2M-row aggregation, not 64
     re-evaluated array folds per row."""
     spark = emb.sparkSession
+    # fan_out: single-row-group local scan = one task; without it the whole
+    # 2M-row plane-product map side runs on one core (no-op at real splits)
+    emb = fan_out(emb, "vec_id")
     flat = emb.select("vec_id", F.posexplode("embedding").alias("i0", "v")).select(
         "vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
     )
@@ -191,7 +194,7 @@ def lsh_bucket_df(emb: DataFrame) -> DataFrame:
     "candidate generation never scans the corpus.",
 )
 def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # the 64-plane signature feeds BOTH the corpus index and the query
     # probes — materialize once or the whole dot-product pipeline runs
     # twice (at scale the index side is a persisted table anyway)
@@ -257,7 +260,7 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVF coarse-quantizer build step.",
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     flat = emb.select(
         "label", F.posexplode("embedding").alias("pos0", "v")
     ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("v").cast("decimal(18,9)").alias("v"))
@@ -358,7 +361,7 @@ def _multitable_buckets(vec: Column) -> Column:
     "for true near-dups (cos >= 0.9) collision probability is ~1.",
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     buckets = emb.select(
         "vec_id", F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket")
     ).localCheckpoint(eager=True)  # feeds both the probe and plain sides
@@ -416,7 +419,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inequality join is a nested-loop product, only ever run on samples.",
 )
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     a = emb.alias("a")
     b = emb.alias("b")
     cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
@@ -440,7 +443,7 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "At 100 TB the corpus is bucketed by cell once; queries broadcast.",
 )
 def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # coarse quantizer: per-label mean vector (posexplode + decimal-exact sums)
     flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
@@ -534,7 +537,7 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
     "loops), nprobe=3 of k=8 cells, exact re-rank inside probed cells.",
 )
 def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     cents = kmeans_centroids(emb, k=8, iters=4)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", "cell", cosine_similarity("embedding", "centroid").alias("sim")

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table
+from ..session import fan_out, load_table
 from .dedup import _SHINGLES_SQL, shingled_docs
 
 # Knuth multiplicative hash constant (2654435761 = 2^32 * golden ratio);
@@ -106,7 +106,7 @@ def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lambda — inlining them re-scans the vector per element (O(d²)).",
 )
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, "embeddings", sf_dir)
+    e = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     v = F.transform("embedding", lambda x: x.cast("double"))
     # barrier: materialize v/mn/mx so CollapseProject cannot inline the
     # array_min/array_max back into the quantize lambda (HOF O(d²) trap)

@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         similarity,
         training,
         training2,
+        diagnostics,
         text_analysis,
         streaming_batch,
         graph,

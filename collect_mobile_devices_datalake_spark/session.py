@@ -72,6 +72,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow-parallelism scan across the session's cores.
+
+    The local test parquet is written as ONE row group per table, so a scan
+    yields one task and every per-row computation downstream (HOF shingling,
+    hash signatures, pandas-UDF parses) runs on a single core of 32. A real
+    100 TB table has thousands of splits, where this helper detects
+    partitions >= defaultParallelism and returns the frame UNCHANGED — the
+    repartition only ever fires where it is already cheap (few, small
+    partitions). Hash-partitioning on the row key keeps the distribution
+    deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    cols = [F.col(k) for k in keys]
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every driver table and register each as a temp view."""
     out: dict[str, DataFrame] = {}
