@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         text_analysis,
         streaming_batch,
         graph,
+        lake_ops,
         multimodal_queries,
         advanced,
         relational,
