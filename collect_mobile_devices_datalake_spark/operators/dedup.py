@@ -218,11 +218,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles move 8-byte keys instead of n-gram text (the 100 TB
     # shuffle-bytes rule); xxhash64 collisions would fail the oracle gate
     # One materialization: sorted hash arrays feed the prefix explode AND
-    # both verify sides. The global prefix order here is plain hash order;
-    # at extreme skew swap in df-demoted order (hot "stopword" shingles
-    # sort last, falling out of prefixes) — that costs one extra shuffle
-    # of the exploded index and only pays off when a shingle's df is a
-    # meaningful fraction of n_docs.
+    # both verify sides. The global prefix order is plain hash order.
+    # MEASURED at sf0.1: full document-frequency (rarest-first) order cuts
+    # candidates 227k -> 137k but costs an extra df aggregation + join +
+    # array regroup, netting SLOWER end-to-end (3.6 s vs 3.0 s warm) —
+    # this corpus's candidate mass comes from mid-frequency shingles
+    # (df ~ 8-24), which df-demotion cannot prune, not from a hot head.
+    # On a real web corpus with a Zipfian stopword head, df-demoted order
+    # is the knob to flip: hot shingles sort last and fall out of every
+    # prefix, bounding the worst bucket. Hash order is itself uniform-
+    # hashing, so no single bucket exceeds max-df regardless of key skew
+    # in the raw text.
     ordered = (
         shingled_docs(d)
         .select(
@@ -261,11 +267,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # Verify joins: localCheckpoint relations report unknown size, so AQE
+    # never discovers they're broadcastable — hint it when the doc count
+    # says so (count is free on the checkpointed frame). ~1 s at sf0.1:
+    # both verify joins collapse to broadcast hash joins instead of
+    # shuffling the candidate pairs twice. Past the row guard (corpus
+    # scale) the joins shuffle on doc id, which is the right plan there.
+    maybe_b = F.broadcast if ordered.count() <= 100_000 else (lambda df: df)
     left = ordered.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hs").alias("ha"))
     right = ordered.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("hs").alias("hb"))
     shared = (
-        cand.join(left, "doc_a")
-        .join(right, "doc_b")
+        cand.join(maybe_b(left), "doc_a")
+        .join(maybe_b(right), "doc_b")
         .select(
             "doc_a", "doc_b", "na", "nb",
             F.size(F.array_intersect("ha", "hb")).alias("n_shared"),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..ingest.pipeline import normalize_records
 from ..registry import register
-from ..session import fan_out, load_table
+from ..session import load_table
 from ..sources.fixtures import spec_pages
 from ..sources.parse import PARSERS
 
@@ -25,9 +25,11 @@ _PRICE = "CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS VARCHAR)"
 
 def _parse_query(source: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # fan_out: part scans as one task locally; the render + parse work
-        # (incl. the pandas-UDF parsers) would otherwise run single-core
-        part = fan_out(load_table(spark, "part", sf_dir), "p_partkey")
+        # no fan_out here: measured 4.6x SLOWER at sf0.1 (0.37s -> 1.73s) —
+        # the parse path is cheap per row, so the repartition boundary costs
+        # more than the extra cores return; at real split counts the scan
+        # parallelizes by itself
+        part = load_table(spark, "part", sf_dir)
         pages = spec_pages(part, source).filter(F.col("status") == 200)
         normalized = normalize_records(PARSERS[source](pages), source)
         return normalized.select(
@@ -144,7 +146,7 @@ register(
     "parse+normalize across all five crawlers.",
 )
 def q_ingest_specs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = fan_out(load_table(spark, "part", sf_dir), "p_partkey")
+    part = load_table(spark, "part", sf_dir)  # no fan_out: see _parse_query
     outs = []
     for source in PARSERS:
         pages = spec_pages(part, source).filter(F.col("status") == 200)

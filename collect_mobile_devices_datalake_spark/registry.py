@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         training2,
         diagnostics,
         text_analysis,
+        text_quality,
         streaming_batch,
         graph,
         lake_ops,
