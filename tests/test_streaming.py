@@ -399,3 +399,80 @@ def test_rate_source_soak_monotonic_progress(spark):
             assert r["hi"] - r["lo"] + 1 >= r["n"]
     finally:
         q.stop()
+
+
+def test_session_window_rejects_update_mode(spark, tmp):
+    """Pin the engine limitation: ``session_window`` aggregations support
+    append/complete only — UPDATE mode raises STREAMING_OUTPUT_MODE
+    (merging sessions would have to retract previously-emitted rows).
+    The update-mode sessionization path in this repo is the
+    applyInPandasWithState operator (streaming/stateful.py), which owns
+    its emit timing instead."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from collect_mobile_devices_datalake_spark.streaming.windows import (
+        sessionized_stream,
+    )
+
+    d, _ = _events_dir(spark, tmp)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    with pytest.raises(AnalysisException, match="STREAMING_OUTPUT_MODE"):
+        (
+            sessionized_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"swu_{uuid.uuid4().hex[:8]}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def test_tumbling_update_mode_converges(spark, tmp):
+    """UPDATE mode emits a window's latest state in every batch the window
+    changes — no watermark flush needed to observe results. Folding the
+    emissions (last write per window/type key wins) must reconstruct the
+    batch result exactly, and only CHANGED windows may re-emit (strictly
+    fewer emissions than complete mode's n_batches x n_windows)."""
+    ev = load_table(spark, "events", SF).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    d = os.path.join(tmp, "events_in")
+    # chunk by time range so most windows change in exactly one batch
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (tmax - tmin) / 3
+    lo, hi = tmin + span, tmin + 2 * span
+    for cond in [F.col("ts") < lo, (F.col("ts") >= lo) & (F.col("ts") < hi), F.col("ts") >= hi]:
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    captured: list[tuple[int, list]] = []
+    q = (
+        tumbling_counts_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: captured.append((bid, df.collect())))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_emitted = sum(len(rows) for _, rows in captured)
+    final: dict = {}
+    for _, rows in sorted(captured, key=lambda t: t[0]):
+        for r in rows:
+            final[(r["window_start"], r["event_type"])] = (
+                r["n_events"],
+                r["total_value"],
+            )
+    got = {(k[0], k[1], v[0], v[1]) for k, v in final.items()}
+    want = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in tumbling_counts_stream(ev).collect()
+    }
+    assert got == want and len(want) > 0
+    n_batches = len(captured)
+    assert n_batches >= 3
+    assert n_emitted < n_batches * len(want)
