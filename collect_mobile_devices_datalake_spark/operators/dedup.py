@@ -467,3 +467,99 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
             "within 64 rounds — component diameter exceeds the safety cap"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH g0 AS (
+      SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    g AS (SELECT DISTINCT doc_id, shingle FROM g0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS dup_of, COUNT(*) AS ns
+      FROM g a JOIN g b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT s.new_doc, s.dup_of,
+             CAST(s.ns AS DOUBLE) / (sa.n + sb.n - s.ns) AS j
+      FROM shared s JOIN sizes sa ON sa.doc_id = s.new_doc
+                    JOIN sizes sb ON sb.doc_id = s.dup_of
+      WHERE CAST(s.ns AS DOUBLE) / (sa.n + sb.n - s.ns) >= 0.5
+    )
+    SELECT new_doc, dup_of, round(j, 6) AS jaccard
+    FROM (SELECT *, row_number() OVER (PARTITION BY new_doc
+                                       ORDER BY j DESC, dup_of) AS rk
+          FROM jac)
+    WHERE rk = 1
+    """,
+    doc="Incremental (daily-ingest) near-dup check: docs with doc_id%10==7 "
+    "play the NEW BATCH, the rest the existing corpus; each new doc "
+    "reports its best corpus match at Jaccard >= 0.5, novel docs emit "
+    "nothing. Same PPJoin prefix-filtered set-similarity join as "
+    "dedup_ngram_jaccard but R x S instead of self-join — the batch side "
+    "prefix explodes ~1/1000th of the corpus volume, so at 100 TB the "
+    "candidate join is (small batch prefix) x (corpus inverted prefix "
+    "index, persisted between runs, bucketed on the 8-byte shingle "
+    "hash), never corpus x corpus. Best-match pick is a per-new-doc "
+    "window over candidates only.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    tau = 0.5
+    ordered = (
+        shingled_docs(d)
+        .select(
+            "doc_id",
+            "n",
+            F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_new = F.col("doc_id") % 10 == 7
+    pref_len = (F.col("n") - F.ceil(F.col("n") * tau) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", "n", F.posexplode(F.slice("hs", F.lit(1), pref_len)).alias("pos", "h")
+    )
+    a = pref.filter(is_new).alias("a")       # new batch side
+    b = pref.filter(~is_new).alias("b")      # corpus side
+    s_total = F.col("a.n") + F.col("b.n")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.least(F.col("a.n"), F.col("b.n")) * 3 >= s_total)
+            & (
+                (F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1) * 3
+                >= s_total
+            ),
+        )
+        .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    maybe_b = F.broadcast if ordered.count() <= 100_000 else (lambda df: df)
+    left = ordered.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na"), F.col("hs").alias("ha"))
+    right = ordered.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb"), F.col("hs").alias("hb"))
+    jac_num = F.size(F.array_intersect("ha", "hb")).cast("double")
+    verified = (
+        cand.join(maybe_b(left), "new_doc")
+        .join(maybe_b(right), "dup_of")
+        .select(
+            "new_doc",
+            "dup_of",
+            (jac_num / (F.col("na") + F.col("nb") - F.size(F.array_intersect("ha", "hb"))))
+            .alias("j"),
+        )
+        .filter(F.col("j") >= tau)
+    )
+    w = Window.partitionBy("new_doc").orderBy(F.desc("j"), "dup_of")
+    return (
+        verified.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("new_doc", "dup_of", F.round("j", 6).alias("jaccard"))
+    )
