@@ -160,11 +160,18 @@ def lsh_bucket_df(emb: DataFrame) -> DataFrame:
     re-evaluated array folds per row."""
     spark = emb.sparkSession
     # fan_out: single-row-group local scan = one task; without it the whole
-    # 2M-row plane-product map side runs on one core (no-op at real splits)
+    # plane-product map side runs on one core (no-op at real splits)
     emb = fan_out(emb, "vec_id")
     flat = emb.select("vec_id", F.posexplode("embedding").alias("i0", "v")).select(
         "vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
     )
+    # NOTE a 64-sum-aggregate form (one agg column per plane, map-side
+    # partial aggs, narrow shuffle) was measured 5x SLOWER here (2.8 s vs
+    # 0.6 s at sf0.1): 64 aggregation buffers push the generated code past
+    # whole-stage-codegen limits. The join-with-planes shape keeps every
+    # operator inside codegen; its wider shuffle is the cheaper trade
+    # until the product rows stop fitting in the shuffle (then: chunk the
+    # planes into k groups of 8 aggs each).
     planes = spark.range(N_TABLES * PLANES_PER_TABLE).select(
         F.col("id").cast("int").alias("j")
     )
