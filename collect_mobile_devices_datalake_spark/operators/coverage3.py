@@ -351,3 +351,43 @@ def q_string_similarity_levenshtein(spark: SparkSession, sf_dir: str) -> DataFra
             lev.cast("int").alias("edit_distance"),
         )
     )
+
+
+@register(
+    "variant_json_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured aggregation through Spark 4's VARIANT type: "
+    "parse_json once per row, variant_get typed extraction ('$.k' as "
+    "int), absent-path null accounting. VARIANT is the shredded-JSON "
+    "scale path — the binary encoding is parsed ONCE at scan time "
+    "instead of per json-path expression (get_json_object re-parses "
+    "the string for every path it appears in), which at 100 TB of "
+    "telemetry is the difference between one decode and k decodes per "
+    "row. Oracle = DuckDB's string-path json_extract, same values.",
+)
+def q_variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.variant_get(v, "$.missing", "string")
+    return e.select("event_type", k.alias("k"), missing.alias("m")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("int").alias("min_k"),
+        F.max("k").cast("int").alias("max_k"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing_path"),
+    )

@@ -201,3 +201,40 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("double") / (F.col("n_sources") * F.col("n_docs")), 12
         ).alias("weight"),
     )
+
+
+@register(
+    "domain_temperature_sampling",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM c),
+    t AS (SELECT SUM(wt) AS total_wt FROM w)
+    SELECT source, n_docs,
+           ROUND(wt / total_wt, 12) AS sample_prob,
+           CAST(FLOOR(wt / total_wt * 1000000) AS BIGINT) AS epoch_docs,
+           ROUND(wt / total_wt * 1000000 / n_docs, 12) AS epochs_per_doc
+    FROM w CROSS JOIN t
+    """,
+    doc="Temperature-based domain sampling (T=2, i.e. p_i ∝ n_i^(1/2) — "
+    "the multilingual-sampling exponent family): upweights small "
+    "domains without flattening to uniform. sqrt, not pow(x, 0.7): "
+    "IEEE-754 requires sqrt correctly rounded, so the oracle matches "
+    "bit-exactly in any engine, while pow differs in the last ulp "
+    "between libms. Emits per-source sampling probability, docs drawn "
+    "per 1M-doc epoch, and the oversampling factor (epochs_per_doc > 1 "
+    "= the domain repeats within an epoch). One groupBy to a per-source "
+    "row; all arithmetic on the tiny aggregate, like domain_mix_weights.",
+)
+def q_domain_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = c.select("source", "n_docs", F.sqrt(F.col("n_docs").cast("double")).alias("wt"))
+    t = w.agg(F.sum("wt").alias("total_wt"))
+    p = F.col("wt") / F.col("total_wt")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(p, 12).alias("sample_prob"),
+        F.floor(p * 1_000_000).cast("bigint").alias("epoch_docs"),
+        F.round(p * 1_000_000 / F.col("n_docs"), 12).alias("epochs_per_doc"),
+    )

@@ -126,3 +126,55 @@ def test_curriculum_bins_has_no_global_sort_over_docs(spark):
     assert "ntile" not in plan.lower(), plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "hashpartitioning(n_chars" in plan, plan
+
+
+def test_zorder_manifest_no_global_sort(spark):
+    # z-order clustering by z-PREFIX must be a plain hash aggregate — no
+    # rangepartitioning / global Sort anywhere (the naive z-order write
+    # clusters via a total sort on zval)
+    q = REGISTRY["zorder_manifest"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cdc_diff_shuffles_fingerprints_not_records(spark):
+    # the full-outer join must consume map-side (key, xxhash64) projections:
+    # no record column survives into the exchange, and the join itself is a
+    # hash/merge join on the key — never a nested-loop
+    q = REGISTRY["cdc_snapshot_diff"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan, plan
+    # payload columns are projected away before the join's exchanges
+    for col in ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]:
+        assert f"Arguments: hashpartitioning({col}" not in plan
+    assert "xxhash64" in plan, plan
+
+
+def test_compaction_plan_windows_partition_by_day(spark):
+    # the planner's running sum must run over day partitions of the tiny
+    # per-bucket aggregate — no single-partition window over raw events
+    q = REGISTRY["compaction_plan"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(day" in plan, plan
+
+
+def test_scd2_shares_one_user_shuffle(spark):
+    # lag-window, run-id window, groupBy, and lead-window all key on
+    # user_id: Catalyst must reuse ONE hashpartitioning(user_id) exchange,
+    # not stack four
+    q = REGISTRY["scd2_event_type_history"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert plan.lower().count("hashpartitioning(user_id") <= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_boilerplate_hot_set_is_anti_joined(spark):
+    # segment removal = LEFT ANTI against the aggregated hot set; the
+    # frequency join must key on the 8-byte hash, not segment text
+    q = REGISTRY["boilerplate_removal"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "LeftAnti" in plan, plan
+    assert "hashpartitioning(h#" in plan or "BroadcastHashJoin" in plan, plan
