@@ -7,6 +7,8 @@ HEADLINE = [
     "resume_pending", "q01_pricing_summary", "q05_region_revenue",
     "dedup_minhash_lsh_pairs", "knn_lsh_probe", "events_session_windows",
     "q02_min_cost_supplier", "q21_lone_returner", "split_contamination",
+    "cdc_snapshot_diff", "zorder_manifest", "scd2_event_type_history",
+    "boilerplate_removal", "dedup_incremental", "curriculum_bins",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
