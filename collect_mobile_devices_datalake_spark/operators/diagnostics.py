@@ -91,3 +91,34 @@ def q_partition_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@register(
+    "approx_topk_event_types",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Heavy-hitters via the approx_top_k sketch (SpaceSaving-family: "
+    "per-partition bounded trackers, mergeable — the 100 TB frequent-"
+    "items shape; a plain groupBy on a high-cardinality key would "
+    "shuffle the full key domain, the sketch shuffles k items per "
+    "partition). Exactness is cardinality-gated and therefore "
+    "ORACLE-ABLE here: k=10 exceeds the event_type cardinality (5) and "
+    "maxItemsTracked (10k) exceeds per-partition distincts, so the "
+    "sketch degrades to exact counts — the same query on a key with "
+    "more distincts than k is where the approximation (and the rows-"
+    "only gate) would begin.",
+)
+def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    e.createOrReplaceTempView("_events_topk")
+    return spark.sql(
+        """
+        SELECT t.entry.item AS item, t.entry.count AS n
+        FROM (
+          SELECT explode(approx_top_k(event_type, 10)) AS entry
+          FROM _events_topk
+        ) t
+        """
+    )

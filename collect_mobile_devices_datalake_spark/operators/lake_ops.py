@@ -284,3 +284,59 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("compact_group"),
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 1
+    """,
+    doc="MERGE INTO: apply a CDC change feed (insert/update rows with "
+    "values, delete markers) to the previous snapshot and emit the next "
+    "one. The oracle is the NEW snapshot computed independently — i.e. "
+    "the op is verified as a ROUND TRIP: apply(old, diff(old, new)) == "
+    "new, value-for-value. One full-outer join on the key; the change "
+    "feed is the small side (daily deltas vs full table), so at scale "
+    "it broadcasts or shuffles ~the delta size while untouched rows "
+    "never leave their partition's scan. The reference's per-row "
+    "REPLACE upsert (app.js:401-436) expressed as one declarative set "
+    "operation.",
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = _new_snapshot(orders)
+    fp = F.xxhash64(*_ORDER_COLS)
+    # change feed = keys whose fingerprint differs (with new-side values)
+    # or that exist on only one side — exactly cdc_snapshot_diff's rows,
+    # here carrying the new values so they can be applied
+    o_fps = old.select(F.col("o_orderkey").alias("k"), fp.alias("fp_old"))
+    n_fps = new.select("*", fp.alias("fp_new"))
+    feed = (
+        o_fps.join(n_fps, o_fps.k == n_fps.o_orderkey, "full_outer")
+        .filter(
+            F.col("k").isNull()  # insert
+            | F.col("o_orderkey").isNull()  # delete
+            | (F.col("fp_old") != F.col("fp_new"))  # update
+        )
+        .select(
+            F.coalesce("o_orderkey", "k").alias("ck"),
+            F.col("o_orderkey").isNull().alias("is_delete"),
+            *[F.col(c).alias(f"c_{c}") for c in _ORDER_COLS],
+        )
+    )
+    merged = old.join(feed, old.o_orderkey == feed.ck, "full_outer").filter(
+        # deletes drop; unmatched-old rows pass through; feed rows apply
+        ~F.coalesce("is_delete", F.lit(False))
+    )
+    pick = lambda c: F.when(  # noqa: E731
+        F.col("ck").isNotNull(), F.col(f"c_{c}")
+    ).otherwise(F.col(c))
+    return merged.select(
+        F.coalesce("o_orderkey", "ck").alias("o_orderkey"),
+        *[pick(c).alias(c) for c in _ORDER_COLS],
+    )

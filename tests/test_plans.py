@@ -178,3 +178,35 @@ def test_boilerplate_hot_set_is_anti_joined(spark):
     plan = formatted_plan(q)
     assert "LeftAnti" in plan, plan
     assert "hashpartitioning(h#" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # 100 TB behavior pinned at test scale: with a selective dim filter and
+    # a shuffle join, Spark injects a runtime bloom filter built from the
+    # dim side and applied at the fact scan — rows drop before the shuffle.
+    # The application-side size gate (default 10 GB) is what keeps it off
+    # at sf0.001, so lower it for the assertion and restore after.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "lineitem", SF)
+        o = load_table(spark, "orders", SF)
+        q = (
+            li.join(
+                o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                li.l_orderkey == o.o_orderkey,
+            )
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "partial_bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
