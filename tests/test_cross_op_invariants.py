@@ -1,0 +1,116 @@
+"""Cross-operator consistency: independent operators must agree.
+
+Each registered query is already value-checked against its own DuckDB
+oracle; these tests check operators against EACH OTHER — a second,
+oracle-independent net that catches consistent-but-wrong semantics
+(e.g. two tokenizers that silently disagree, a dedup key that doesn't
+partition the corpus the way the exact op says it does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_SMOKE
+
+_ensure_loaded()
+SF = SF_SMOKE
+
+
+def _q(spark, name):
+    return REGISTRY[name].spark(spark, SF)
+
+
+def test_exact_and_fingerprint_dedup_agree(spark):
+    """Content-keyed and fingerprint-keyed exact dedup must induce the
+    same partition of the corpus (identical group-size multisets and the
+    same keeper count) — or the fingerprint isn't a faithful content key."""
+    by_text = _q(spark, "dedup_exact").select("n_copies")
+    by_fp = _q(spark, "dedup_by_fingerprint").select("n_copies")
+    assert sorted(r[0] for r in by_text.collect()) == sorted(
+        r[0] for r in by_fp.collect()
+    )
+
+
+def test_repetition_metrics_word_count_matches_doc_stats(spark):
+    """doc_repetition_metrics' whitespace word count must equal
+    doc_stats' token_count for every doc — two independent tokenizer
+    expressions, one contract."""
+    rep = _q(spark, "doc_repetition_metrics").select("doc_id", "n_words")
+    stats = _q(spark, "doc_stats").select("doc_id", "n_tokens")
+    joined = rep.join(stats, "doc_id")
+    assert joined.filter(F.col("n_words") != F.col("n_tokens")).count() == 0
+    assert joined.count() == rep.count()
+
+
+def test_boilerplate_removal_conserves_segments(spark):
+    """clean_text's segment count + n_segs_removed must reconstruct the
+    original document's segment count (ceil(words/3)) for every doc."""
+    d = _q(spark, "boilerplate_removal")
+    docs = REGISTRY["doc_stats"].spark(spark, SF).select("doc_id", "n_tokens")
+    joined = d.join(docs, "doc_id").select(
+        "doc_id",
+        (F.ceil(F.size(F.split(F.trim("clean_text"), "\\s+")) / 3) + F.col("n_segs_removed")).alias("rebuilt"),
+        F.ceil(F.col("n_tokens") / 3).alias("expected"),
+    )
+    # kept segments are whole 3-word windows except possibly the original
+    # tail; allow the tail segment (1-2 words) to round the same way
+    mismatches = joined.filter(F.col("rebuilt") != F.col("expected"))
+    assert mismatches.count() == 0, mismatches.limit(5).collect()
+
+
+def test_split_assignment_consistent_with_contamination_pairs(spark):
+    """Every (train_doc, test_doc) contamination pair must place its docs
+    in the splits the split op itself assigns — the contamination op
+    recomputes the split arithmetically and may not drift."""
+    pairs = _q(spark, "split_contamination")
+    splits = _q(spark, "train_split_assign").select("doc_id", "split")
+    tr = splits.withColumnRenamed("doc_id", "train_doc").withColumnRenamed(
+        "split", "train_split"
+    )
+    te = splits.withColumnRenamed("doc_id", "test_doc").withColumnRenamed(
+        "split", "test_split"
+    )
+    j = pairs.join(tr, "train_doc").join(te, "test_doc")
+    assert j.filter(F.col("train_split") != "train").count() == 0
+    assert j.filter(F.col("test_split") != "test").count() == 0
+
+
+def test_cdc_diff_and_apply_are_inverse(spark):
+    """apply(old, feed) must land exactly on the new snapshot, and the
+    diff of (applied, new) must therefore be EMPTY — diff/apply are
+    inverses. (cdc_apply_changes' own oracle checks values; this checks
+    the pair's algebra through the engine's own diff.)"""
+    applied = _q(spark, "cdc_apply_changes")
+    from collect_mobile_devices_datalake_spark.operators.lake_ops import (
+        _ORDER_COLS,
+        _new_snapshot,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    new = _new_snapshot(load_table(spark, "orders", SF))
+    fp = F.xxhash64(*_ORDER_COLS)
+    a = applied.select("o_orderkey", fp.alias("fp_a"))
+    b = new.select("o_orderkey", fp.alias("fp_b"))
+    resid = a.join(b, "o_orderkey", "full_outer").filter(
+        F.col("fp_a").isNull()
+        | F.col("fp_b").isNull()
+        | (F.col("fp_a") != F.col("fp_b"))
+    )
+    assert resid.count() == 0
+
+
+def test_minhash_lsh_recall_of_exact_jaccard_pairs(spark):
+    """Every pair the exact ngram-Jaccard op reports at tau=0.5 should be
+    surfaced by the banded-minhash candidate generator: with 4 bands x 4
+    rows, P(candidate | J=0.5) ≈ 1-(1-0.5^4)^4 ≈ 0.23 per table but the
+    planted dups sit at J >= 0.8 where recall ≈ 0.89; assert the overall
+    recall floor 0.7 that the corpus's J-distribution implies."""
+    exact = _q(spark, "dedup_ngram_jaccard").select("doc_a", "doc_b")
+    cand = _q(spark, "dedup_minhash_lsh_pairs").select("doc_a", "doc_b")
+    n_exact = exact.count()
+    n_hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+    assert n_exact > 0
+    assert n_hit / n_exact >= 0.7, f"{n_hit}/{n_exact}"

@@ -476,3 +476,34 @@ def test_tumbling_update_mode_converges(spark, tmp):
     n_batches = len(captured)
     assert n_batches >= 3
     assert n_emitted < n_batches * len(want)
+
+
+def test_stream_static_enrichment_join(spark, tmp):
+    """Stream-static join: each micro-batch joins against the static dim
+    (customer segment) with NO state — the dim is re-planned per batch,
+    which is why a 100 TB stream can join a dimension table without
+    watermarks. Result must equal the batch join exactly."""
+    d, ev = _events_dir(spark, tmp)
+    dim = load_table(spark, "customer", SF).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    enriched = (
+        stream.join(dim, "user_id")  # static side: no watermark needed
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched, name, "complete")
+    got = {
+        (r["c_mktsegment"], r["event_type"], r["n"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["c_mktsegment"], r["event_type"], r["n"])
+        for r in ev.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
