@@ -246,3 +246,110 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "the").alias("has_the"),
         F.array_join(F.reverse(F.slice(toks, 1, 3)), " ").alias("first3_reversed"),
     )
+
+
+@register(
+    "asof_forward_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts < c.ts
+    """,
+    doc="FORWARD as-of join: first click strictly after each purchase, "
+    "same union+window method as the backward op but with a "
+    "currentRow→unboundedFollowing frame — still one shuffle on "
+    "user_id, no range explosion. The (ts, kind, event_id) sort puts "
+    "equal-ts clicks before the purchase row, which encodes the STRICT "
+    "'after' semantics in the frame itself (no post-filter).",
+)
+def q_asof_forward_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("kind")
+    )
+    merged = purchases.unionAll(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    next_click = F.first(
+        F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("next_click_ts", next_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_click_ts",
+        )
+    )
+
+
+@register(
+    "asof_nearest_click",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    back AS (
+      SELECT p.event_id, p.user_id, p.ts, cb.ts AS back_ts
+      FROM p ASOF LEFT JOIN c cb ON p.user_id = cb.user_id AND p.ts >= cb.ts
+    ),
+    bf AS (
+      SELECT b.event_id, b.user_id, b.ts, b.back_ts, cf.ts AS fwd_ts
+      FROM back b ASOF LEFT JOIN c cf ON b.user_id = cf.user_id AND b.ts < cf.ts
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN back_ts IS NULL THEN fwd_ts
+                WHEN fwd_ts IS NULL THEN back_ts
+                WHEN date_diff('microsecond', back_ts, ts)
+                     <= date_diff('microsecond', ts, fwd_ts) THEN back_ts
+                ELSE fwd_ts END AS nearest_click_ts
+    FROM bf
+    """,
+    doc="NEAREST as-of join: closest click in either direction (ties "
+    "prefer the at-or-before side). Both directional lookups are window "
+    "functions over the SAME (user_id, ts) sort — Catalyst plans ONE "
+    "exchange + one sort serving both frames, so 'nearest' costs the "
+    "same single shuffle as one-directional as-of; the oracle needs two "
+    "chained ASOF joins to say the same thing.",
+)
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("kind")
+    )
+    merged = purchases.unionAll(clicks)
+    base = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    back = F.last(click_ts, ignorenulls=True).over(wb)
+    fwd = F.first(click_ts, ignorenulls=True).over(wf)
+    d_back = F.col("ts").cast("long") - F.col("back_ts").cast("long")
+    d_fwd = F.col("fwd_ts").cast("long") - F.col("ts").cast("long")
+    return (
+        merged.withColumn("back_ts", back)
+        .withColumn("fwd_ts", fwd)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+            .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+            .when(d_back <= d_fwd, F.col("back_ts"))
+            .otherwise(F.col("fwd_ts"))
+            .alias("nearest_click_ts"),
+        )
+    )
