@@ -152,99 +152,153 @@ def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bucket_df(emb: DataFrame) -> DataFrame:
-    """(vec_id, t, bucket) for the multi-table signature, computed as
-    posexplode + two groupBys (map-side partial agg) instead of one giant
-    nested-HOF expression — ~5x faster and the shape that scales: the
-    64-plane dot products are a single 2M-row aggregation, not 64
-    re-evaluated array folds per row."""
-    spark = emb.sparkSession
-    # fan_out: single-row-group local scan = one task; without it the whole
-    # plane-product map side runs on one core (no-op at real splits)
-    emb = fan_out(emb, "vec_id")
-    flat = emb.select("vec_id", F.posexplode("embedding").alias("i0", "v")).select(
-        "vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
-    )
-    # NOTE a 64-sum-aggregate form (one agg column per plane, map-side
-    # partial aggs, narrow shuffle) was measured 5x SLOWER here (2.8 s vs
-    # 0.6 s at sf0.1): 64 aggregation buffers push the generated code past
-    # whole-stage-codegen limits. The join-with-planes shape keeps every
-    # operator inside codegen; its wider shuffle is the cheaper trade
-    # until the product rows stop fitting in the shuffle (then: chunk the
-    # planes into k groups of 8 aggs each).
-    planes = spark.range(N_TABLES * PLANES_PER_TABLE).select(
-        F.col("id").cast("int").alias("j")
-    )
-    prod = flat.join(F.broadcast(planes)).select(
-        "vec_id",
-        "j",
-        (F.col("v") * _plane_component(F.col("j"), F.col("i")).cast("double")).alias("p"),
-    )
-    dots = prod.groupBy("vec_id", "j").agg(F.sum("p").alias("dot"))
-    bits = dots.select(
-        "vec_id",
-        (F.col("j") / PLANES_PER_TABLE).cast("int").alias("t"),
-        (F.col("j") % PLANES_PER_TABLE).alias("b"),
-        F.when(F.col("dot") > 0, 1).otherwise(0).cast("bigint").alias("bit"),
-    )
-    return bits.groupBy("vec_id", "t").agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b").cast("double")).cast("bigint")).alias("bucket")
-    )
+# multi-table bucket fragment: table t, bits jj in [0,8), global plane index
+# t*8+jj — mirrors _multitable_buckets below term for term (same fold order)
+_MT_BUCKET_SQL = """
+    list_reduce(list_transform(range(0, 8),
+      jj -> CASE WHEN list_reduce(
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST((((t*8+jj)*131 + i*37 + ((t*8+jj)+3)*(i+5) % 11) % 21 - 10) AS DOUBLE)),
+                  (x, y) -> x + y) > 0
+           THEN CAST(power(2, jj) AS BIGINT) ELSE 0 END),
+      (x, y) -> x + y)
+"""
+
+
+def _multitable_buckets(vec: Column) -> Column:
+    """Array of N_TABLES bucket ids for ``vec`` — one 8-bit random-hyperplane
+    signature per table, global plane index t*8+jj. Every dot product is a
+    SEQUENTIAL in-order fold (F.aggregate), bit-identical to the oracle's
+    list_reduce — a groupBy-sum would fold in partition order and a near-zero
+    dot could flip sign between engines. (An explode + groupBy-sum bucket
+    build was measured comparable here — 64 planes x 64 dims stays inside
+    whole-stage codegen — and the sequential fold is what makes the DuckDB
+    oracle value-exact, so it wins.)"""
+    dim = F.size(vec)
+
+    def table_bucket(t: Column) -> Column:
+        def bit(jj: Column) -> Column:
+            j = t * 8 + jj
+            dot = F.aggregate(
+                F.sequence(F.lit(1), dim),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(vec, i).cast("double") * _plane_component(j, i).cast("double"),
+            )
+            return (
+                F.when(dot > 0, F.pow(F.lit(2.0), jj.cast("double")).cast("bigint"))
+                .otherwise(F.lit(0).cast("bigint"))
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, jj: acc + bit(jj),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
+
+
+def _cos_sql_pair(a: str, b: str) -> str:
+    """DuckDB cosine fragment over two array expressions, mirroring
+    ``cosine_similarity``'s sequential left-to-right fold bit for bit."""
+    return f"""
+             list_reduce(list_transform(range(1, len({a}) + 1),
+                         i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, len({a}) + 1),
+                         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(range(1, len({b}) + 1),
+                         i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
 
 
 @register(
     "knn_lsh_probe",
-    oracle=None,  # recall-vs-bruteforce asserted in tests/test_similarity.py
+    oracle=f"""
+    WITH bk AS (
+      SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+    ),
+    probes AS (
+      SELECT bk.vec_id AS query_id, bk.t,
+             CASE WHEN f.f = 0 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+      FROM bk CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      WHERE bk.vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, y.vec_id AS neighbor_id
+      FROM probes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_cos_sql_pair('qa.embedding', 'nb.embedding')} AS cos
+      FROM cand
+      JOIN embeddings qa ON qa.vec_id = cand.query_id
+      JOIN embeddings nb ON nb.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
     doc="ANN via multi-table LSH: 8 tables x 8 hyperplane bits, Hamming-1 "
     "multiprobe (9 probe buckets per table). Corpus is bucketed once "
     "(8 rows/vector); queries explode to 72 probe keys and bucket-join — "
-    "candidate generation never scans the corpus.",
+    "candidate generation never scans the corpus; embeddings are fetched "
+    "only at the exact re-rank. The oracle mirrors the deterministic "
+    "hyperplanes term-for-term, so the driver gate is value-level.",
 )
 def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # the 64-plane signature feeds BOTH the corpus index and the query
     # probes — materialize once or the whole dot-product pipeline runs
     # twice (at scale the index side is a persisted table anyway)
-    buckets = lsh_bucket_df(emb).localCheckpoint(eager=True)
-    corpus = buckets.join(emb, "vec_id").select("vec_id", "embedding", "t", "bucket")
-
-    qids = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    qbuckets = buckets.withColumnRenamed("vec_id", "query_id").join(
-        F.broadcast(qids), "query_id"
-    )
-    probes = qbuckets.select(
-        "query_id",
-        "query_vec",
-        F.col("t").alias("qt"),
-        F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-                    lambda b: F.col("bucket").bitwiseXOR(
-                        F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
-                    ),
-                ),
-            )
-        ).alias("qbucket"),
-    )
-    cands = (
-        F.broadcast(probes)
-        .join(corpus, (F.col("qt") == F.col("t")) & (F.col("qbucket") == F.col("bucket")))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "query_vec", F.col("vec_id").alias("neighbor_id"), "embedding")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    buckets = emb.select(
+        "vec_id", F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket")
+    ).localCheckpoint(eager=True)
+    probes = (
+        buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
-            "query_id",
-            F.col("neighbor_id"),
-            cosine_similarity("query_vec", "embedding").alias("cos"),
+            F.col("vec_id").alias("query_id"),
+            "t",
+            F.explode(
+                F.concat(
+                    F.array(F.col("bucket")),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+                        lambda b: F.col("bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+                        ),
+                    ),
+                )
+            ).alias("probe"),
         )
+    )
+    x = probes.alias("x")
+    y = buckets.alias("y")
+    cand = (
+        F.broadcast(x)
+        .join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.probe") == F.col("y.bucket"))
+            & (F.col("y.vec_id") != F.col("x.query_id")),
+        )
+        .select(F.col("x.query_id").alias("query_id"), F.col("y.vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # candidates are (int, int) pairs; vectors join in once, at re-rank time
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine_similarity("qv", "nv").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
-        cands.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
@@ -277,58 +331,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # cosine similarity fragment shared by the near-dup oracles (exact fold order)
-_COS_SQL = """
-             list_reduce(list_transform(range(1, len(a.embedding) + 1),
-                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
-                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-              * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
-                         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-"""
-
-# multi-table bucket fragment: table t, bits jj in [0,8), global plane index
-# t*8+jj — mirrors _multitable_buckets below term for term (same fold order)
-_MT_BUCKET_SQL = """
-    list_reduce(list_transform(range(0, 8),
-      jj -> CASE WHEN list_reduce(
-                  list_transform(range(1, len(embedding) + 1),
-                    i -> CAST(embedding[i] AS DOUBLE)
-                       * CAST((((t*8+jj)*131 + i*37 + ((t*8+jj)+3)*(i+5) % 11) % 21 - 10) AS DOUBLE)),
-                  (x, y) -> x + y) > 0
-           THEN CAST(power(2, jj) AS BIGINT) ELSE 0 END),
-      (x, y) -> x + y)
-"""
-
-
-def _multitable_buckets(vec: Column) -> Column:
-    """Array of N_TABLES bucket ids for ``vec`` — one 8-bit random-hyperplane
-    signature per table, global plane index t*8+jj. Every dot product is a
-    SEQUENTIAL in-order fold (F.aggregate), bit-identical to the oracle's
-    list_reduce — a groupBy-sum would fold in partition order and a near-zero
-    dot could flip sign between engines."""
-    dim = F.size(vec)
-
-    def table_bucket(t: Column) -> Column:
-        def bit(jj: Column) -> Column:
-            j = t * 8 + jj
-            dot = F.aggregate(
-                F.sequence(F.lit(1), dim),
-                F.lit(0.0),
-                lambda acc, i: acc
-                + F.element_at(vec, i).cast("double") * _plane_component(j, i).cast("double"),
-            )
-            return (
-                F.when(dot > 0, F.pow(F.lit(2.0), jj.cast("double")).cast("bigint"))
-                .otherwise(F.lit(0).cast("bigint"))
-            )
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, jj: acc + bit(jj),
-        )
-
-    return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
+_COS_SQL = _cos_sql_pair("a.embedding", "b.embedding")
 
 
 @register(
@@ -442,27 +445,73 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-cell mean centroid over ``{src}`` (cell, embedding): decimal-exact sums
+# so the centroid doubles are identical on any engine / fold order, then one
+# deterministic double division — mirrored by _CENTROID_AGG_SQL below.
+_CENTROID_AGG_SQL = """
+      SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                     CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS v
+              FROM {src})
+        GROUP BY cell, pos
+      ) GROUP BY cell
+"""
+
+
+def _mean_centroids(cells: DataFrame) -> DataFrame:
+    """(cell, centroid array<double>) from a (cell, embedding) frame.
+
+    Sums route through DECIMAL(18,9) — exact, order-independent — so the
+    centroid components are bit-identical to the oracle's regardless of
+    partitioning; a double groupBy-sum would fold in partition order and
+    drift in the last ulp, flipping nprobe cell ranks between engines.
+    """
+    flat = cells.select("cell", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        flat.groupBy("cell", "pos")
+        .agg(
+            (F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("c")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda x: x["c"]).alias("centroid"))
+    )
+
+
 @register(
     "knn_ivf_probe",
-    oracle=None,  # recall-vs-bruteforce asserted in tests/test_similarity.py
+    oracle=f"""
+    WITH cent AS ({_CENTROID_AGG_SQL.format(src="(SELECT label AS cell, embedding FROM embeddings)")}),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    qc AS (
+      SELECT q.query_id, q.qv, c.cell, {_cos_sql_pair('q.qv', 'c.centroid')} AS ccos
+      FROM q CROSS JOIN cent c
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) AS prk
+        FROM qc
+      ) WHERE prk <= 5
+    ),
+    cands AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id, {_cos_sql_pair('p.qv', 'e.embedding')} AS cos
+      FROM probes p JOIN embeddings e ON e.label = p.cell AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cands
+    ) WHERE rk <= 10
+    """,
     doc="IVF-style ANN: label centroids as the coarse quantizer; probe the "
     "query's nearest nprobe=5 centroid cells only, exact re-rank inside. "
-    "At 100 TB the corpus is bucketed by cell once; queries broadcast.",
+    "At 100 TB the corpus is bucketed by cell once; queries broadcast. "
+    "Centroid sums are decimal-exact so the oracle is value-level.",
 )
 def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # coarse quantizer: per-label mean vector (posexplode + decimal-exact sums)
-    flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent = (
-        flat.groupBy("label", "pos")
-        .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pc", lambda x: x["c"]).alias("centroid"),
-        )
-    )
+    cent = _mean_centroids(emb.select(F.col("label").alias("cell"), "embedding"))
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -498,7 +547,9 @@ def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
     """Lloyd's k-means as a driver-side loop of DataFrame ops (no MLlib):
-    assign = broadcast-centroid argmin; update = posexplode + groupBy mean.
+    assign = broadcast-centroid argmin; update = posexplode + groupBy mean
+    (decimal-exact sums — see _mean_centroids — so every iteration's
+    centroids are bit-identical to the oracle's unrolled CTE chain).
     Deterministic: seeds are vec_id 0,1,..k-1; ties broken by cell id.
     Returns (cell, centroid array<double>)."""
     cents = (
@@ -525,23 +576,90 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("vec_id", "embedding", "cell")
         )
-        cents = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("c"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("cell", F.transform("pc", lambda x: x["c"]).alias("centroid"))
-            .localCheckpoint(eager=True)
+        cents = _mean_centroids(assigned.select("cell", "embedding")).localCheckpoint(
+            eager=True
         )
     return cents
 
 
+def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
+    """Unrolled Lloyd-in-SQL twin of kmeans_centroids + the probe query.
+
+    Each iteration is two CTEs — argmax-cosine assignment (ties by cell)
+    and a decimal-exact mean-centroid update — chained cent0 → cent{iters};
+    deterministic seeds + exact sums make the whole chain value-identical
+    to the Spark loop, so even the iterative operator gets a hash-level
+    driver gate.
+    """
+    ctes = [
+        f"cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql_pair('e.embedding', 'c.centroid')} DESC, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cent{it - 1} c
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(f"cent{it} AS ({_CENTROID_AGG_SQL.format(src=f'assign{it}')})")
+    ctes.append(
+        f"""final AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql_pair('e.embedding', 'c.centroid')} DESC, c.cell) AS rk
+        FROM embeddings e CROSS JOIN cent{iters} c
+      ) WHERE rk = 1
+    )"""
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM final WHERE vec_id % {QUERY_MOD} = 0)"
+    )
+    ctes.append(
+        f"""qc AS (
+      SELECT q.query_id, q.qv, c.cell, {_cos_sql_pair('q.qv', 'c.centroid')} AS csim
+      FROM q CROSS JOIN cent{iters} c
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS prk
+        FROM qc
+      ) WHERE prk <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""cands AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_cos_sql_pair('p.qv', 'a.embedding')} AS cos
+      FROM probes p JOIN final a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM cands
+    ) WHERE rk <= 10
+    """
+    )
+
+
 @register(
     "knn_ivf_kmeans_probe",
-    oracle=None,  # recall-vs-bruteforce asserted in tests/test_similarity.py
+    oracle=_kmeans_probe_oracle(k=8, iters=4, nprobe=3),
     doc="True IVF: k-means coarse quantizer (Lloyd iterations as DataFrame "
-    "loops), nprobe=3 of k=8 cells, exact re-rank inside probed cells.",
+    "loops), nprobe=3 of k=8 cells, exact re-rank inside probed cells. "
+    "Decimal-exact centroid sums make every Lloyd iteration reproducible, "
+    "so the oracle unrolls the same 4 iterations as CTEs and the gate is "
+    "value-level even for this iterative operator.",
 )
 def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
