@@ -98,28 +98,45 @@ def ingest_source(
     pending = resume_anti_join(ok.select(F.col("url")), saved)
     todo = ok.join(pending, "url", "left_semi")
 
-    parsed = PARSERS[source](todo)
-    # quarantine: parse failures (entries NULL, e.g. key/value length
-    # mismatch — app.js:626) are written to a dead-letter table and NOT
-    # checkpointed, so the next run retries them (reference behavior #43).
-    good = parsed.filter(F.col("entries").isNotNull())
-    bad = parsed.filter(F.col("entries").isNull()).select("url")
+    # Parse ONCE per batch: the fetch→parse pandas-UDF pipeline is the
+    # dominant batch cost, and four downstream actions consume it (count,
+    # data append, saved_list append, dead-letter probe+write). Persisting
+    # the parsed frame makes every consumer read the materialized batch
+    # instead of re-running the UDF — asserted by the accumulator test in
+    # tests/test_ingest.py. (At cluster scale the same effect comes from a
+    # single staged write + observe() metrics; persist is the in-memory
+    # equivalent for a batch that, post-resume-filter, is bounded by the
+    # crawl frontier, not the lake size.)
+    parsed = PARSERS[source](todo).persist()
+    try:
+        # quarantine: parse failures (entries NULL, e.g. key/value length
+        # mismatch — app.js:626) are written to a dead-letter table and NOT
+        # checkpointed, so the next run retries them (reference behavior #43).
+        good = parsed.filter(F.col("entries").isNotNull())
+        bad = parsed.filter(F.col("entries").isNull()).select("url")
 
-    records = normalize_records(good, source)
-    n = records.count()
-    _log(spark, lake_dir, source, "ingest_batch", n)
-    if n:
-        # one subdirectory per source (the records carry their own `source`
-        # column, so this is plain layout partitioning: per-source scans
-        # touch one directory)
-        records.write.mode("append").parquet(
-            os.path.join(lake_dir, "device_specs", source)
-        )
-        records.select("src_url").withColumnRenamed("src_url", "url").write.mode(
-            "append"
-        ).parquet(_saved_list_path(lake_dir, source))
-    if bad.limit(1).count():
-        bad.write.mode("append").parquet(os.path.join(lake_dir, "dead_letter", source))
+        records = normalize_records(good, source).persist()
+        try:
+            n = records.count()
+            _log(spark, lake_dir, source, "ingest_batch", n)
+            if n:
+                # one subdirectory per source (the records carry their own
+                # `source` column, so this is plain layout partitioning:
+                # per-source scans touch one directory)
+                records.write.mode("append").parquet(
+                    os.path.join(lake_dir, "device_specs", source)
+                )
+                records.select("src_url").withColumnRenamed(
+                    "src_url", "url"
+                ).write.mode("append").parquet(_saved_list_path(lake_dir, source))
+            if bad.limit(1).count():
+                bad.write.mode("append").parquet(
+                    os.path.join(lake_dir, "dead_letter", source)
+                )
+        finally:
+            records.unpersist()
+    finally:
+        parsed.unpersist()
     return n
 
 

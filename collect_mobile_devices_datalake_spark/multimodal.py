@@ -27,9 +27,13 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
 )
 
+# The UDF emits INTEGER stats only (pixel count + sum); the mean is a plain
+# SQL division appended outside the UDF. IEEE double division is correctly
+# rounded, so Spark and any oracle engine produce bit-identical means from
+# identical integer inputs — a Python-side round() would not.
 DECODED_SCHEMA = (
     "media_id bigint, kind string, width int, height int, "
-    "n_pixels bigint, mean_byte double"
+    "n_pixels bigint, pixel_sum bigint"
 )
 
 
@@ -110,14 +114,18 @@ def decode_images(media: DataFrame) -> DataFrame:
                         "width": w,
                         "height": h,
                         "n_pixels": len(px),
-                        "mean_byte": round(sum(px) / len(px), 6) if px else 0.0,
+                        "pixel_sum": sum(px),
                     }
                 )
             yield pd.DataFrame(rows, columns=[
-                "media_id", "kind", "width", "height", "n_pixels", "mean_byte"
+                "media_id", "kind", "width", "height", "n_pixels", "pixel_sum"
             ])
 
-    return media.mapInPandas(fn, DECODED_SCHEMA)
+    decoded = media.mapInPandas(fn, DECODED_SCHEMA)
+    mean = F.when(F.col("n_pixels") == 0, F.lit(0.0)).otherwise(
+        F.col("pixel_sum").cast("double") / F.col("n_pixels").cast("double")
+    )
+    return decoded.withColumn("mean_byte", mean).drop("pixel_sum")
 
 
 def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:

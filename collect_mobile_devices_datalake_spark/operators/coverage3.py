@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from ..registry import register
 from ..session import load_table
 from .relational import dec
+from .training import split_hash_sql
 
 
 @register(
@@ -267,13 +268,23 @@ def q_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sampling",
-    oracle=None,  # sampling is engine-specific by nature; rows-only
-    doc="Bernoulli sample with fixed seed — deterministic within Spark, "
-    "engine-specific RNG so no cross-engine oracle.",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE {split_hash_sql("o_orderkey")} % 100 < 10
+    """,
+    doc="Deterministic ~10% Bernoulli sample via multiplicative hash on the "
+    "key (the train_split_assign technique) instead of seeded RNG: "
+    "engine-portable, reproducible under repartitioning/retries at 100 TB "
+    "(df.sample's per-partition RNG is not), and a plain filter, so it "
+    "composes with pushdown and costs no shuffle.",
 )
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training import split_hash
+
     o = load_table(spark, "orders", sf_dir)
-    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+    return o.filter(split_hash("o_orderkey") % 100 < 10).select(
+        "o_orderkey", "o_totalprice"
+    )
 
 
 @register(

@@ -58,8 +58,42 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_decode_stats",
-    oracle=None,  # decode is a stubbed codec; plumbing checked rows-only + pytest
-    doc="mapInPandas image decode (stubbed codec, real Arrow dataflow) → pixel stats.",
+    # The decode stub repeats the payload bytes to width*height then truncates,
+    # so pixel_sum = (n // len) * full_byte_sum + prefix_byte_sum(n % len) —
+    # recomputable in SQL because the payload is the utf-8 text. The mean is a
+    # plain double division in BOTH engines (IEEE-correctly-rounded, so
+    # bit-identical); the UDF itself only emits integer stats.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id, 'image' AS kind,
+             CAST((doc_id % 8 + 1) * 64 AS INTEGER) AS width,
+             CAST((doc_id % 4 + 1) * 64 AS INTEGER) AS height,
+             (doc_id % 8 + 1) * 64 * (doc_id % 4 + 1) * 64 AS n,
+             text, length(text) AS len
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    sums AS (
+      SELECT media_id, kind, width, height, n, len,
+             CASE WHEN len = 0 THEN 0 ELSE
+               list_reduce(list_transform(range(1, len + 1),
+                 i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (a, b) -> a + b)
+             END AS full_sum,
+             CASE WHEN len = 0 OR n % len = 0 THEN 0 ELSE
+               list_reduce(list_transform(range(1, n % len + 1),
+                 i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (a, b) -> a + b)
+             END AS rem_sum
+      FROM img
+    )
+    SELECT media_id, kind, width, height,
+           CAST(CASE WHEN len = 0 THEN 0 ELSE n END AS BIGINT) AS n_pixels,
+           CASE WHEN len = 0 OR n = 0 THEN 0.0
+                ELSE ((n // len) * full_sum + rem_sum) / CAST(n AS DOUBLE)
+           END AS mean_byte
+    FROM sums
+    """,
+    doc="mapInPandas image decode (stubbed codec, real Arrow dataflow) → pixel "
+    "stats. Value-level oracle: the stub is deterministic, so DuckDB "
+    "recomputes the repeated-byte pixel sum from the text payload.",
 )
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)

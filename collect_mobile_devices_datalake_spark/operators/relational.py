@@ -303,14 +303,27 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL estimates are engine-specific; rows-only check
-    doc="approx_count_distinct (HLL++) — the 100 TB cardinality path; no exact oracle.",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct (HLL++) — the 100 TB cardinality path. The HLL "
+    "estimate is engine-specific, so the oracled output is the exact count "
+    "plus a tolerance assertion: rsd=0.01 must land within 5% of exact (a "
+    ">4-sigma bound) — a drifting sketch flips the boolean and fails parity.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.countDistinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")
+            < 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -200,6 +200,38 @@ def _multitable_buckets(vec: Column) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
 
 
+# session-lifetime cache: sf_dir -> parquet path of the built (vec_id, t,
+# bucket) index table (plus its temp dirs, reclaimed at process exit)
+_BUCKET_INDEX_CACHE: dict[str, str] = {}
+
+
+def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-table LSH index as a PERSISTED parquet table.
+
+    This is the 100 TB-honest form of the index: built ONCE per corpus
+    (map-only pass over embeddings, 8 rows of 8-byte (t, bucket) keys per
+    vector), written to storage, then read back by every probe query. The
+    previous shape — ``localCheckpoint(eager=True)`` inside each query —
+    re-materialized the full index per query, pinned executor storage for
+    blocks that are NOT fault-tolerant (a lost executor kills the query),
+    and could not be shared across queries or sessions. A real deployment
+    maintains this as a lake table partitioned by ``t`` and z-ordered on
+    ``bucket``; probes prune to the (t, bucket) keys they touch.
+    """
+    path = _BUCKET_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="lsh_bucket_index_")
+        emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+        emb.select(
+            "vec_id",
+            F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket"),
+        ).write.mode("overwrite").parquet(path)
+        _BUCKET_INDEX_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 def _cos_sql_pair(a: str, b: str) -> str:
     """DuckDB cosine fragment over two array expressions, mirroring
     ``cosine_similarity``'s sequential left-to-right fold bit for bit."""
@@ -252,11 +284,9 @@ def _cos_sql_pair(a: str, b: str) -> str:
 def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # the 64-plane signature feeds BOTH the corpus index and the query
-    # probes — materialize once or the whole dot-product pipeline runs
-    # twice (at scale the index side is a persisted table anyway)
-    buckets = emb.select(
-        "vec_id", F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket")
-    ).localCheckpoint(eager=True)
+    # probes; it lives in a persisted table built once per corpus (see
+    # bucket_index) — the query-side read prunes on vec_id at the scan
+    buckets = bucket_index(spark, sf_dir)
     probes = (
         buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
@@ -288,8 +318,14 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.query_id").alias("query_id"), F.col("y.vec_id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    # candidates are (int, int) pairs; vectors join in once, at re-rank time
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    # candidates are (int, int) pairs; vectors join in once, at re-rank time.
+    # The broadcast side is pre-filtered to the QUERY vectors — broadcasting
+    # the unfiltered projection would ship the whole corpus to every executor
+    # (fine at sf0.1, OOM at 100 TB); the neighbor side stays a shuffle join.
+    qe = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
     ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
     scored = (
         cand.join(F.broadcast(qe), "query_id")
@@ -372,9 +408,9 @@ _COS_SQL = _cos_sql_pair("a.embedding", "b.embedding")
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-    buckets = emb.select(
-        "vec_id", F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket")
-    ).localCheckpoint(eager=True)  # feeds both the probe and plain sides
+    # feeds both the probe and plain sides — read from the persisted index
+    # table (built once per corpus, shared with knn_lsh_probe)
+    buckets = bucket_index(spark, sf_dir)
     probes = buckets.select(
         "vec_id",
         "t",

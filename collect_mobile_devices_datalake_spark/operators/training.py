@@ -39,10 +39,17 @@ _K = 2654435761
 _M = 4294967296
 _K_HI = _K // 65536  # 40503
 _K_LO = _K % 65536  # 31153
-_SPLIT_HASH_SQL = (
-    f"((((doc_id % {_M}) * {_K_LO}) % {_M}"
-    f" + (((doc_id % {_M}) * {_K_HI}) % 65536) * 65536) % {_M})"
-)
+
+
+def split_hash_sql(key: str) -> str:
+    """ANSI-SQL twin of :func:`split_hash` for any integer key column."""
+    return (
+        f"(((({key} % {_M}) * {_K_LO}) % {_M}"
+        f" + ((({key} % {_M}) * {_K_HI}) % 65536) * 65536) % {_M})"
+    )
+
+
+_SPLIT_HASH_SQL = split_hash_sql("doc_id")
 _SPLIT_BUCKET_SQL = f"{_SPLIT_HASH_SQL} % 100"
 
 

@@ -79,15 +79,30 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     yields one task and every per-row computation downstream (HOF shingling,
     hash signatures, pandas-UDF parses) runs on a single core of 32. A real
     100 TB table has thousands of splits, where this helper detects
-    partitions >= defaultParallelism and returns the frame UNCHANGED — the
-    repartition only ever fires where it is already cheap (few, small
-    partitions). Hash-partitioning on the row key keeps the distribution
-    deterministic.
+    enough splits and returns the frame UNCHANGED — the repartition only
+    ever fires where it is already cheap (few, small files).
+    Hash-partitioning on the row key keeps the distribution deterministic.
+
+    Width is decided from pure METADATA — ``inputFiles()`` (plan traversal)
+    and the optimizer's size estimate (file-size sum for scans) — never
+    ``df.rdd``: converting to an RDD materializes a Python-serialized plan
+    on every registered query that passes through here and bypasses
+    Catalyst for the probe.
     """
     from pyspark.sql import functions as F
 
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
+        return df  # already at least one split per core
+    # Few files can still be WIDE: a 10 GB file scans as ~80 splits under
+    # maxPartitionBytes. The optimizer's sizeInBytes for a file relation is
+    # the file-size sum (a py4j metadata call, no job), so size >= one
+    # default split per core means the scan is already parallel.
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM-backed or estimation failure: assume narrow
+        est = 0
+    if est >= target * (128 << 20):
         return df
     cols = [F.col(k) for k in keys]
     return df.repartition(target, *cols) if cols else df.repartition(target)

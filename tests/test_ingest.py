@@ -95,6 +95,41 @@ def test_ingest_geekbench_ios_brand_override(spark, lake):
     assert android.filter(F.col("model").startswith("Brand#")).count() == 0
 
 
+def test_parse_runs_once_per_batch(spark, lake, monkeypatch):
+    """The parse pipeline must execute ONCE per ingest batch even though four
+    downstream actions consume it (count, data append, saved_list append,
+    dead-letter probe). An accumulator inside a pass-through mapInPandas stage
+    counts actual parse executions row-by-row."""
+    from collect_mobile_devices_datalake_spark.sources import parse as parse_mod
+
+    acc = spark.sparkContext.accumulator(0)
+    real = parse_mod.PARSERS["versus"]
+
+    def counted(pages):
+        out = real(pages)
+
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return out.mapInPandas(count_rows, out.schema)
+
+    monkeypatch.setitem(parse_mod.PARSERS, "versus", counted)
+
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "versus")
+    n_ok = pages.filter(F.col("status") == 200).count()
+
+    n = ingest_source(spark, pages, lake, "versus")
+    assert n > 0
+    assert acc.value == n_ok  # == n_ok exactly: parse ran once, not 2-5x
+
+    # no-op rerun: resume filter empties the batch, parse sees zero rows
+    ingest_source(spark, pages, lake, "versus")
+    assert acc.value == n_ok
+
+
 def test_ingest_log_sink(spark, lake):
     from collect_mobile_devices_datalake_spark.ingest.pipeline import read_logs
     from collect_mobile_devices_datalake_spark.session import load_table

@@ -20,10 +20,15 @@ def test_fan_out_spreads_single_partition_scan(spark):
     assert h(f) == h(d)
 
 
-def test_fan_out_noop_when_already_parallel(spark):
+def test_fan_out_noop_when_scan_already_wide(spark, tmp_path):
+    """fan_out decides from scan metadata (file count / size estimate), never
+    df.rdd — a many-file table, the 100 TB shape, passes through unchanged."""
     d = load_table(spark, "documents", SF_SMOKE)
     target = spark.sparkContext.defaultParallelism
-    wide = d.repartition(target + 5, "doc_id")
+    path = str(tmp_path / "wide_docs")
+    d.repartition(target + 5, "doc_id").write.parquet(path)
+    wide = spark.read.parquet(path)
+    assert len(wide.inputFiles()) >= target
     same = fan_out(wide, "doc_id")
     # unchanged frame: no extra repartition inserted
     assert same is wide
