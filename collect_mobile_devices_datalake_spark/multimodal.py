@@ -128,6 +128,51 @@ def decode_images(media: DataFrame) -> DataFrame:
     return decoded.withColumn("mean_byte", mean).drop("pixel_sum")
 
 
+AUDIO_FRAME_BYTES = 160  # 10 ms at 16 kHz 8-bit mono — the stub's frame unit
+
+AUDIO_FRAMES_SCHEMA = (
+    "media_id bigint, frame_idx int, n_bytes int, byte_sum bigint, sq_sum bigint"
+)
+
+
+def frame_audio(media: DataFrame) -> DataFrame:
+    """mapInPandas audio framing: audio rows → fixed-size byte frames with
+    integer stats (sum + sum-of-squares per frame).
+
+    A real build decodes PCM via libsndfile here; the raw byte stream
+    stands in, so the framing/batching plumbing is real and the values are
+    deterministic. Like decode_images, the UDF emits INTEGER stats only;
+    per-frame RMS is appended as a SQL division + sqrt outside the UDF
+    (both IEEE-correctly-rounded → bit-identical cross-engine).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aud = pdf[pdf["kind"] == "audio"]
+            rows = []
+            for _, r in aud.iterrows():
+                b = bytes(r["payload"])
+                n_frames = (len(b) + AUDIO_FRAME_BYTES - 1) // AUDIO_FRAME_BYTES
+                for fi in range(n_frames):
+                    fr = b[fi * AUDIO_FRAME_BYTES : (fi + 1) * AUDIO_FRAME_BYTES]
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": fi,
+                            "n_bytes": len(fr),
+                            "byte_sum": sum(fr),
+                            "sq_sum": sum(x * x for x in fr),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "n_bytes", "byte_sum", "sq_sum"
+            ])
+
+    framed = media.mapInPandas(fn, AUDIO_FRAMES_SCHEMA)
+    rms = F.sqrt(F.col("sq_sum").cast("double") / F.col("n_bytes").cast("double"))
+    return framed.withColumn("rms", rms)
+
+
 def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
     """Audio/video frame sampling plan: sampled frame indices per asset
     (sequence + explode; the decode of each sampled frame is the stub)."""

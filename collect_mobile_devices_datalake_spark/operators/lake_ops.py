@@ -340,3 +340,41 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderkey", "ck").alias("o_orderkey"),
         *[pick(c).alias(c) for c in _ORDER_COLS],
     )
+
+
+@register(
+    "part_table_reassembly",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+    doc="Reference-fidelity demo of the 150-column table sharding "
+    "(app.js:401-436 save_data_to_mysql / distribute_table): a wide logical "
+    "row is split across parent + child physical tables, children carrying "
+    "parent_id (app.js:421-423), and a logical read re-assembles via "
+    "parent JOIN child ON parent_id. Obsolete by design in this engine — "
+    "columnar parquet plus the specs map spine holds arbitrarily wide "
+    "records natively (SURVEY §1.2) — but demonstrated here one-off: shard "
+    "the part table into two physical projections, rejoin on the key, and "
+    "the oracle (a plain scan of the original) proves reassembly is "
+    "lossless. The join is key-equi and broadcastable; at scale you would "
+    "simply never shard.",
+)
+def q_part_table_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    # physical shard 1 (parent): first columns + synthetic id
+    parent = part.select(
+        F.col("p_partkey").alias("id"), "p_name", "p_brand"
+    )
+    # physical shard 2 (child): remaining columns keyed by parent_id
+    child = part.select(
+        F.col("p_partkey").alias("parent_id"), "p_type", "p_size", "p_retailprice"
+    )
+    return parent.join(child, parent["id"] == child["parent_id"]).select(
+        F.col("id").alias("p_partkey"),
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    )

@@ -98,3 +98,52 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     return decode_images(media_table(d))
+
+
+@register(
+    "media_audio_frames",
+    # Frames are 160-byte windows of the payload (10 ms @ 16 kHz 8-bit); the
+    # payload is the utf-8 text, so DuckDB recomputes each frame's byte sums
+    # from substring slices. RMS = sqrt(sq_sum / n) is a SQL-side IEEE
+    # division + sqrt in BOTH engines — bit-identical from integer inputs.
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS media_id, text, length(text) AS len
+      FROM documents WHERE doc_id % 2 <> 0
+    ),
+    idx AS (
+      SELECT media_id, text,
+             CAST(unnest(range(0, (len + 159) // 160)) AS INTEGER) AS frame_idx
+      FROM audio WHERE len > 0
+    ),
+    fr AS (
+      SELECT media_id, frame_idx,
+             substring(text, frame_idx * 160 + 1, 160) AS chunk
+      FROM idx
+    ),
+    sums AS (
+      SELECT media_id, frame_idx,
+             CAST(length(chunk) AS INTEGER) AS n_bytes,
+             list_reduce(list_transform(range(1, length(chunk) + 1),
+               i -> CAST(ascii(substring(chunk, i, 1)) AS BIGINT)),
+               (a, b) -> a + b) AS byte_sum,
+             list_reduce(list_transform(range(1, length(chunk) + 1),
+               i -> CAST(ascii(substring(chunk, i, 1)) AS BIGINT)
+                  * CAST(ascii(substring(chunk, i, 1)) AS BIGINT)),
+               (a, b) -> a + b) AS sq_sum
+      FROM fr
+    )
+    SELECT media_id, frame_idx, n_bytes, byte_sum, sq_sum,
+           sqrt(sq_sum / CAST(n_bytes AS DOUBLE)) AS rms
+    FROM sums
+    """,
+    doc="Audio framing over the binary payload (mapInPandas, Arrow-batched): "
+    "fixed 160-byte frames -> per-frame integer stats + RMS. The audio twin "
+    "of media_decode_stats: codec stubbed, partitioning/batch plumbing and "
+    "frame arithmetic real; value-level oracle from the deterministic stub.",
+)
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import frame_audio
+
+    d = load_table(spark, "documents", sf_dir)
+    return frame_audio(media_table(d))

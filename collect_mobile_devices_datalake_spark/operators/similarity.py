@@ -200,36 +200,45 @@ def _multitable_buckets(vec: Column) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
 
 
-# session-lifetime cache: sf_dir -> parquet path of the built (vec_id, t,
-# bucket) index table (plus its temp dirs, reclaimed at process exit)
-_BUCKET_INDEX_CACHE: dict[str, str] = {}
+# session-lifetime cache: index key -> parquet path of the built index table
+# (temp dirs, reclaimed at process exit)
+_INDEX_CACHE: dict[str, str] = {}
 
 
-def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multi-table LSH index as a PERSISTED parquet table.
+def _persisted_index(spark: SparkSession, key: str, build) -> DataFrame:
+    """Build-once-read-many ANN index as a PERSISTED parquet table.
 
-    This is the 100 TB-honest form of the index: built ONCE per corpus
-    (map-only pass over embeddings, 8 rows of 8-byte (t, bucket) keys per
-    vector), written to storage, then read back by every probe query. The
-    previous shape — ``localCheckpoint(eager=True)`` inside each query —
+    This is the 100 TB-honest form of an index: built ONCE per corpus,
+    written to storage, then read back by every probe query. The previous
+    shape — ``localCheckpoint(eager=True)`` inside each query —
     re-materialized the full index per query, pinned executor storage for
     blocks that are NOT fault-tolerant (a lost executor kills the query),
     and could not be shared across queries or sessions. A real deployment
-    maintains this as a lake table partitioned by ``t`` and z-ordered on
-    ``bucket``; probes prune to the (t, bucket) keys they touch.
+    maintains these as lake tables; probes prune to the keys they touch.
     """
-    path = _BUCKET_INDEX_CACHE.get(sf_dir)
+    path = _INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="lsh_bucket_index_")
+        path = tempfile.mkdtemp(prefix="ann_index_")
+        build().write.mode("overwrite").parquet(path)
+        _INDEX_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH index: (vec_id, t, bucket), one map-only pass over
+    embeddings, 8 rows of 8-byte (t, bucket) keys per vector. At scale:
+    partitioned by ``t``, z-ordered on ``bucket``."""
+
+    def build() -> DataFrame:
         emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-        emb.select(
+        return emb.select(
             "vec_id",
             F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket"),
-        ).write.mode("overwrite").parquet(path)
-        _BUCKET_INDEX_CACHE[sf_dir] = path
-    return spark.read.parquet(path)
+        )
+
+    return _persisted_index(spark, f"lsh:{sf_dir}", build)
 
 
 def _cos_sql_pair(a: str, b: str) -> str:
@@ -700,16 +709,23 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
 def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     cents = kmeans_centroids(emb, k=8, iters=4)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cell", cosine_similarity("embedding", "centroid").alias("sim")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
-        .localCheckpoint(eager=True)
-    )
+
+    # The IVF inverted file — every vector's final cell assignment — is THE
+    # index of this method: persisted once per corpus (deterministic seeds →
+    # deterministic assignment), read by every probe. In production this is
+    # the cell-partitioned lake table probes prune against.
+    def build() -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "cell", cosine_similarity("embedding", "centroid").alias("sim")
+        )
+        wb = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+        return (
+            scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+
+    assigned = _persisted_index(spark, f"ivf:{sf_dir}", build)
     q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -68,6 +68,9 @@ _DRIVER_PRIORITY: list[str] = [
     "sampling",
     "approx_percentiles",
     "q_approx_distinct",
+    # new this round — never sampled
+    "media_audio_frames",
+    "part_table_reassembly",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
