@@ -331,15 +331,32 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The broadcast side is pre-filtered to the QUERY vectors — broadcasting
     # the unfiltered projection would ship the whole corpus to every executor
     # (fine at sf0.1, OOM at 100 TB); the neighbor side stays a shuffle join.
+    # Norms are per-vector, not per-pair: projecting them once per side makes
+    # the re-rank ONE array fold per candidate pair instead of five
+    # (cosine_similarity re-folds both norms inside each branch) — same
+    # sequential fold order, so values stay bit-identical to the oracle.
+    from ..functions.vectors import dot_product, l2_norm
+
     qe = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm("embedding").alias("qn"),
+        )
     )
-    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        l2_norm("embedding").alias("nn"),
+    )
+    cos = F.when(F.col("qn") * F.col("nn") == 0, F.lit(0.0)).otherwise(
+        dot_product("qv", "nv") / (F.col("qn") * F.col("nn"))
+    )
     scored = (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine_similarity("qv", "nv").alias("cos"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -447,12 +464,27 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms projected once per side (one fold per pair at verify; values
+    # bit-identical — see knn_lsh_probe)
+    from ..functions.vectors import dot_product, l2_norm
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    cos = F.when(F.col("na") * F.col("nb") == 0, F.lit(0.0)).otherwise(
+        dot_product("ea", "eb") / (F.col("na") * F.col("nb"))
+    )
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .select("vec_a", "vec_b", cosine_similarity("ea", "eb").alias("cos"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
