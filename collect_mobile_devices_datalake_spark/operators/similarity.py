@@ -782,3 +782,60 @@ def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the recall report's oracle from the two ANN oracles it joins.
+
+    DuckDB accepts a full WITH...SELECT statement as a parenthesized derived
+    table, so each side's oracle embeds verbatim — the report is then
+    value-gated end-to-end through both underlying pipelines.
+    """
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["knn_bruteforce"].oracle
+    approx = REGISTRY["knn_lsh_probe"].oracle
+    return f"""
+    WITH exact_r AS (SELECT * FROM ({exact})),
+    approx_r AS (SELECT * FROM ({approx})),
+    per_q AS (SELECT query_id, COUNT(*) AS n_exact FROM exact_r GROUP BY query_id),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact_r e
+      JOIN approx_r a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, q.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) / CAST(q.n_exact AS DOUBLE) AS recall_at_10
+    FROM per_q q LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@register(
+    "ann_recall_report",
+    oracle=_recall_oracle(),
+    doc="ANN quality gate: per-query recall@10 of the multi-table LSH probe "
+    "against the exact brute-force baseline — the diagnostic every "
+    "embedding-dedup/similarity deployment runs before trusting the "
+    "approximate path. At scale the exact side runs on a hash-sampled "
+    "query subset (both sides here already restrict to vec_id % QUERY_MOD), "
+    "the join keys are (query_id, neighbor_id) int pairs, and the report "
+    "is tiny — cost is dominated by the two ANN pipelines themselves.",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_knn_lsh_probe(spark, sf_dir).select("query_id", "neighbor_id")
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall_at_10"),
+    )

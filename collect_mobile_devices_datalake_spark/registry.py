@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new this round — never sampled
     "media_audio_frames",
     "part_table_reassembly",
+    "ann_recall_report",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",

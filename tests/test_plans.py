@@ -180,6 +180,35 @@ def test_boilerplate_hot_set_is_anti_joined(spark):
     assert "hashpartitioning(h#" in plan or "BroadcastHashJoin" in plan, plan
 
 
+def test_lsh_probe_reads_persisted_index_and_broadcasts_queries(spark):
+    # the bucket index must come from a persisted parquet table (a FileScan
+    # whose location is the built index, not a re-derived signature pipeline
+    # materialized per query), the query side must broadcast, and no
+    # nested-loop/cartesian product may appear anywhere
+    q = REGISTRY["knn_lsh_probe"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ann_index_" in plan, plan  # the persisted index table's scan path
+    assert "BroadcastExchange" in plan, plan  # probes/query vectors move, not corpus
+
+
+def test_media_udf_stages_are_map_only(spark):
+    # decode + audio framing are scan → mapInPandas (→ project): zero
+    # shuffles — the multimodal plumbing must not repartition payload bytes
+    for name in ["media_decode_stats", "media_audio_frames"]:
+        q = REGISTRY[name].spark(spark, SF)
+        assert count_exchanges(q) == 0, formatted_plan(q)
+
+
+def test_part_reassembly_is_equi_join(spark):
+    # parent⋈child reassembly must plan as a key-equi hash/broadcast join
+    q = REGISTRY["part_table_reassembly"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     # 100 TB behavior pinned at test scale: with a selective dim filter and
     # a shuffle join, Spark injects a runtime bloom filter built from the
