@@ -303,3 +303,105 @@ def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source")
     )
+
+
+PQ_SUBSPACES = 8  # 64-dim vectors -> 8 subvectors of 8 dims
+PQ_SUBDIM = 8
+PQ_CODES = 16  # codebook entries per subspace (codes fit in 4 bits)
+
+
+@register(
+    "embedding_pq_codes",
+    # Codebook: subspace s's entry c is the slice of vec_id=c's embedding —
+    # a deterministic "trained" codebook both engines reconstruct from the
+    # table itself. Distances are sequential 8-term folds; the per-vector
+    # error is summed in subspace order via an ordered list fold, so every
+    # double is bit-identical cross-engine.
+    oracle=f"""
+    WITH sp AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+    cb AS (
+      SELECT e.vec_id AS code, sp.s,
+             list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> CAST(e.embedding[sp.s * {PQ_SUBDIM} + i] AS DOUBLE)) AS csub
+      FROM embeddings e CROSS JOIN sp WHERE e.vec_id < {PQ_CODES}
+    ),
+    vs AS (
+      SELECT e.vec_id, sp.s,
+             list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> CAST(e.embedding[sp.s * {PQ_SUBDIM} + i] AS DOUBLE)) AS sub
+      FROM embeddings e CROSS JOIN sp
+    ),
+    d AS (
+      SELECT vs.vec_id, vs.s, cb.code,
+             list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> (sub[i] - csub[i]) * (sub[i] - csub[i])), (a, b) -> a + b) AS dist
+      FROM vs JOIN cb ON vs.s = cb.s
+    ),
+    best AS (
+      SELECT vec_id, s, code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+        FROM d
+      ) WHERE rk = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY s), ' ') AS codes,
+           list_reduce(list(dist ORDER BY s), (a, b) -> a + b) AS quant_err
+    FROM best GROUP BY vec_id
+    """,
+    doc="Product quantization: 64-dim float vectors -> 8 sub-codes of 4 bits "
+    "(64:1 compression vs float32), the memory layer under IVF-PQ ANN at "
+    "100 TB. Codebook (16 entries x 8 subspaces, sliced from the first 16 "
+    "vectors as a deterministic stand-in for per-subspace k-means) is tiny "
+    "and BROADCAST; assignment is a per-(vector, subspace) argmin — "
+    "map-side compute, one narrow groupBy(vec_id) to fold codes back, no "
+    "corpus self-join. Codes stringified (driver canonicalizer hashes "
+    "scalars); quant_err folded in subspace order for bit-stable doubles.",
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    sub_of = lambda s: F.transform(  # noqa: E731
+        F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM), lambda x: x.cast("double")
+    )
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code"), "embedding")
+        .select("code", spaces, "embedding")
+        .select("code", "s", _slice_by_col("embedding").alias("csub"))
+    )
+    vs = emb.select("vec_id", spaces, "embedding").select(
+        "vec_id", "s", _slice_by_col("embedding").alias("sub")
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = vs.join(F.broadcast(cb), "s").select("vec_id", "s", "code", dist.alias("dist"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("vec_id", "s").orderBy("dist", "code")
+    best = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    packed = F.array_sort(F.collect_list(F.struct("s", "code", "dist")))
+    return (
+        best.groupBy("vec_id")
+        .agg(packed.alias("p"))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("p", lambda e: e["code"].cast("string")), " "
+            ).alias("codes"),
+            F.aggregate(
+                F.transform("p", lambda e: e["dist"]), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("quant_err"),
+        )
+    )
+
+
+def _slice_by_col(embedding: str):
+    """Subvector for the exploded subspace column ``s`` (slice start is a
+    Column, so F.slice's int-only signature needs expr)."""
+    return F.transform(
+        F.expr(f"slice({embedding}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
+        lambda x: x.cast("double"),
+    )

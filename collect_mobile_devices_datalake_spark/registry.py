@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: list[str] = [
     "media_audio_frames",
     "part_table_reassembly",
     "ann_recall_report",
+    "embedding_pq_codes",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
