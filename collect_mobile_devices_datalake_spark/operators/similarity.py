@@ -659,15 +659,10 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
     return cents
 
 
-def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
-    """Unrolled Lloyd-in-SQL twin of kmeans_centroids + the probe query.
-
-    Each iteration is two CTEs — argmax-cosine assignment (ties by cell)
-    and a decimal-exact mean-centroid update — chained cent0 → cent{iters};
-    deterministic seeds + exact sums make the whole chain value-identical
-    to the Spark loop, so even the iterative operator gets a hash-level
-    driver gate.
-    """
+def _kmeans_cte_chain(k: int, iters: int) -> list[str]:
+    """Shared CTE prefix: unrolled Lloyd iterations cent0 → cent{iters} plus
+    the ``final`` per-vector cell assignment — reused by the k-means probe
+    oracle and the IVF-PQ oracle."""
     ctes = [
         f"cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
         f"FROM embeddings WHERE vec_id < {k})"
@@ -694,6 +689,19 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
       ) WHERE rk = 1
     )"""
     )
+    return ctes
+
+
+def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
+    """Unrolled Lloyd-in-SQL twin of kmeans_centroids + the probe query.
+
+    Each iteration is two CTEs — argmax-cosine assignment (ties by cell)
+    and a decimal-exact mean-centroid update — chained cent0 → cent{iters};
+    deterministic seeds + exact sums make the whole chain value-identical
+    to the Spark loop, so even the iterative operator gets a hash-level
+    driver gate.
+    """
+    ctes = _kmeans_cte_chain(k, iters)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM final WHERE vec_id % {QUERY_MOD} = 0)"
     )
@@ -729,6 +737,26 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
     )
 
 
+def ivf_assignment(spark: SparkSession, sf_dir: str, emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """The IVF inverted file — every vector's final cell assignment — is THE
+    index of this method: persisted once per corpus (deterministic seeds →
+    deterministic assignment), read by every probe. In production this is
+    the cell-partitioned lake table probes prune against."""
+
+    def build() -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "cell", cosine_similarity("embedding", "centroid").alias("sim")
+        )
+        wb = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+        return (
+            scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+
+    return _persisted_index(spark, f"ivf:{sf_dir}", build)
+
+
 @register(
     "knn_ivf_kmeans_probe",
     oracle=_kmeans_probe_oracle(k=8, iters=4, nprobe=3),
@@ -741,23 +769,7 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
 def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     cents = kmeans_centroids(emb, k=8, iters=4)
-
-    # The IVF inverted file — every vector's final cell assignment — is THE
-    # index of this method: persisted once per corpus (deterministic seeds →
-    # deterministic assignment), read by every probe. In production this is
-    # the cell-partitioned lake table probes prune against.
-    def build() -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "embedding", "cell", cosine_similarity("embedding", "centroid").alias("sim")
-        )
-        wb = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
-        return (
-            scored.withColumn("rk", F.row_number().over(wb))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
-
-    assigned = _persisted_index(spark, f"ivf:{sf_dir}", build)
+    assigned = ivf_assignment(spark, sf_dir, emb, cents)
     q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -838,4 +850,219 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("double")
             / F.col("n_exact").cast("double")
         ).alias("recall_at_10"),
+    )
+
+
+def _ivfpq_oracle(k: int = 8, iters: int = 4, nprobe: int = 3, shortlist: int = 32) -> str:
+    """IVF-PQ twin: the k-means CTE chain + PQ codebook/encode + per-query
+    ADC lookup tables + shortlist + exact re-rank, all value-exact (every
+    double is a sequential fold in a pinned order on both engines)."""
+    from .training import PQ_CODES, PQ_SUBDIM, PQ_SUBSPACES
+
+    ctes = _kmeans_cte_chain(k, iters)
+    ctes.append(f"sp AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s)")
+    ctes.append(
+        f"""cb AS (
+      SELECT e.vec_id AS code, sp.s,
+             list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> CAST(e.embedding[sp.s * {PQ_SUBDIM} + i] AS DOUBLE)) AS csub
+      FROM embeddings e CROSS JOIN sp WHERE e.vec_id < {PQ_CODES}
+    )"""
+    )
+    ctes.append(
+        f"""vsub AS (
+      SELECT e.vec_id, sp.s,
+             list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> CAST(e.embedding[sp.s * {PQ_SUBDIM} + i] AS DOUBLE)) AS sub
+      FROM embeddings e CROSS JOIN sp
+    )"""
+    )
+    ctes.append(
+        f"""codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT v.vec_id, v.s, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+                 list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   i -> (v.sub[i] - c.csub[i]) * (v.sub[i] - c.csub[i])), (a, b) -> a + b),
+                 c.code) AS rk
+        FROM vsub v JOIN cb c ON v.s = c.s
+      ) WHERE rk = 1
+    )"""
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0)"
+    )
+    ctes.append(
+        f"""qc AS (
+      SELECT q.query_id, c.cell, {_cos_sql_pair('q.qv', 'c.centroid')} AS csim
+      FROM q CROSS JOIN cent{iters} c
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS prk
+        FROM qc
+      ) WHERE prk <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        f"""lut AS (
+      SELECT q.query_id, c.s, c.code,
+             list_reduce(list_transform(range(1, {PQ_SUBDIM} + 1),
+               i -> (CAST(q.qv[c.s * {PQ_SUBDIM} + i] AS DOUBLE) - c.csub[i])
+                  * (CAST(q.qv[c.s * {PQ_SUBDIM} + i] AS DOUBLE) - c.csub[i])),
+               (a, b) -> a + b) AS qdist
+      FROM q CROSS JOIN cb c
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN final a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list(l.qdist ORDER BY l.s), (a, b) -> a + b) AS adist
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.s = k.s AND l.code = k.code
+      GROUP BY c.query_id, c.neighbor_id
+    )"""
+    )
+    ctes.append(
+        f"""short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS srk
+        FROM adc
+      ) WHERE srk <= {shortlist}
+    )"""
+    )
+    ctes.append(
+        f"""rerank AS (
+      SELECT s.query_id, s.neighbor_id, {_cos_sql_pair('qa.embedding', 'nb.embedding')} AS cos
+      FROM short s
+      JOIN embeddings qa ON qa.vec_id = s.query_id
+      JOIN embeddings nb ON nb.vec_id = s.neighbor_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM rerank
+    ) WHERE rk <= 10
+    """
+    )
+
+
+@register(
+    "knn_ivfpq_probe",
+    oracle=_ivfpq_oracle(k=8, iters=4, nprobe=3, shortlist=32),
+    doc="The full 100 TB ANN stack — IVF-PQ: k-means coarse cells prune the "
+    "corpus (nprobe=3 of 8), PQ codes (8 sub-codes from a broadcast "
+    "codebook) rank candidates by asymmetric distance WITHOUT touching "
+    "full vectors — per-query lookup tables are 128 floats, candidates "
+    "join on (s, code) ints — and only the adc-shortlist (32/query) "
+    "fetches embeddings for exact re-rank. Both indexes (cell assignment, "
+    "PQ codes) are build-once persisted tables; the probe's working set "
+    "is codes + shortlist vectors, which is what makes billion-vector "
+    "search feasible. Every double is a pinned-order fold, so even this "
+    "three-stage pipeline gets a value-level oracle.",
+)
+def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_product, l2_norm
+    from .training import pq_codebook, pq_encode, _slice_by_col, PQ_SUBSPACES
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    cents = kmeans_centroids(emb, k=8, iters=4)
+    assigned = ivf_assignment(spark, sf_dir, emb, cents)
+    codes = _persisted_index(
+        spark, f"pq:{sf_dir}", lambda: pq_encode(emb).select("vec_id", "s", "code")
+    )
+
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    # nprobe coarse cells per query (centroids tiny -> broadcast)
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "cell", cosine_similarity("qv", "centroid").alias("csim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), "cell")
+    probes = (
+        qc.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= 3)
+        .select("query_id", "cell")
+    )
+    # ADC lookup table: query-subvector -> distance to each codebook entry
+    # (|queries| x 8 subspaces x 16 codes rows -> broadcast)
+    qs = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s"),
+        F.col("qv").alias("embedding"),
+    ).select("query_id", "s", _slice_by_col("embedding").alias("sub"))
+    qdist = F.aggregate(
+        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qs.join(F.broadcast(pq_codebook(emb)), "s").select(
+        "query_id", "s", "code", qdist.alias("qdist")
+    )
+    # candidates: vectors in probed cells (ids only — no vectors move)
+    cand = (
+        probes.join(assigned.select("vec_id", "cell"), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # asymmetric distance from codes alone, folded in subspace order
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "qdist"))).alias("p"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform("p", lambda e: e["qdist"]), F.lit(0.0), lambda a, x: a + x
+            ).alias("adist"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    short = (
+        adc.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= 32)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank over the shortlist only; norms projected once per side
+    qe = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm("embedding").alias("qn"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        l2_norm("embedding").alias("nn"),
+    )
+    cos = F.when(F.col("qn") * F.col("nn") == 0, F.lit(0.0)).otherwise(
+        dot_product("qvec", "nv") / (F.col("qn") * F.col("nn"))
+    )
+    scored = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )

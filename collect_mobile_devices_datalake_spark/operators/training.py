@@ -359,29 +359,7 @@ PQ_CODES = 16  # codebook entries per subspace (codes fit in 4 bits)
 )
 def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-    sub_of = lambda s: F.transform(  # noqa: E731
-        F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM), lambda x: x.cast("double")
-    )
-    spaces = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
-    cb = (
-        emb.filter(F.col("vec_id") < PQ_CODES)
-        .select(F.col("vec_id").alias("code"), "embedding")
-        .select("code", spaces, "embedding")
-        .select("code", "s", _slice_by_col("embedding").alias("csub"))
-    )
-    vs = emb.select("vec_id", spaces, "embedding").select(
-        "vec_id", "s", _slice_by_col("embedding").alias("sub")
-    )
-    dist = F.aggregate(
-        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d = vs.join(F.broadcast(cb), "s").select("vec_id", "s", "code", dist.alias("dist"))
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("vec_id", "s").orderBy("dist", "code")
-    best = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    best = pq_encode(emb)
     packed = F.array_sort(F.collect_list(F.struct("s", "code", "dist")))
     return (
         best.groupBy("vec_id")
@@ -405,3 +383,37 @@ def _slice_by_col(embedding: str):
         F.expr(f"slice({embedding}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
         lambda x: x.cast("double"),
     )
+
+
+def pq_codebook(emb: DataFrame) -> DataFrame:
+    """(code, s, csub): 16 entries per subspace, sliced from the first 16
+    vectors — the deterministic stand-in codebook. Tiny; always broadcast."""
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    return (
+        emb.filter(F.col("vec_id") < PQ_CODES)
+        .select(F.col("vec_id").alias("code"), "embedding")
+        .select("code", spaces, "embedding")
+        .select("code", "s", _slice_by_col("embedding").alias("csub"))
+    )
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, code, dist): each vector's nearest codebook entry per
+    subspace (argmin L2², ties to the lower code id). Map-side compute
+    against the broadcast codebook; dist is a sequential 8-term fold."""
+    from pyspark.sql.window import Window as W
+
+    spaces = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    vs = emb.select("vec_id", spaces, "embedding").select(
+        "vec_id", "s", _slice_by_col("embedding").alias("sub")
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "csub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = vs.join(F.broadcast(pq_codebook(emb)), "s").select(
+        "vec_id", "s", "code", dist.alias("dist")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("dist", "code")
+    return d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY: list[str] = [
     "part_table_reassembly",
     "ann_recall_report",
     "embedding_pq_codes",
+    "knn_ivfpq_probe",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
