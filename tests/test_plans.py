@@ -193,6 +193,16 @@ def test_lsh_probe_reads_persisted_index_and_broadcasts_queries(spark):
     assert "BroadcastExchange" in plan, plan  # probes/query vectors move, not corpus
 
 
+def test_ivfpq_reads_both_persisted_indexes(spark):
+    # IVF-PQ must probe against the two build-once index TABLES (cell
+    # assignment + PQ codes) — two distinct persisted-index scans in the
+    # plan, not per-query re-derivations of the full corpus
+    q = REGISTRY["knn_ivfpq_probe"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert plan.count("ann_index_") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_media_udf_stages_are_map_only(spark):
     # decode + audio framing are scan → mapInPandas (→ project): zero
     # shuffles — the multimodal plumbing must not repartition payload bytes
