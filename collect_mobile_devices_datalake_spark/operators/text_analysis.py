@@ -316,3 +316,68 @@ def q_doc_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_freq"), "word")
         .limit(50)
     )
+
+
+def _funnel_oracle() -> str:
+    """Compose the funnel from the quality-filter and survivorship oracles
+    verbatim (parenthesized WITH-subqueries), then count each stage."""
+    from ..registry import REGISTRY
+    from .training import _SPLIT_HASH_SQL
+
+    quality = REGISTRY["doc_quality_filter"].oracle
+    surv = REGISTRY["dedup_survivors"].oracle
+    bucket = f"{_SPLIT_HASH_SQL} % 100"
+    return f"""
+    WITH quality AS (SELECT doc_id FROM ({quality})),
+    surv AS (SELECT doc_id FROM ({surv}) WHERE is_survivor),
+    kept AS (SELECT q.doc_id FROM quality q JOIN surv s ON s.doc_id = q.doc_id)
+    SELECT '00_raw' AS stage, COUNT(*) AS n FROM documents
+    UNION ALL SELECT '01_quality', COUNT(*) FROM quality
+    UNION ALL SELECT '02_near_dedup', COUNT(*) FROM kept
+    UNION ALL
+    SELECT stage, COUNT(*) FROM (
+      SELECT CASE WHEN {bucket} < 80 THEN '03_train'
+                  WHEN {bucket} < 90 THEN '04_val'
+                  ELSE '05_test' END AS stage
+      FROM kept
+    ) GROUP BY stage
+    """
+
+
+@register(
+    "curation_funnel",
+    oracle=_funnel_oracle(),
+    doc="End-to-end curation funnel report: raw -> quality-filtered -> "
+    "near-dup-deduplicated (LSH survivors) -> per-split counts — the "
+    "one-page summary a training-data pipeline publishes per snapshot. "
+    "Demonstrates operator COMPOSITION: both upstream stages run as "
+    "registered operators and intersect on doc_id sets (left-semi joins "
+    "of 8-byte keys, never payloads); the report itself is six rows. "
+    "Oracle composes the upstream oracles verbatim, so the whole chain "
+    "is value-gated.",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training import split_bucket
+    from .training2 import q_dedup_survivors
+
+    d = load_table(spark, "documents", sf_dir)
+    quality = q_doc_quality_filter(spark, sf_dir).select("doc_id")
+    surv = q_dedup_survivors(spark, sf_dir).filter("is_survivor").select("doc_id")
+    kept = quality.join(surv, "doc_id", "left_semi")
+
+    raw_n = d.agg(F.count("*").alias("n")).select(F.lit("00_raw").alias("stage"), "n")
+    q_n = quality.agg(F.count("*").alias("n")).select(
+        F.lit("01_quality").alias("stage"), "n"
+    )
+    kept_n = kept.agg(F.count("*").alias("n")).select(
+        F.lit("02_near_dedup").alias("stage"), "n"
+    )
+    b = split_bucket("doc_id")
+    split_n = (
+        kept.select(
+            F.when(b < 80, "03_train").when(b < 90, "04_val").otherwise("05_test").alias("stage")
+        )
+        .groupBy("stage")
+        .agg(F.count("*").alias("n"))
+    )
+    return raw_n.unionAll(q_n).unionAll(kept_n).unionAll(split_n)

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "ann_recall_report",
     "embedding_pq_codes",
     "knn_ivfpq_probe",
+    "curation_funnel",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
