@@ -853,7 +853,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(k: int = 8, iters: int = 4, nprobe: int = 3, shortlist: int = 32) -> str:
+# ADC shortlist size: re-rank cost is SHORTLIST exact cosines per query —
+# tiny either way; 64 (vs 32) buys recall@10 0.39 -> 0.52 at sf0.001
+# (0.56 at sf0.01) because the 16-entry stand-in codebook's ADC ranking
+# is crude; with a trained per-subspace k-means codebook the gap closes
+PQ_SHORTLIST = 64
+
+
+def _ivfpq_oracle(k: int = 8, iters: int = 4, nprobe: int = 3, shortlist: int = PQ_SHORTLIST) -> str:
     """IVF-PQ twin: the k-means CTE chain + PQ codebook/encode + per-query
     ADC lookup tables + shortlist + exact re-rank, all value-exact (every
     double is a sequential fold in a pinned order on both engines)."""
@@ -962,12 +969,13 @@ def _ivfpq_oracle(k: int = 8, iters: int = 4, nprobe: int = 3, shortlist: int = 
 
 @register(
     "knn_ivfpq_probe",
-    oracle=_ivfpq_oracle(k=8, iters=4, nprobe=3, shortlist=32),
+    oracle=_ivfpq_oracle(k=8, iters=4, nprobe=3, shortlist=PQ_SHORTLIST),
     doc="The full 100 TB ANN stack — IVF-PQ: k-means coarse cells prune the "
     "corpus (nprobe=3 of 8), PQ codes (8 sub-codes from a broadcast "
     "codebook) rank candidates by asymmetric distance WITHOUT touching "
     "full vectors — per-query lookup tables are 128 floats, candidates "
-    "join on (s, code) ints — and only the adc-shortlist (32/query) "
+    "join on (s, code) ints — and only the adc-shortlist (PQ_SHORTLIST per "
+    "query) "
     "fetches embeddings for exact re-rank. Both indexes (cell assignment, "
     "PQ codes) are build-once persisted tables; the probe's working set "
     "is codes + shortlist vectors, which is what makes billion-vector "
@@ -1038,7 +1046,7 @@ def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     short = (
         adc.withColumn("srk", F.row_number().over(ws))
-        .filter(F.col("srk") <= 32)
+        .filter(F.col("srk") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
     # exact re-rank over the shortlist only; norms projected once per side

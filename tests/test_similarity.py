@@ -53,6 +53,15 @@ def test_kmeans_ivf_recall(spark):
     assert _recall(bf, km) >= 0.55, "k-means IVF recall regressed"
 
 
+def test_ivfpq_recall(spark):
+    # the crude 16-entry stand-in codebook caps ADC ranking quality; with
+    # PQ_SHORTLIST=64 measured recall@10 is 0.515 at sf0.001 — floor just
+    # under to catch encode/ADC/shortlist regressions
+    bf = _pairs(spark, "knn_bruteforce")
+    pq = _pairs(spark, "knn_ivfpq_probe")
+    assert _recall(bf, pq) >= 0.45, "IVF-PQ recall regressed"
+
+
 def test_near_dup_lsh_recall_vs_exact(spark):
     # multiprobe LSH candidates verified exactly: every returned pair must
     # exist in the all-pairs truth set with the same cosine, and recall at
