@@ -563,3 +563,83 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("new_doc", "dup_of", F.round("j", 6).alias("jaccard"))
     )
+
+
+@register(
+    "minhash_estimate_quality",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    sg AS (
+      SELECT doc_id, {_SIG_SQL} AS s FROM (
+        SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+        WHERE len({_SHINGLES_SQL}) > 0
+      )
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             list_reduce(list_transform(range(1, {NUM_PERM} + 1),
+               j -> CASE WHEN sa.s[j] = sb.s[j] THEN 1 ELSE 0 END),
+               (a, b) -> a + b) / {NUM_PERM}.0 AS est_jaccard
+      FROM pairs p
+      JOIN sg sa ON sa.doc_id = p.doc_a
+      JOIN sg sb ON sb.doc_id = p.doc_b
+    ),
+    ex AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS exact_jaccard
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b
+    )
+    SELECT est.doc_a, est.doc_b,
+           round(est.est_jaccard, 6) AS est_jaccard,
+           round(ex.exact_jaccard, 6) AS exact_jaccard,
+           round(abs(est.est_jaccard - ex.exact_jaccard), 6) AS abs_err
+    FROM est JOIN ex ON ex.doc_a = est.doc_a AND ex.doc_b = est.doc_b
+    """,
+    doc="Sketch-quality QA for MinHash dedup: for every LSH candidate pair, "
+    "the signature-estimated Jaccard (matching components / 16) next to "
+    "the exact shingle-set Jaccard and the absolute error — the "
+    "dedup-side twin of ann_recall_report. Pipelines publish this before "
+    "trusting a permutation count; at scale it runs on the candidate "
+    "pairs (already tiny relative to the corpus) joining 16-element "
+    "signature arrays and shingle sets only for those pairs.",
+)
+def q_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(d)
+    pairs = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    matches = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = pairs.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", (matches.cast("double") / NUM_PERM).alias("est_jaccard")
+    )
+    sh = shingled_docs(d).select("doc_id", "sh")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    ex = pairs.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            shared.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - shared).cast("double")
+        ).alias("exact_jaccard"),
+    )
+    return est.join(ex, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("exact_jaccard", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("abs_err"),
+    )

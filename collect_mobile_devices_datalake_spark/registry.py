@@ -75,6 +75,7 @@ _DRIVER_PRIORITY: list[str] = [
     "embedding_pq_codes",
     "knn_ivfpq_probe",
     "curation_funnel",
+    "minhash_estimate_quality",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
