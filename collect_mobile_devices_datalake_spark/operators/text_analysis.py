@@ -381,3 +381,86 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return raw_n.unionAll(q_n).unionAll(kept_n).unionAll(split_n)
+
+
+_WINNOW_W = 4  # fingerprint window: one fingerprint per w consecutive grams
+_POS_PACK = 4294967296  # 2^32: pack (h, pos) -> h*2^32 + (2^32 - pos)
+
+
+@register(
+    "doc_winnowing",
+    # The MOSS winnowing rule (min hash per window, ties -> RIGHTMOST
+    # position) becomes a plain integer MIN by packing (h asc, pos desc)
+    # into one BIGINT: h*2^32 + (2^32 - pos). h < 1e9 so the product stays
+    # under int64; unpacking is integer div/mod — identical in both engines.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             list_reduce(list_transform(range(1, length(g) + 1),
+               c -> CAST(ascii(substring(g, c, 1)) AS BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             min(hh * {_POS_PACK} + ({_POS_PACK} - pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS m,
+             COUNT(*) OVER (PARTITION BY doc_id) AS g_cnt
+      FROM h
+    )
+    SELECT DISTINCT doc_id,
+           m // {_POS_PACK} AS fp_hash,
+           CAST({_POS_PACK} - (m % {_POS_PACK}) AS INTEGER) AS fp_pos
+    FROM wins WHERE pos <= greatest(g_cnt - {_WINNOW_W} + 1, 1)
+    """,
+    doc="Winnowing document fingerprints (the MOSS algorithm): positional "
+    "word-trigram rolling hashes, minimum per sliding window of "
+    f"{_WINNOW_W} (ties to the rightmost position), distinct selected "
+    "(hash, position) pairs per doc. Guarantees a shared fingerprint for "
+    "any sufficiently long verbatim overlap — the local-dedup primitive "
+    "exact hashing misses and MinHash only answers globally. Both "
+    "windows key on doc_id (one hash exchange); output is ~|grams|/w "
+    "8-byte rows per doc.",
+)
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import rolling_hash, word_ngrams
+
+    d = load_table(spark, "documents", sf_dir)
+    grams = d.select(
+        "doc_id", F.posexplode(word_ngrams("text", 3)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    h = grams.select("doc_id", "pos", rolling_hash("g").alias("hh"))
+    key = F.col("hh") * _POS_PACK + (F.lit(_POS_PACK) - F.col("pos"))
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    )
+    w_doc = Window.partitionBy("doc_id")
+    wins = h.select(
+        "doc_id",
+        "pos",
+        F.min(key).over(w_run).alias("m"),
+        F.count("*").over(w_doc).alias("g_cnt"),
+    )
+    return (
+        wins.filter(
+            F.col("pos") <= F.greatest(F.col("g_cnt") - _WINNOW_W + 1, F.lit(1))
+        )
+        .select(
+            "doc_id",
+            F.expr(f"m div {_POS_PACK}").alias("fp_hash"),
+            (F.lit(_POS_PACK) - F.col("m") % _POS_PACK).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+    )

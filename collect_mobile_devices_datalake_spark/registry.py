@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "knn_ivfpq_probe",
     "curation_funnel",
     "minhash_estimate_quality",
+    "doc_winnowing",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
