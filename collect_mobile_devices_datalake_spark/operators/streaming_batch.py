@@ -275,3 +275,63 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(s3, 1)).alias("n_clicked"),
         F.count(F.when(s4, 1)).alias("n_purchased"),
     )
+
+
+@register(
+    "user_rfm_segments",
+    # Segment predicates compare the DECIMAL spend (exact, associative) —
+    # never the surfaced double — so the same user lands in the same
+    # segment under any partial-agg order on any engine.
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             MAX(ts) AS last_seen,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS spend_dec
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_seen, n_events, n_purchases,
+           CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) AS spend,
+           CASE WHEN n_purchases >= 5 AND spend_dec >= 200 THEN 'vip'
+                WHEN n_purchases >= 2 THEN 'active'
+                WHEN n_purchases >= 1 THEN 'occasional'
+                ELSE 'prospect' END AS segment
+    FROM agg
+    """,
+    doc="RFM user segmentation over the event stream: recency (last event "
+    "ts), frequency (events + purchases), monetary (decimal-exact purchase "
+    "spend), and a deterministic threshold segment — single groupBy with "
+    "map-side partial aggregation; segments compare on the exact DECIMAL, "
+    "not the surfaced double, so assignment is engine- and "
+    "partitioning-stable. Fixed thresholds, not quantiles: an ntile here "
+    "would force a global sort at 100 TB.",
+)
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dec
+
+    e = load_table(spark, "events", sf_dir)
+    is_p = F.col("event_type") == "purchase"
+    spend_dec = F.sum(F.when(is_p, dec("value")).otherwise(dec(F.lit(0.0))))
+    agg = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_events"),
+        F.count(F.when(is_p, 1)).alias("n_purchases"),
+        spend_dec.alias("spend_dec"),
+    )
+    return agg.select(
+        "user_id",
+        "last_seen",
+        "n_events",
+        "n_purchases",
+        F.col("spend_dec").cast("double").alias("spend"),
+        F.when(
+            (F.col("n_purchases") >= 5) & (F.col("spend_dec") >= 200), "vip"
+        )
+        .when(F.col("n_purchases") >= 2, "active")
+        .when(F.col("n_purchases") >= 1, "occasional")
+        .otherwise("prospect")
+        .alias("segment"),
+    )

