@@ -1,0 +1,56 @@
+"""Registry-level invariants: the contract surface the driver consumes.
+
+A typo in ``_DRIVER_PRIORITY`` silently drops a query from driver
+certification; a missing oracle silently downgrades a query to a
+rows-only check — both must fail loudly here instead.
+"""
+
+from __future__ import annotations
+
+from collect_mobile_devices_datalake_spark.registry import (
+    _DRIVER_PRIORITY,
+    REGISTRY,
+    _ensure_loaded,
+)
+
+_ensure_loaded()
+
+
+def test_every_query_has_an_oracle():
+    missing = [name for name, spec in REGISTRY.items() if not spec.oracle]
+    assert not missing, f"rows-only queries reintroduced: {missing}"
+
+
+def test_driver_priority_keys_exist_and_are_unique():
+    missing = [k for k in _DRIVER_PRIORITY if k not in REGISTRY]
+    assert not missing, f"_DRIVER_PRIORITY typos: {missing}"
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+
+
+def test_priority_keys_lead_registry_iteration_order():
+    order = list(REGISTRY)
+    assert order[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
+
+
+def test_every_query_has_a_doc():
+    undocumented = [n for n, spec in REGISTRY.items() if not spec.doc.strip()]
+    assert not undocumented, f"undocumented queries: {undocumented}"
+
+
+def test_operator_catalog_is_fresh():
+    with open("docs/OPERATORS.md") as f:
+        head = f.read(2000)
+    assert f"{len(REGISTRY)} registered queries" in head, (
+        "docs/OPERATORS.md is stale — run tools/gen_operators_md.py"
+    )
+
+
+def test_persisted_index_isolated_per_corpus(spark):
+    from collect_mobile_devices_datalake_spark.operators import similarity as S
+
+    a = S.bucket_index(spark, "/root/testdata/sf0.001")
+    b = S.bucket_index(spark, "/root/testdata/sf0.01")
+    assert set(a.inputFiles()) != set(b.inputFiles()), "indexes must not collide"
+    # second call is a cache hit on the same persisted table
+    a2 = S.bucket_index(spark, "/root/testdata/sf0.001")
+    assert set(a.inputFiles()) == set(a2.inputFiles())
