@@ -521,3 +521,63 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@register(
+    "doc_top_terms",
+    # Classic TF-IDF keyword extraction, minus the log: score = tf * N / df
+    # is order-isomorphic to tf * (N/df) and stays in exact integer + one
+    # IEEE division, so rankings are engine-identical (log(x) rounding is
+    # NOT guaranteed identical across libm implementations — see NOTES).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * CAST(n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS score, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    doc="Top-3 characteristic terms per document by log-free TF-IDF "
+    "(tf * N / df — same ranking as tf-idf for fixed N, none of libm's "
+    "cross-engine log() rounding variance). Two narrow aggregations "
+    "(doc-term counts, term document-frequencies) joined on the term "
+    "string, a broadcast scalar for N, and a per-doc window — every "
+    "shuffle keys on term or doc_id, never text bodies.",
+)
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n_docs").cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
+    )

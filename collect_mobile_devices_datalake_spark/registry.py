@@ -79,6 +79,7 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_winnowing",
     "winnowing_overlap_pairs",
     "user_rfm_segments",
+    "doc_top_terms",
     # multimodal + lake ops + graph — never sampled
     "media_features",
     "media_frame_sample",

@@ -93,3 +93,60 @@ def idle_closed_sessions(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- transformWithState: the Spark 4 arbitrary-state API --------------------
+#
+# Same running-totals semantics as applyInPandasWithState above, on the
+# NEWER transformWithStateInPandas engine: state is declared as named,
+# schema'd variables on a handle (value/list/map state, TTL, timers)
+# instead of one opaque tuple, which is what production pipelines should
+# target going forward.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._totals.get() or (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """``running_user_totals`` on ``transformWithStateInPandas`` (update
+    mode, no time semantics) — the modern arbitrary-state operator.
+
+    transformWithState runs only on the RocksDB state store (the provider
+    production clusters use anyway for large keyed state: spill-to-disk,
+    changelog checkpointing); the default HDFS-backed provider does not
+    implement its column-family API, so pin it here (runtime-settable).
+    NOTE: the TWS Python driver worker imports google.protobuf at startup;
+    in environments without it (this container) the query fails at init —
+    the test gates on that import, and ``running_user_totals`` above
+    provides the same semantics on applyInPandasWithState.
+    """
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

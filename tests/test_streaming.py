@@ -507,3 +507,23 @@ def test_stream_static_enrichment_join(spark, tmp):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_running_totals_transform_with_state(spark, tmp):
+    """transformWithStateInPandas twin of the applyInPandasWithState op:
+    same per-user running totals, modern named-state API. The TWS driver
+    worker imports google.protobuf (not shipped in this container) — skip
+    when absent; the applyInPandasWithState op above covers the semantics."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from collect_mobile_devices_datalake_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    d, ev = _events_dir(spark, tmp)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(running_user_totals_tws(stream), name, "update")
+    got = spark.table(name)
+    w_latest = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    assert {tuple(r) for r in w_latest.collect()} == {tuple(r) for r in want.collect()}
