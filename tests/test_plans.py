@@ -219,6 +219,32 @@ def test_part_reassembly_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_winnowing_shares_one_doc_exchange(spark):
+    # both windows (running min, per-doc count) AND the trailing distinct
+    # must reuse ONE hashpartitioning(doc_id...) exchange — Catalyst plans
+    # the doc_id-prefixed distinct on the same partitioning
+    q = REGISTRY["doc_winnowing"].spark(spark, SF)
+    assert count_exchanges(q) == 1, formatted_plan(q)
+
+
+def test_rfm_is_single_partial_aggregate(spark):
+    # one groupBy(user_id) with map-side partial agg; segments are
+    # projections on top — no extra shuffle, no global sort
+    q = REGISTRY["user_rfm_segments"].spark(spark, SF)
+    assert count_exchanges(q) == 1, formatted_plan(q)
+    plan = formatted_plan(q)
+    assert "partial_" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_top_terms_never_single_partition(spark):
+    # tf/df aggregates, term join, per-doc window — all hash-partitioned;
+    # the N scalar is a broadcast, never a SinglePartition exchange
+    q = REGISTRY["doc_top_terms"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     # 100 TB behavior pinned at test scale: with a selective dim filter and
     # a shuffle join, Spark injects a runtime bloom filter built from the
