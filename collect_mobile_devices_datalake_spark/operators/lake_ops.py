@@ -102,8 +102,11 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT user_id, event_type, ts,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS run_id
+             -- BIGINT cast: DuckDB types window-SUM(INTEGER) as HUGEINT,
+             -- which pandas canonicalizes to float64 and hash-mismatches
+             -- Spark's bigint.
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
       FROM flagged
     ),
     collapsed AS (

@@ -45,6 +45,31 @@ def test_operator_catalog_is_fresh():
     )
 
 
+def test_no_oracle_column_types_as_hugeint():
+    """DuckDB types window/conditional SUM(INTEGER) as HUGEINT, which the
+    driver's pandas canonicalizer converts to float64 — hashing ``1.0``
+    against Spark's bigint ``1``. Local parity via ``fetchall()`` (Python
+    ints) never sees it, so the only defense is typing every oracle's
+    output relation: a LIMIT-0 wrap types the projection without running
+    the query. Any HUGEINT/UHUGEINT output column must be CAST to BIGINT
+    in the oracle (the scd2 run_id / q12 line-count incidents, round 5).
+    """
+    from tests.oracle_harness import duckdb_conn
+
+    con = duckdb_conn("/root/testdata/sf0.001")
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        rel = con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if t in ("HUGEINT", "UHUGEINT")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"HUGEINT-typed oracle columns (driver hashes as float): {offenders}"
+
+
 def test_persisted_index_isolated_per_corpus(spark):
     from collect_mobile_devices_datalake_spark.operators import similarity as S
 
