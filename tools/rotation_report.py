@@ -1,10 +1,11 @@
 """Report driver-gate coverage: which registered queries have a hard
 CORRECTNESS row from any round, and which never made the sample.
 
-Run from the repo root: ``python tools/rotation_report.py``. Feed the
-never-checked list into ``registry._DRIVER_PRIORITY`` next round so the
-driver's first-50 sample certifies new surface instead of re-certifying
-the same keys.
+Run from the repo root: ``python tools/rotation_report.py``. The driver
+prefix is no longer hand-pinned: ``registry._ensure_loaded()`` derives
+``_DRIVER_PRIORITY`` from the CORRECTNESS_r*.json history (never-sampled
+first, then latest-red, then least-recently-certified backfill — policy
+documented in registry.py). This report shows what that policy produced.
 """
 
 from __future__ import annotations
@@ -42,6 +43,18 @@ def main() -> None:
     stale = [k for k in in_sample if k in checked]
     print(f"\ncurrent first-50 sample: {len(in_sample) - len(stale)} "
           f"first-time keys, {len(stale)} re-certifications")
+
+    # breakdown of the derived prefix by policy tier
+    last_round: dict[str, int] = {}
+    for f, keys in per_round.items():
+        import re
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for k in keys:
+            last_round[k] = max(last_round.get(k, 0), rnd)
+    recert = [(k, last_round[k]) for k in stale]
+    print("\nre-certified keys (key, last driver round):")
+    for k, rnd in recert:
+        print(f"  {k}  r{rnd}")
 
 
 if __name__ == "__main__":
