@@ -204,23 +204,45 @@ def q_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS median_exact,
-           TRUE AS est_within_1pct
+           TRUE AS est_rank_ok
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="approx_percentile (KLL-style sketch) — mergeable, single pass, the "
-    "percentile path that scales. The sketch value itself is engine-specific, "
-    "so the oracled output is the exact median plus a tolerance assertion: the "
-    "sketch estimate must land within 1% of exact, which a 10000-bucket "
-    "sketch guarantees by construction — if the sketch ever drifts, the "
-    "boolean flips and the oracle fails.",
+    doc="approx_percentile (GK sketch) — mergeable, single pass, the "
+    "percentile path that scales. The sketch value is engine-specific, so "
+    "the oracled output is the exact median plus a tolerance assertion on "
+    "what the sketch actually guarantees: RANK error ≤ N/accuracy (a "
+    "value-relative bound would be skew-dependent and can legitimately "
+    "fail on a heavy-tailed column). The estimate's rank interval "
+    "[count(<est), count(<=est)] must intersect N/2 ± 2N/accuracy; if the "
+    "sketch drifts past its bound, the boolean flips and the oracle fails.",
 )
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ACC = 10000
     li = load_table(spark, "lineitem", sf_dir)
-    est = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000))
-    exact = F.percentile("l_extendedprice", F.lit(0.5))
-    return li.groupBy("l_returnflag").agg(
-        F.round(exact, 4).alias("median_exact"),
-        (F.abs(est - exact) / exact < 0.01).alias("est_within_1pct"),
+    est_df = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(ACC)).alias("est"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_exact"),
+    )
+    # rank the estimate within its group: with ties, the estimate occupies
+    # the rank interval [count(<est), count(<=est)]
+    ranked = (
+        li.join(F.broadcast(est_df), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("median_exact").alias("median_exact"),
+            F.count("*").alias("n"),
+            F.sum((F.col("l_extendedprice") < F.col("est")).cast("long")).alias("r_lt"),
+            F.sum((F.col("l_extendedprice") <= F.col("est")).cast("long")).alias("r_le"),
+        )
+    )
+    target = F.col("n") * 0.5
+    tol = F.greatest(F.col("n") * (2.0 / ACC), F.lit(2.0))
+    return ranked.select(
+        "l_returnflag",
+        "median_exact",
+        ((F.col("r_lt") <= target + tol) & (F.col("r_le") >= target - tol)).alias(
+            "est_rank_ok"
+        ),
     )
 
 

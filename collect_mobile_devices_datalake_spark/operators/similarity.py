@@ -205,7 +205,38 @@ def _multitable_buckets(vec: Column) -> Column:
 _INDEX_CACHE: dict[str, str] = {}
 
 
-def _persisted_index(spark: SparkSession, key: str, build) -> DataFrame:
+def clear_index_cache() -> None:
+    """Invalidation hook: drop every cached index path (next probe rebuilds)."""
+    _INDEX_CACHE.clear()
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the embeddings source: sorted
+    (relpath, size, mtime_ns) over every file under ``embeddings.parquet``.
+    Folded into the index cache key, so regenerating the corpus in place
+    (e.g. a test fixture rewriting the same path) can never be served a
+    stale index built from the previous bytes.
+    """
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    h = hashlib.sha1()
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns};".encode()
+                )
+    else:
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, build) -> DataFrame:
     """Build-once-read-many ANN index as a PERSISTED parquet table.
 
     This is the 100 TB-honest form of an index: built ONCE per corpus,
@@ -215,7 +246,12 @@ def _persisted_index(spark: SparkSession, key: str, build) -> DataFrame:
     blocks that are NOT fault-tolerant (a lost executor kills the query),
     and could not be shared across queries or sessions. A real deployment
     maintains these as lake tables; probes prune to the keys they touch.
+
+    The cache key is composed here — algorithm kind + algorithm parameters
+    + corpus path + corpus fingerprint — so no caller can accidentally
+    collide two indexes that differ in parameters or underlying bytes.
     """
+    key = f"{kind}:{params}:{sf_dir}:{_corpus_fingerprint(sf_dir)}"
     path = _INDEX_CACHE.get(key)
     if path is None:
         import tempfile
@@ -238,7 +274,9 @@ def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket"),
         )
 
-    return _persisted_index(spark, f"lsh:{sf_dir}", build)
+    return _persisted_index(
+        spark, "lsh", sf_dir, f"t{N_TABLES}p{PLANES_PER_TABLE}", build
+    )
 
 
 def _cos_sql_pair(a: str, b: str) -> str:
@@ -737,11 +775,18 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
     )
 
 
-def ivf_assignment(spark: SparkSession, sf_dir: str, emb: DataFrame, cents: DataFrame) -> DataFrame:
+def ivf_assignment(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, cents: DataFrame, params: str
+) -> DataFrame:
     """The IVF inverted file — every vector's final cell assignment — is THE
     index of this method: persisted once per corpus (deterministic seeds →
     deterministic assignment), read by every probe. In production this is
-    the cell-partitioned lake table probes prune against."""
+    the cell-partitioned lake table probes prune against.
+
+    ``params`` must encode the k-means parameters that produced ``cents``
+    (e.g. ``"k8i4"``) — it is part of the cache key, so two callers with
+    different quantizers can never share an assignment table.
+    """
 
     def build() -> DataFrame:
         scored = emb.crossJoin(F.broadcast(cents)).select(
@@ -754,7 +799,7 @@ def ivf_assignment(spark: SparkSession, sf_dir: str, emb: DataFrame, cents: Data
             .select("vec_id", "embedding", "cell")
         )
 
-    return _persisted_index(spark, f"ivf:{sf_dir}", build)
+    return _persisted_index(spark, "ivf", sf_dir, params, build)
 
 
 @register(
@@ -769,7 +814,7 @@ def ivf_assignment(spark: SparkSession, sf_dir: str, emb: DataFrame, cents: Data
 def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     cents = kmeans_centroids(emb, k=8, iters=4)
-    assigned = ivf_assignment(spark, sf_dir, emb, cents)
+    assigned = ivf_assignment(spark, sf_dir, emb, cents, params="k8i4")
     q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -988,9 +1033,10 @@ def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     cents = kmeans_centroids(emb, k=8, iters=4)
-    assigned = ivf_assignment(spark, sf_dir, emb, cents)
+    assigned = ivf_assignment(spark, sf_dir, emb, cents, params="k8i4")
     codes = _persisted_index(
-        spark, f"pq:{sf_dir}", lambda: pq_encode(emb).select("vec_id", "s", "code")
+        spark, "pq", sf_dir, f"s{PQ_SUBSPACES}",
+        lambda: pq_encode(emb).select("vec_id", "s", "code"),
     )
 
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(

@@ -29,6 +29,11 @@ _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 # packing shard: engine-portable multiplicative hash (training.py) mod 16
 from .training import _SPLIT_HASH_SQL as _TRAIN_HASH_SQL  # noqa: E402
 
+# _funnel_oracle composes REGISTRY['dedup_survivors'] at decoration time;
+# importing its home module here (not relying on registry._ensure_loaded's
+# pinned order) keeps `import operators.text_analysis` standalone-safe.
+from . import training2  # noqa: E402, F401
+
 _PACK_SHARD_SQL = f"({_TRAIN_HASH_SQL}) % 16"
 
 

@@ -9,10 +9,11 @@ checkpointed with the query, partitioned by the grouping key.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
@@ -127,6 +128,36 @@ class _RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state-store provider to one query start.
+
+    The provider class is read from the session conf when a streaming
+    query STARTS (then pinned in its checkpoint), so it cannot be set via
+    a writeStream option — but setting it permanently would silently
+    switch the provider for every other streaming query started later in
+    the same session. Save/restore around the ``start()`` call instead.
+    """
+    # get(key, None) is None only when the key is truly UNSET — a bare
+    # get() would return SQLConf's built-in default and we would then
+    # "restore" by pinning that default explicitly.
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """``running_user_totals`` on ``transformWithStateInPandas`` (update
     mode, no time semantics) — the modern arbitrary-state operator.
@@ -134,16 +165,14 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     transformWithState runs only on the RocksDB state store (the provider
     production clusters use anyway for large keyed state: spill-to-disk,
     changelog checkpointing); the default HDFS-backed provider does not
-    implement its column-family API, so pin it here (runtime-settable).
+    implement its column-family API. Start the returned query inside
+    ``with rocksdb_state_store(spark):`` — building the plan here does NOT
+    mutate the session conf (the provider is only read at query start).
     NOTE: the TWS Python driver worker imports google.protobuf at startup;
     in environments without it (this container) the query fails at init —
     the test gates on that import, and ``running_user_totals`` above
     provides the same semantics on applyInPandasWithState.
     """
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningTotalsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

@@ -79,3 +79,30 @@ def test_near_dup_lsh_recall_vs_exact(spark):
     for k, v in lsh.items():
         assert v == exact[k], f"cosine mismatch for {k}"
     assert len(lsh) / len(exact) >= 0.5, f"recall regressed: {len(lsh)}/{len(exact)}"
+
+
+def test_index_cache_key_includes_params_and_corpus_fingerprint(tmp_path):
+    # Regenerating a corpus in place must change the fingerprint (stale
+    # cached indexes can never be served), and algorithm parameters must
+    # be part of the composed key (different quantizers never collide).
+    import shutil
+    import os
+    import time
+
+    from collect_mobile_devices_datalake_spark.operators import similarity as S
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = str(tmp_path / "embeddings.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+    fp1 = S._corpus_fingerprint(str(tmp_path))
+    # rewrite in place: bump mtime on every file of the table
+    later = time.time() + 10
+    targets = (
+        [os.path.join(r, f) for r, _, fs in os.walk(dst) for f in fs]
+        if os.path.isdir(dst)
+        else [dst]
+    )
+    for p in targets:
+        os.utime(p, (later, later))
+    fp2 = S._corpus_fingerprint(str(tmp_path))
+    assert fp1 != fp2, "fingerprint must change when the corpus is rewritten"
