@@ -181,7 +181,9 @@ def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = span.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
     )
-    grid = e.select("event_type").distinct().crossJoin(hours)
+    # both grid sides are dimension-sized; the broadcast hint pins the plan
+    # (BroadcastNestedLoopJoin) rather than leaving it to AQE at scale
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
     return (
         grid.join(hourly, ["event_type", "h"], "left")
         .select(

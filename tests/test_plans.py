@@ -275,3 +275,13 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_gap_fill_grid_is_broadcast(spark):
+    # the event_type x hours grid crossJoin must plan as a broadcast
+    # (BroadcastNestedLoopJoin), never a SortMergeJoin/CartesianProduct —
+    # both grid sides are dimension-sized at any scale factor
+    q = REGISTRY["events_gap_fill_hourly"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
