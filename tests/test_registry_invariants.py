@@ -39,10 +39,14 @@ def test_every_query_has_a_doc():
 
 def test_operator_catalog_is_fresh():
     with open("docs/OPERATORS.md") as f:
-        head = f.read(2000)
-    assert f"{len(REGISTRY)} registered queries" in head, (
+        content = f.read()
+    assert f"{len(REGISTRY)} registered queries" in content[:2000], (
         "docs/OPERATORS.md is stale — run tools/gen_operators_md.py"
     )
+    # every registered query must appear as a catalog row (count drift is
+    # necessary but not sufficient: an add+remove pair keeps the count)
+    missing = [n for n in REGISTRY if f"`{n}`" not in content]
+    assert not missing, f"catalog rows missing (regenerate): {missing}"
 
 
 def test_no_driver_hostile_oracle_column_types():
