@@ -1120,3 +1120,214 @@ def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+# --- graph ANN (NSW-flavored) ------------------------------------------------
+#
+# HNSW's core idea — navigate a small-world neighbor graph instead of
+# scanning buckets — restated for a lake: the graph IS a persisted table
+# (src, dst, rk), built once per corpus, partitioned by src in production;
+# a probe expands a bounded number of hops through it (each hop = one hash
+# join on src) and exactly re-ranks the visited set. The sequential
+# insert-time hierarchy of real HNSW does not distribute, so the graph is
+# built flat from LSH co-bucket candidates (the same persisted bucket
+# index the multiprobe path uses) — candidate generation never goes
+# quadratic in the corpus, and probe cost is M^hops per query regardless
+# of corpus size.
+
+NSW_M = 16  # out-degree kept per node (measured: recall@10 0.845 at 2 hops
+# on sf0.01 vs 0.67 for M=8 — the wider degree beats an extra hop on both
+# recall AND candidate budget, M+M^2=272 vs 584)
+
+# shared oracle fragment: the deterministic graph build, unrolled —
+# Hamming-1 multiprobe co-bucket pairs -> exact cosine -> top-M per src
+# (ties by dst). Multiprobe at BUILD time is what makes the graph good:
+# exact-bucket-only edges gave recall 0.25 at the same probe budget.
+_NSW_GRAPH_CTES = f"""
+    bk AS (
+      SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+    ),
+    gprobes AS (
+      SELECT bk.vec_id AS src, bk.t,
+             CASE WHEN f.f = 0 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+      FROM bk CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+    ),
+    gpairs AS (
+      SELECT DISTINCT p.src, y.vec_id AS dst
+      FROM gprobes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.src
+    ),
+    gscored AS (
+      SELECT gpairs.src, gpairs.dst, {_cos_sql_pair('sa.embedding', 'sb.embedding')} AS cos
+      FROM gpairs
+      JOIN embeddings sa ON sa.vec_id = gpairs.src
+      JOIN embeddings sb ON sb.vec_id = gpairs.dst
+    ),
+    graph AS (
+      SELECT src, dst, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM gscored
+      ) WHERE rk <= {NSW_M}
+    )
+"""
+
+
+def nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted k-NN neighbor graph (src, dst, rk): for every vector, its
+    top-``NSW_M`` exact-cosine neighbors among Hamming-1 multiprobe
+    co-bucket candidates (the same probe expansion the LSH probe uses,
+    applied at build time for every node). Build-once via
+    ``_persisted_index`` (key carries M + corpus fingerprint); at 100 TB
+    this is a src-partitioned lake table and the probe-bucket join is
+    bounded by bucket occupancy, never corpus^2."""
+
+    def build() -> DataFrame:
+        from ..functions.vectors import dot_product, l2_norm
+
+        emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+        idx = bucket_index(spark, sf_dir)
+        probes = idx.select(
+            F.col("vec_id").alias("src"),
+            "t",
+            F.explode(
+                F.concat(
+                    F.array(F.col("bucket")),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+                        lambda b: F.col("bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+                        ),
+                    ),
+                )
+            ).alias("probe"),
+        )
+        pairs = (
+            probes.alias("x")
+            .join(
+                idx.alias("y"),
+                (F.col("x.t") == F.col("y.t"))
+                & (F.col("x.probe") == F.col("y.bucket"))
+                & (F.col("y.vec_id") != F.col("x.src")),
+            )
+            .select(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        se = emb.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("sv"),
+            l2_norm("embedding").alias("sn"),
+        )
+        de = emb.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("dv"),
+            l2_norm("embedding").alias("dn"),
+        )
+        cos = F.when(F.col("sn") * F.col("dn") == 0, F.lit(0.0)).otherwise(
+            dot_product("sv", "dv") / (F.col("sn") * F.col("dn"))
+        )
+        scored = pairs.join(se, "src").join(de, "dst").select("src", "dst", cos.alias("cos"))
+        w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= NSW_M)
+            .select("src", "dst", "rk")
+        )
+
+    return _persisted_index(spark, "nsw", sf_dir, f"m{NSW_M}", build)
+
+
+@register(
+    "nsw_graph_edges",
+    oracle=f"""
+    WITH {_NSW_GRAPH_CTES}
+    SELECT src, dst, rk FROM graph
+    """,
+    doc="The persisted NSW neighbor-graph index itself, surfaced as a "
+    "query: per-vector top-M exact-cosine neighbors among Hamming-1 "
+    "multiprobe co-bucket candidates (deterministic hyperplanes, ties by "
+    "dst). Value-gating the index table means every downstream graph "
+    "probe inherits a verified foundation.",
+)
+def q_nsw_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nsw_graph(spark, sf_dir)
+
+
+@register(
+    "knn_nsw_probe",
+    oracle=f"""
+    WITH {_NSW_GRAPH_CTES},
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    h1 AS (SELECT q.query_id, g.dst FROM q JOIN graph g ON g.src = q.query_id),
+    h2 AS (SELECT h1.query_id, g.dst FROM h1 JOIN graph g ON g.src = h1.dst),
+    cand AS (
+      SELECT DISTINCT query_id, dst AS neighbor_id
+      FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) u
+      WHERE u.dst <> u.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_cos_sql_pair('qa.embedding', 'nb.embedding')} AS cos
+      FROM cand
+      JOIN embeddings qa ON qa.vec_id = cand.query_id
+      JOIN embeddings nb ON nb.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="Graph ANN probe (NSW-flavored): start at the query's own graph "
+    "neighborhood, expand neighbors-of-neighbors (2 hops, <= M + M^2 "
+    "candidates per query), exact-cosine re-rank top-10. Each hop is one "
+    "hash join against the persisted src-partitioned graph — probe cost "
+    "is independent of corpus size, the property that makes graph ANN "
+    "the state of the art at billion scale. Candidates are (int, int) "
+    "pairs; embeddings join in only at re-rank.",
+)
+def q_knn_nsw_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_product, l2_norm
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    g = nsw_graph(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    h1 = (
+        g.join(F.broadcast(q), g.src == q.query_id)
+        .select("query_id", "dst")
+    )
+    g2 = g.alias("g2")
+    h2 = (
+        g2.join(F.broadcast(h1.alias("h")), F.col("g2.src") == F.col("h.dst"))
+        .select(F.col("h.query_id").alias("query_id"), F.col("g2.dst").alias("dst"))
+    )
+    cand = (
+        h1.unionByName(h2)
+        .filter(F.col("dst") != F.col("query_id"))
+        .dropDuplicates(["query_id", "dst"])
+        .withColumnRenamed("dst", "neighbor_id")
+    )
+    qe = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        l2_norm("embedding").alias("qn"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        l2_norm("embedding").alias("nn"),
+    )
+    cos = F.when(F.col("qn") * F.col("nn") == 0, F.lit(0.0)).otherwise(
+        dot_product("qv", "nv") / (F.col("qn") * F.col("nn"))
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
+    )

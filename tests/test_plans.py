@@ -285,3 +285,12 @@ def test_gap_fill_grid_is_broadcast(spark):
     plan = formatted_plan(q)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_nsw_probe_reads_persisted_graph(spark):
+    # the probe must read the persisted graph index (never rebuild it
+    # inline) and expand hops as hash joins — no cartesian anywhere
+    q = REGISTRY["knn_nsw_probe"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "ann_index_" in plan, plan
+    assert "CartesianProduct" not in plan, plan
