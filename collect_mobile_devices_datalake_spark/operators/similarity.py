@@ -1331,3 +1331,75 @@ def q_knn_nsw_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+def _methods_recall_oracle() -> str:
+    """Compose ONE report over every approximate method vs the exact
+    baseline — each method's full oracle embeds verbatim as a derived
+    table (the ann_recall_report pattern, widened to the whole ANN
+    stack)."""
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["knn_bruteforce"].oracle
+    methods = {
+        "lsh_multiprobe": REGISTRY["knn_lsh_probe"].oracle,
+        "ivf_kmeans": REGISTRY["knn_ivf_kmeans_probe"].oracle,
+        "ivf_pq": REGISTRY["knn_ivfpq_probe"].oracle,
+        "nsw_graph": REGISTRY["knn_nsw_probe"].oracle,
+    }
+    arms = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS method,
+           CAST((SELECT COUNT(*) FROM exact_r e
+                 JOIN ({sql}) a ON a.query_id = e.query_id
+                               AND a.neighbor_id = e.neighbor_id) AS BIGINT) AS n_hits
+    """
+        for name, sql in methods.items()
+    )
+    return f"""
+    WITH exact_r AS (SELECT * FROM ({exact})),
+    tot AS (SELECT COUNT(*) AS n_exact FROM exact_r),
+    arms AS ({arms})
+    SELECT arms.method, arms.n_hits, CAST(tot.n_exact AS BIGINT) AS n_exact,
+           round(arms.n_hits / CAST(tot.n_exact AS DOUBLE), 6) AS recall_at_10
+    FROM arms CROSS JOIN tot
+    """
+
+
+@register(
+    "ann_methods_recall",
+    oracle=_methods_recall_oracle(),
+    doc="One-page ANN bake-off: corpus-level recall@10 of every "
+    "approximate method (multiprobe LSH, IVF k-means, IVF-PQ, NSW graph) "
+    "against the exact brute-force baseline — the report that justifies "
+    "which index a deployment builds at 100 TB. Each method's full "
+    "pipeline (persisted index + probe) runs as its registered operator; "
+    "hit counts join on (query_id, neighbor_id) int pairs; the report is "
+    "four rows. Value-gated end-to-end through all five pipelines.",
+)
+def q_ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    methods = {
+        "lsh_multiprobe": q_knn_lsh_probe,
+        "ivf_kmeans": q_knn_ivf_kmeans_probe,
+        "ivf_pq": q_knn_ivfpq_probe,
+        "nsw_graph": q_knn_nsw_probe,
+    }
+    tot = exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+    arms = None
+    for name, fn in methods.items():
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        arm = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+            F.lit(name).alias("method"), F.count("*").cast("bigint").alias("n_hits")
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    # the baseline total joins in as a broadcast one-row scalar — no
+    # driver-side count() action in the builder
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "method",
+        "n_hits",
+        "n_exact",
+        F.round(F.col("n_hits") / F.col("n_exact").cast("double"), 6).alias(
+            "recall_at_10"
+        ),
+    )

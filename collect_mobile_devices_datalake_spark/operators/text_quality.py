@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import STOPWORDS
 from ..registry import register
 from ..session import fan_out, load_table
 
@@ -152,4 +153,104 @@ def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac("w").alias("dup_word_frac"),
         frac("bi").alias("dup_bigram_frac"),
         frac("tri").alias("dup_trigram_frac"),
+    )
+
+
+# --- Gopher-style rule report ------------------------------------------------
+
+# thresholds adapted to this corpus (47-558 chars, no newlines); the rule
+# SET is the recognizable part — word-count band, mean word length band,
+# alpha-word fraction, stopword presence, symbol-to-word ratio
+_GR_MIN_WORDS, _GR_MAX_WORDS = 10, 1000
+_GR_MIN_MWL, _GR_MAX_MWL = 2.0, 12.0
+_GR_MIN_ALPHA_FRAC = 0.8
+_GR_MIN_SW_HITS = 2
+_GR_MAX_SYMBOL_RATIO = 0.1
+
+_GR_SW = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             round(CAST(list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+                   / len(w), 6) AS mean_word_len,
+             round(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len(w), 6) AS alpha_word_frac,
+             len(list_filter(w, x -> lower(x) IN ({_GR_SW}))) AS sw_hits,
+             round(CAST(len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%')) AS DOUBLE)
+                   / len(w), 6) AS symbol_ratio
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+           CAST(n_words BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS} AS BOOLEAN) AS ok_word_count,
+           CAST(mean_word_len BETWEEN {_GR_MIN_MWL} AND {_GR_MAX_MWL} AS BOOLEAN) AS ok_mean_word_len,
+           CAST(alpha_word_frac >= {_GR_MIN_ALPHA_FRAC} AS BOOLEAN) AS ok_alpha_words,
+           CAST(sw_hits >= {_GR_MIN_SW_HITS} AS BOOLEAN) AS ok_stopwords,
+           CAST(symbol_ratio <= {_GR_MAX_SYMBOL_RATIO} AS BOOLEAN) AS ok_symbols,
+           CAST(n_words BETWEEN {_GR_MIN_WORDS} AND {_GR_MAX_WORDS}
+                AND mean_word_len BETWEEN {_GR_MIN_MWL} AND {_GR_MAX_MWL}
+                AND alpha_word_frac >= {_GR_MIN_ALPHA_FRAC}
+                AND sw_hits >= {_GR_MIN_SW_HITS}
+                AND symbol_ratio <= {_GR_MAX_SYMBOL_RATIO} AS BOOLEAN) AS pass_all
+    FROM m
+    """,
+    doc="Gopher-style rule report (Rae et al. 2021 filter set, thresholds "
+    "fit to this corpus): per-document word-count band, mean-word-length "
+    "band, alphabetic-word fraction, stopword presence, symbol-to-word "
+    "ratio — each surfaced as its own boolean plus the conjunction, the "
+    "way curation pipelines audit WHY documents fail rather than just "
+    "dropping them. Pure per-row array expressions over one token split "
+    "— zero shuffles, scan speed at 100 TB. Mean word length divides two "
+    "exact integers (IEEE-identical across engines).",
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = _tokens(d).filter(F.size("w") > 0)
+    sw = STOPWORDS["en"]
+    n = F.size("w").cast("bigint")
+    mwl = F.round(
+        F.aggregate("w", F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n, 6
+    )
+    alpha = F.round(
+        F.size(F.filter("w", lambda x: x.rlike("[a-zA-Z]"))).cast("double") / n, 6
+    )
+    sw_hits = F.size(F.filter("w", lambda x: F.lower(x).isin(sw)))
+    sym = F.round(
+        F.size(
+            F.filter("w", lambda x: x.contains("#") | x.contains("..."))
+        ).cast("double")
+        / n,
+        6,
+    )
+    m = toks.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("alpha_word_frac"),
+        sw_hits.alias("sw_hits"),
+        sym.alias("symbol_ratio"),
+    )
+    ok_wc = F.col("n_words").between(_GR_MIN_WORDS, _GR_MAX_WORDS)
+    ok_mwl = F.col("mean_word_len").between(_GR_MIN_MWL, _GR_MAX_MWL)
+    ok_alpha = F.col("alpha_word_frac") >= _GR_MIN_ALPHA_FRAC
+    ok_sw = F.col("sw_hits") >= _GR_MIN_SW_HITS
+    ok_sym = F.col("symbol_ratio") <= _GR_MAX_SYMBOL_RATIO
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_sw.alias("ok_stopwords"),
+        ok_sym.alias("ok_symbols"),
+        (ok_wc & ok_mwl & ok_alpha & ok_sw & ok_sym).alias("pass_all"),
     )
