@@ -643,3 +643,80 @@ def q_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("exact_jaccard", 6).alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias("abs_err"),
     )
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    g AS (
+      SELECT doc_id, unnest(list_distinct({_HASHES_SQL})) AS h
+      FROM documents WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.doc_a
+      JOIN g gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           round(i.n_inter / CAST(sa.n AS DOUBLE), 6) AS containment_ab,
+           round(i.n_inter / CAST(sb.n AS DOUBLE), 6) AS containment_ba,
+           round(i.n_inter / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.doc_a
+    JOIN sz sb ON sb.doc_id = i.doc_b
+    """,
+    doc="Asymmetric containment over LSH candidate pairs: "
+    "C(A,B) = |A∩B|/|A| and C(B,A) = |A∩B|/|B| over distinct "
+    "shingle-hash sets, alongside symmetric Jaccard. Containment is the "
+    "sub-document-duplication detector — a short doc fully embedded in a "
+    "long one scores C≈1 while Jaccard stays low, so symmetric dedup "
+    "misses it. Shape: candidate pairs come from the LSH bands (never "
+    "all-pairs); shingle sets join on 8-byte hashes per (doc, h); "
+    "candidate pairs with zero exact overlap (LSH false positives) drop "
+    "out at the inner join. All counts integer-exact, divisions "
+    "IEEE-identical across engines.",
+)
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(d))
+    g = (
+        shingled_docs(d)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", rolling_hash("shingle").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    gb = g.select(F.col("doc_id").alias("gb_doc"), F.col("h").alias("hb"))
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("gb_doc")) & (F.col("hb") == F.col("ha")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(F.col("n_inter") / F.col("na").cast("double"), 6).alias(
+                "containment_ab"
+            ),
+            F.round(F.col("n_inter") / F.col("nb").cast("double"), 6).alias(
+                "containment_ba"
+            ),
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

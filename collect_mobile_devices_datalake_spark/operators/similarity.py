@@ -1403,3 +1403,105 @@ def q_ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+# vectors with vec_id % DELTA_MOD == DELTA_REM play the "newly arrived
+# batch" whose graph edges must be computed without rebuilding the index
+DELTA_MOD, DELTA_REM = 7, 3
+
+
+@register(
+    "nsw_graph_delta",
+    oracle=f"""
+    WITH bk AS (
+      SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+    ),
+    dprobes AS (
+      SELECT bk.vec_id AS src, bk.t,
+             CASE WHEN f.f = 0 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+      FROM bk CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      WHERE bk.vec_id % {DELTA_MOD} = {DELTA_REM}
+    ),
+    dpairs AS (
+      SELECT DISTINCT p.src, y.vec_id AS dst
+      FROM dprobes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.src
+    ),
+    dscored AS (
+      SELECT dpairs.src, dpairs.dst, {_cos_sql_pair('sa.embedding', 'sb.embedding')} AS cos
+      FROM dpairs
+      JOIN embeddings sa ON sa.vec_id = dpairs.src
+      JOIN embeddings sb ON sb.vec_id = dpairs.dst
+    )
+    SELECT src, dst, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      FROM dscored
+    ) WHERE rk <= {NSW_M}
+    """,
+    doc="Incremental graph-index maintenance: compute the NSW edges for a "
+    "newly-arrived vector batch (vec_id % 7 == 3 stands in for the "
+    "arrivals) WITHOUT rebuilding any other node — multiprobe the batch "
+    "against the persisted bucket index, exact-cosine the candidates, "
+    "keep top-M, append to the graph table. This is the operational loop "
+    "at 100 TB: index builds are one-time, arrivals are per-batch edge "
+    "computations proportional to batch x bucket occupancy. (Reverse-edge "
+    "refresh for affected neighbors is the same join with src/dst "
+    "swapped, run on a compaction cadence.) Probe-side work mirrors the "
+    "resume anti-join idea at the index layer: only the delta is "
+    "computed, never the corpus.",
+)
+def q_nsw_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_product, l2_norm
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    idx = bucket_index(spark, sf_dir)
+    probes = (
+        idx.filter(F.col("vec_id") % DELTA_MOD == DELTA_REM)
+        .select(
+            F.col("vec_id").alias("src"),
+            "t",
+            F.explode(
+                F.concat(
+                    F.array(F.col("bucket")),
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+                        lambda b: F.col("bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+                        ),
+                    ),
+                )
+            ).alias("probe"),
+        )
+    )
+    pairs = (
+        F.broadcast(probes.alias("x"))
+        .join(
+            idx.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.probe") == F.col("y.bucket"))
+            & (F.col("y.vec_id") != F.col("x.src")),
+        )
+        .select(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    se = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("sv"),
+        l2_norm("embedding").alias("sn"),
+    )
+    de = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("dv"),
+        l2_norm("embedding").alias("dn"),
+    )
+    cos = F.when(F.col("sn") * F.col("dn") == 0, F.lit(0.0)).otherwise(
+        dot_product("sv", "dv") / (F.col("sn") * F.col("dn"))
+    )
+    scored = pairs.join(se, "src").join(de, "dst").select("src", "dst", cos.alias("cos"))
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NSW_M)
+        .select("src", "dst", "rk")
+    )

@@ -127,3 +127,26 @@ def test_nsw_graph_degree_bounded(spark):
     g = nsw_graph(spark, SF)
     deg = g.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     assert deg <= NSW_M, f"out-degree {deg} exceeds NSW_M={NSW_M}"
+
+
+def test_nsw_delta_matches_full_build_for_batch(spark):
+    # incremental maintenance must be exact: the delta computation for the
+    # "newly arrived" batch produces the same edges the full rebuild would
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        DELTA_MOD,
+        DELTA_REM,
+        nsw_graph,
+    )
+    from pyspark.sql import functions as F
+
+    full = {
+        (r["src"], r["dst"], r["rk"])
+        for r in nsw_graph(spark, SF)
+        .filter(F.col("src") % DELTA_MOD == DELTA_REM)
+        .collect()
+    }
+    delta = {
+        (r["src"], r["dst"], r["rk"])
+        for r in REGISTRY["nsw_graph_delta"].spark(spark, SF).collect()
+    }
+    assert delta == full and len(delta) > 0
