@@ -294,3 +294,21 @@ def test_nsw_probe_reads_persisted_graph(spark):
     plan = formatted_plan(q)
     assert "ann_index_" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_pairs_no_cartesian(spark):
+    # candidate pairs come from LSH bands; the shingle-set intersection
+    # joins on (doc, hash) keys — an all-pairs plan would be a regression
+    q = REGISTRY["doc_containment_pairs"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_nsw_delta_reads_persisted_bucket_index(spark):
+    # the delta must probe the PERSISTED bucket index (never re-hash the
+    # corpus) and keep the batch side broadcast
+    q = REGISTRY["nsw_graph_delta"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "ann_index_" in plan, plan
+    assert "CartesianProduct" not in plan, plan
