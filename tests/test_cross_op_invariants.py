@@ -114,3 +114,29 @@ def test_minhash_lsh_recall_of_exact_jaccard_pairs(spark):
     n_hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi").count()
     assert n_exact > 0
     assert n_hit / n_exact >= 0.7, f"{n_hit}/{n_exact}"
+
+
+def test_containment_jaccard_matches_minhash_exact_jaccard(spark):
+    """Two independent computations of exact pair Jaccard must agree:
+    doc_containment_pairs works over distinct shingle-HASH sets while
+    minhash_estimate_quality intersects the shingle STRING arrays — equal
+    unless the rolling hash collides within a pair (none on this corpus).
+    Also check the containment bounds: max(c_ab, c_ba) >= jaccard."""
+    cont = {
+        (r["doc_a"], r["doc_b"]): (
+            r["jaccard"],
+            r["containment_ab"],
+            r["containment_ba"],
+        )
+        for r in _q(spark, "doc_containment_pairs").collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["exact_jaccard"]
+        for r in _q(spark, "minhash_estimate_quality").collect()
+    }
+    shared = set(cont) & set(est)
+    assert shared, "operators must share LSH candidate pairs"
+    for k in shared:
+        j, cab, cba = cont[k]
+        assert j == est[k], f"jaccard mismatch for {k}: {j} vs {est[k]}"
+        assert max(cab, cba) >= j, f"containment bound violated for {k}"
