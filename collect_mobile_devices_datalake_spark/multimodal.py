@@ -183,3 +183,58 @@ def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
     return audio.select(
         "media_id", F.explode(idx).alias("frame_idx")
     )
+
+
+RESIZE_TARGET = 64  # fit the long edge into a 64-px box, aspect preserved
+
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, out_w int, out_h int, "
+    "stride int, sample_sum bigint"
+)
+
+
+def resize_images(media: DataFrame) -> DataFrame:
+    """mapInPandas resize: image rows → target dimensions + a strided
+    byte-resample checksum.
+
+    STUB codec, REAL dataflow: a real build calls PIL/cv2 here; the
+    deterministic fake computes the aspect-preserving output box with
+    integer math (floor division — mirrored exactly in the SQL twin) and
+    "resamples" by summing every stride-th payload byte, so the Arrow
+    batch transfer, per-asset loop, and integer plumbing are exercised
+    end to end. Map-only: payload bytes never shuffle.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            rows = []
+            for _, r in img.iterrows():
+                w = int(r["meta"]["width"]) if r["meta"]["width"] is not None else 0
+                h = int(r["meta"]["height"]) if r["meta"]["height"] is not None else 0
+                long_edge = max(w, h, 1)
+                out_w = max(1, (w * RESIZE_TARGET) // long_edge)
+                out_h = max(1, (h * RESIZE_TARGET) // long_edge)
+                payload = bytes(r["payload"])
+                stride = max(1, len(payload) // (out_w * out_h))
+                sample_sum = sum(payload[::stride]) if payload else 0
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": w,
+                        "height": h,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "stride": stride,
+                        "sample_sum": sample_sum,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "out_w", "out_h",
+                    "stride", "sample_sum",
+                ],
+            )
+
+    return media.mapInPandas(fn, RESIZED_SCHEMA)

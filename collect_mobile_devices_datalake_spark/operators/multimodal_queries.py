@@ -147,3 +147,50 @@ def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return frame_audio(media_table(d))
+
+
+@register(
+    "media_resize_stats",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST((doc_id % 8 + 1) * 64 AS INTEGER) AS width,
+             CAST((doc_id % 4 + 1) * 64 AS INTEGER) AS height,
+             text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    dims AS (
+      SELECT media_id, width, height,
+             greatest(1, (width * 64) // greatest(width, height)) AS out_w,
+             greatest(1, (height * 64) // greatest(width, height)) AS out_h,
+             text
+      FROM img
+    ),
+    strided AS (
+      SELECT media_id, width, height,
+             CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
+             CAST(greatest(1, length(text) // (out_w * out_h)) AS INTEGER) AS stride,
+             text
+      FROM dims
+    )
+    SELECT media_id, width, height, out_w, out_h, stride,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(list_transform(range(1, length(text) + 1, stride),
+                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (a, b) -> a + b)
+           END AS sample_sum
+    FROM strided
+    """,
+    doc="Image resize plan (stub codec, real Arrow dataflow): "
+    "aspect-preserving fit of each image into a 64-px box via integer "
+    "floor math, plus a strided byte-resample checksum computed in the "
+    "mapInPandas kernel — the oracle recomputes both from metadata and "
+    "payload text, so the UDF's batch transfer and per-asset arithmetic "
+    "are value-gated. Map-only: zero shuffles, payload never leaves the "
+    "executor. Completes the decode / feature-extract / resize / "
+    "frame-sample multimodal set.",
+)
+def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import resize_images
+
+    d = load_table(spark, "documents", sf_dir)
+    return resize_images(media_table(d))

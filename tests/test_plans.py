@@ -206,7 +206,7 @@ def test_ivfpq_reads_both_persisted_indexes(spark):
 def test_media_udf_stages_are_map_only(spark):
     # decode + audio framing are scan → mapInPandas (→ project): zero
     # shuffles — the multimodal plumbing must not repartition payload bytes
-    for name in ["media_decode_stats", "media_audio_frames"]:
+    for name in ["media_decode_stats", "media_audio_frames", "media_resize_stats"]:
         q = REGISTRY[name].spark(spark, SF)
         assert count_exchanges(q) == 0, formatted_plan(q)
 
