@@ -1505,3 +1505,72 @@ def q_nsw_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= NSW_M)
         .select("src", "dst", "rk")
     )
+
+
+def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> DataFrame:
+    """Graph edges for a batch of NEW vectors (vec_id, embedding) against
+    the persisted corpus bucket index — the foreachBatch kernel of the
+    streaming maintenance loop (streaming/graph_maintenance.py).
+
+    The batch is hashed map-side with the same deterministic hyperplanes
+    the index was built with, multiprobed (Hamming-1), joined to the
+    persisted index for candidates, exact-cosined against corpus vectors,
+    and truncated to top-``NSW_M`` — identical math to ``nsw_graph_delta``
+    (a test pins batch-streamed edges == the registered delta query).
+    """
+    from ..functions.vectors import dot_product, l2_norm
+
+    idx = bucket_index(spark, sf_dir)
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    bk = batch.select(
+        F.col("vec_id").alias("src"),
+        F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket"),
+    )
+    probes = bk.select(
+        "src",
+        "t",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+                    lambda b: F.col("bucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+                    ),
+                ),
+            )
+        ).alias("probe"),
+    )
+    pairs = (
+        F.broadcast(probes.alias("x"))
+        .join(
+            idx.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.probe") == F.col("y.bucket"))
+            & (F.col("y.vec_id") != F.col("x.src")),
+        )
+        .select(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    se = batch.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("sv"),
+        l2_norm("embedding").alias("sn"),
+    )
+    de = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("dv"),
+        l2_norm("embedding").alias("dn"),
+    )
+    cos = F.when(F.col("sn") * F.col("dn") == 0, F.lit(0.0)).otherwise(
+        dot_product("sv", "dv") / (F.col("sn") * F.col("dn"))
+    )
+    scored = pairs.join(F.broadcast(se), "src").join(de, "dst").select(
+        "src", "dst", cos.alias("cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NSW_M)
+        .select("src", "dst", "rk")
+    )

@@ -559,3 +559,57 @@ def test_rocksdb_state_store_context_restores_conf(spark):
             spark.conf.unset(_PROVIDER_KEY)
         else:
             spark.conf.set(_PROVIDER_KEY, before)
+
+
+def test_graph_maintenance_stream_matches_batch_delta(spark, tmp):
+    """The streaming maintenance loop must produce EXACTLY the edges the
+    batch delta operator computes, across chunked arrivals, a restart
+    with the same checkpoint, and a wholesale re-delivery of old files."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        DELTA_MOD,
+        DELTA_REM,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.graph_maintenance import (
+        start_graph_maintenance_stream,
+    )
+
+    sf = SF
+    arrivals = (
+        load_table(spark, "embeddings", sf)
+        .filter(F.col("vec_id") % DELTA_MOD == DELTA_REM)
+        .select("vec_id", "embedding")
+    )
+    vec_dir = os.path.join(tmp, "vectors_in")
+    graph_dir = os.path.join(tmp, "graph")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    first = arrivals.filter(F.col("vec_id") < 250)
+    first.coalesce(1).write.mode("append").parquet(vec_dir)
+    q1 = start_graph_maintenance_stream(spark, vec_dir, graph_dir, sf, ckpt)
+    q1.awaitTermination(120)
+
+    # second chunk lands; restart with the SAME checkpoint → only the delta
+    arrivals.filter(F.col("vec_id") >= 250).coalesce(1).write.mode("append").parquet(vec_dir)
+    q2 = start_graph_maintenance_stream(spark, vec_dir, graph_dir, sf, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(graph_dir).collect()
+    }
+    want = {
+        (r["src"], r["dst"], r["rk"])
+        for r in REGISTRY["nsw_graph_delta"].spark(spark, sf).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # re-delivery: no new files → no-op; duplicate an old file under a new
+    # name → src anti-join keeps the graph unchanged
+    first.coalesce(1).write.mode("append").parquet(vec_dir)
+    q3 = start_graph_maintenance_stream(spark, vec_dir, graph_dir, sf, ckpt)
+    q3.awaitTermination(120)
+    again = {
+        (r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(graph_dir).collect()
+    }
+    assert again == want
