@@ -1574,3 +1574,87 @@ def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> D
         .filter(F.col("rk") <= NSW_M)
         .select("src", "dst", "rk")
     )
+
+
+SEMDEDUP_PREFIX = 4  # collision key = first 4 of 8 sub-codes; the full
+# 8-code word is too selective on this small corpus (0 collisions at
+# sf0.01) while the 4-code prefix yields a meaningful candidate set (12
+# pairs) — at web scale the knob trades recall against candidate mass
+
+
+def _semdedup_oracle() -> str:
+    """Compose from the PQ-codes oracle verbatim: vectors sharing the
+    leading sub-code prefix are semantic-dup candidates; exact cosine
+    annotates each collision pair."""
+    from ..registry import REGISTRY
+
+    pq = REGISTRY["embedding_pq_codes"].oracle
+    return f"""
+    WITH pq AS (
+      SELECT vec_id,
+             array_to_string((string_split(codes, ' '))[1:{SEMDEDUP_PREFIX}], ' ') AS key
+      FROM ({pq})
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.key AS code_word
+      FROM pq a JOIN pq b ON a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT p.vec_a, p.vec_b, p.code_word,
+           round({_cos_sql_pair('ea.embedding', 'eb.embedding')}, 6) AS cosine
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.vec_a
+    JOIN embeddings eb ON eb.vec_id = p.vec_b
+    """
+
+
+@register(
+    "semdedup_pq_collisions",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup-style semantic near-dup prefilter via PQ codes: vectors "
+    "whose leading 4-sub-code prefix collides are duplicate candidates, found "
+    "with a groupBy on a ~4-byte key instead of any vector math — the "
+    "cheapest corpus-scale semantic dedup pass, then exact cosine "
+    "annotates the (few) collision pairs for thresholding. At 100 TB the "
+    "code table is 64:1 smaller than the vectors and the collision join "
+    "shuffles only code words; embeddings are fetched for collision "
+    "pairs alone. Composes the persisted PQ-code pipeline verbatim, so "
+    "the whole chain is value-gated.",
+)
+def q_semdedup_pq_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot_product, l2_norm
+    from ..registry import REGISTRY
+
+    pq = (
+        REGISTRY["embedding_pq_codes"]
+        .spark(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.array_join(
+                F.slice(F.split("codes", " "), 1, SEMDEDUP_PREFIX), " "
+            ).alias("key"),
+        )
+    )
+    a = pq.select(F.col("vec_id").alias("vec_a"), F.col("key").alias("code_word"))
+    b = pq.select(F.col("vec_id").alias("vec_b"), F.col("key").alias("codes_b"))
+    pairs = a.join(
+        b, (F.col("code_word") == F.col("codes_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b", "code_word")
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    cos = F.when(F.col("na") * F.col("nb") == 0, F.lit(0.0)).otherwise(
+        dot_product("va", "vb") / (F.col("na") * F.col("nb"))
+    )
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", "code_word", F.round(cos, 6).alias("cosine"))
+    )
