@@ -9,6 +9,7 @@ HEADLINE = [
     "q02_min_cost_supplier", "q21_lone_returner", "split_contamination",
     "cdc_snapshot_diff", "zorder_manifest", "scd2_event_type_history",
     "boilerplate_removal", "dedup_incremental", "curriculum_bins",
+    "knn_nsw_probe", "nsw_graph_delta", "doc_containment_pairs",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
