@@ -200,6 +200,23 @@ def _multitable_buckets(vec: Column) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
 
 
+def _multiprobe(bucket: Column) -> Column:
+    """Hamming-1 multiprobe expansion: the bucket itself plus every
+    single-bit flip (PLANES_PER_TABLE + 1 probe keys per table). The ONE
+    definition of the probe scheme — shared by the LSH probe, near-dup
+    pairs, and every graph build / maintenance path, and mirrored by the
+    xor(bucket, 2^(f-1)) CASE in the SQL oracles."""
+    return F.concat(
+        F.array(bucket),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+            lambda b: bucket.bitwiseXOR(
+                F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+            ),
+        ),
+    )
+
+
 # session-lifetime cache: index key -> parquet path of the built index table
 # (temp dirs, reclaimed at process exit)
 _INDEX_CACHE: dict[str, str] = {}
@@ -340,15 +357,7 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "t",
             F.explode(
-                F.concat(
-                    F.array(F.col("bucket")),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-                        lambda b: F.col("bucket").bitwiseXOR(
-                            F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
-                        ),
-                    ),
-                )
+                _multiprobe(F.col("bucket"))
             ).alias("probe"),
         )
     )
@@ -479,15 +488,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "t",
         F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-                    lambda f: F.col("bucket").bitwiseXOR(
-                        F.pow(F.lit(2.0), f.cast("double")).cast("bigint")
-                    ),
-                ),
-            )
+            _multiprobe(F.col("bucket"))
         ).alias("probe"),
     )
     x = probes.alias("x")
@@ -1191,15 +1192,7 @@ def nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("src"),
             "t",
             F.explode(
-                F.concat(
-                    F.array(F.col("bucket")),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-                        lambda b: F.col("bucket").bitwiseXOR(
-                            F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
-                        ),
-                    ),
-                )
+                _multiprobe(F.col("bucket"))
             ).alias("probe"),
         )
         pairs = (
@@ -1378,7 +1371,13 @@ def _methods_recall_oracle() -> str:
     "four rows. Value-gated end-to-end through all five pipelines.",
 )
 def q_ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # the exact baseline feeds four arm joins plus the total — checkpoint
+    # it once or Spark re-runs the corpus-quadratic scan five times
+    exact = (
+        q_knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     methods = {
         "lsh_multiprobe": q_knn_lsh_probe,
         "ivf_kmeans": q_knn_ivf_kmeans_probe,
@@ -1452,59 +1451,15 @@ DELTA_MOD, DELTA_REM = 7, 3
     "computed, never the corpus.",
 )
 def q_nsw_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import dot_product, l2_norm
-
+    # ONE implementation of the edge math: the registered delta is the
+    # streaming kernel applied to the batch-shaped subset (the kernel
+    # re-hashes the batch map-side; value-identical to reading the
+    # persisted bucket rows, and the streaming parity test pins it)
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-    idx = bucket_index(spark, sf_dir)
-    probes = (
-        idx.filter(F.col("vec_id") % DELTA_MOD == DELTA_REM)
-        .select(
-            F.col("vec_id").alias("src"),
-            "t",
-            F.explode(
-                F.concat(
-                    F.array(F.col("bucket")),
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-                        lambda b: F.col("bucket").bitwiseXOR(
-                            F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
-                        ),
-                    ),
-                )
-            ).alias("probe"),
-        )
+    batch = emb.filter(F.col("vec_id") % DELTA_MOD == DELTA_REM).select(
+        "vec_id", "embedding"
     )
-    pairs = (
-        F.broadcast(probes.alias("x"))
-        .join(
-            idx.alias("y"),
-            (F.col("x.t") == F.col("y.t"))
-            & (F.col("x.probe") == F.col("y.bucket"))
-            & (F.col("y.vec_id") != F.col("x.src")),
-        )
-        .select(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
-    se = emb.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("sv"),
-        l2_norm("embedding").alias("sn"),
-    )
-    de = emb.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("dv"),
-        l2_norm("embedding").alias("dn"),
-    )
-    cos = F.when(F.col("sn") * F.col("dn") == 0, F.lit(0.0)).otherwise(
-        dot_product("sv", "dv") / (F.col("sn") * F.col("dn"))
-    )
-    scored = pairs.join(se, "src").join(de, "dst").select("src", "dst", cos.alias("cos"))
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= NSW_M)
-        .select("src", "dst", "rk")
-    )
+    return nsw_edges_for_batch(spark, sf_dir, batch)
 
 
 def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> DataFrame:
@@ -1530,15 +1485,7 @@ def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> D
         "src",
         "t",
         F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
-                    lambda b: F.col("bucket").bitwiseXOR(
-                        F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
-                    ),
-                ),
-            )
+            _multiprobe(F.col("bucket"))
         ).alias("probe"),
     )
     pairs = (
@@ -1622,16 +1569,28 @@ def _semdedup_oracle() -> str:
 )
 def q_semdedup_pq_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot_product, l2_norm
-    from ..registry import REGISTRY
+    from .training import PQ_SUBSPACES, pq_encode
 
+    # read the PERSISTED (vec_id, s, code) table — same cache key as
+    # knn_ivfpq_probe, so the codes are encoded once per corpus, not per
+    # query — and fold the first SEMDEDUP_PREFIX sub-codes into the
+    # collision key (s-ordered, matching the oracle's string slice)
+    emb_for_codes = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    codes = _persisted_index(
+        spark, "pq", sf_dir, f"s{PQ_SUBSPACES}",
+        lambda: pq_encode(emb_for_codes).select("vec_id", "s", "code"),
+    )
     pq = (
-        REGISTRY["embedding_pq_codes"]
-        .spark(spark, sf_dir)
-        .select(
-            "vec_id",
+        codes.filter(F.col("s") < SEMDEDUP_PREFIX)
+        .groupBy("vec_id")
+        .agg(
             F.array_join(
-                F.slice(F.split("codes", " "), 1, SEMDEDUP_PREFIX), " "
-            ).alias("key"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x.getField("code").cast("string"),
+                ),
+                " ",
+            ).alias("key")
         )
     )
     a = pq.select(F.col("vec_id").alias("vec_a"), F.col("key").alias("code_word"))

@@ -62,10 +62,12 @@ DRIVER_SAMPLE_SIZE = 50
 # from the recorded CORRECTNESS_r*.json history at import time — not a
 # hand-pinned list — so it cannot be steered away from regressions:
 #
-#   1. keys with NO driver row in any recorded round (first-time
+#   1. keys whose MOST RECENT driver row failed any of
+#      rows/schema/hash (red rows get re-checked until green — they are
+#      few by construction, so they lead even a large add wave of new
+#      operators and can never be pushed past the sample cut);
+#   2. keys with NO driver row in any recorded round (first-time
 #      certification), in registration order;
-#   2. keys whose MOST RECENT driver row failed any of
-#      rows/schema/hash (red rows get re-checked until green);
 #   3. backfill to DRIVER_SAMPLE_SIZE with previously-certified keys,
 #      LEAST-RECENTLY-sampled first — every round re-verifies the
 #      oldest certifications, so the sample stays representative and a
@@ -124,7 +126,7 @@ def _compute_driver_priority(registration_order: list[str]) -> list[str]:
         (k for k in registration_order if k in last_round and k not in red),
         key=lambda k: (last_round[k], registration_order.index(k)),
     )
-    prio = never + red
+    prio = red + never
     prio += oldest_first[: max(0, DRIVER_SAMPLE_SIZE - len(prio))]
     return prio
 

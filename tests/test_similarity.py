@@ -108,6 +108,29 @@ def test_index_cache_key_includes_params_and_corpus_fingerprint(tmp_path):
     assert fp1 != fp2, "fingerprint must change when the corpus is rewritten"
 
 
+def test_index_cache_distinguishes_algorithm_params(spark):
+    # two callers with the same kind+corpus but different params must get
+    # separate builds — reverting the key composition to kind+corpus only
+    # would hand the k16 caller the cached k8 index
+    from collect_mobile_devices_datalake_spark.operators import similarity as S
+
+    calls = []
+
+    def build_a():
+        calls.append("a")
+        return spark.range(1).selectExpr("id AS v")
+
+    def build_b():
+        calls.append("b")
+        return spark.range(2).selectExpr("id AS v")
+
+    a1 = S._persisted_index(spark, "testkind", SF, "k8", build_a)
+    b1 = S._persisted_index(spark, "testkind", SF, "k16", build_b)
+    a2 = S._persisted_index(spark, "testkind", SF, "k8", build_a)
+    assert calls == ["a", "b"], "params must be part of the cache key"
+    assert a1.count() == 1 and b1.count() == 2 and a2.count() == 1
+
+
 def test_nsw_probe_recall(spark):
     # multiprobe-built graph (M=16) + 2-hop expansion measured 0.845 at
     # sf0.01 and 0.85 at sf0.001; floor catches graph-quality regressions

@@ -613,3 +613,48 @@ def test_graph_maintenance_stream_matches_batch_delta(spark, tmp):
         (r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(graph_dir).collect()
     }
     assert again == want
+
+
+def test_graph_maintenance_replay_repairs_partial_commit(spark, tmp):
+    """Checkpoint replay of a PARTIALLY-committed batch must repair it —
+    recompute every edge and overwrite the batch's partition wholesale —
+    not freeze the partial state (the src-guard deliberately excludes
+    the replayed batch's own partition)."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        DELTA_MOD,
+        DELTA_REM,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.graph_maintenance import (
+        _maintain_batch,
+    )
+
+    batch = (
+        load_table(spark, "embeddings", SF)
+        .filter(F.col("vec_id") % DELTA_MOD == DELTA_REM)
+        .select("vec_id", "embedding")
+    )
+    graph_dir = os.path.join(tmp, "graph")
+    fn = _maintain_batch(graph_dir, SF)
+
+    fn(batch, 0)
+    bdir = os.path.join(graph_dir, "batch=0")
+    want = {(r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(bdir).collect()}
+    assert want
+
+    # simulate a partial commit: drop committed part files (all of them
+    # when the batch wrote a single part — the lost-write extreme)
+    parts = [n for n in os.listdir(bdir) if n.endswith(".parquet")]
+    removed = parts[: max(1, len(parts) // 2)]
+    for n in removed:
+        os.remove(os.path.join(bdir, n))
+    if len(removed) < len(parts):
+        partial = {
+            (r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(bdir).collect()
+        }
+        assert partial != want
+
+    # checkpoint replay re-invokes the SAME batch id → wholesale repair
+    fn(batch, 0)
+    got = {(r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(bdir).collect()}
+    assert got == want

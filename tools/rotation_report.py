@@ -3,58 +3,53 @@ CORRECTNESS row from any round, and which never made the sample.
 
 Run from the repo root: ``python tools/rotation_report.py``. The driver
 prefix is no longer hand-pinned: ``registry._ensure_loaded()`` derives
-``_DRIVER_PRIORITY`` from the CORRECTNESS_r*.json history (never-sampled
-first, then latest-red, then least-recently-certified backfill — policy
-documented in registry.py). This report shows what that policy produced.
+``_DRIVER_PRIORITY`` from the CORRECTNESS_r*.json history (latest-red
+first, then never-sampled, then least-recently-certified backfill —
+policy documented in registry.py). This report shows what that policy
+produced, using the SAME history fold the policy uses (no parallel
+implementation to drift).
 """
 
 from __future__ import annotations
 
-import glob
-import json
 import sys
 
 sys.path.insert(0, ".")
 
 from collect_mobile_devices_datalake_spark.registry import (  # noqa: E402
+    DRIVER_SAMPLE_SIZE,
     REGISTRY,
+    _correctness_history,
     _ensure_loaded,
 )
 
 
 def main() -> None:
     _ensure_loaded()
+    history = _correctness_history()
     checked: set[str] = set()
-    per_round: dict[str, set[str]] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        keys = set(json.load(open(f)))
-        per_round[f] = keys
-        checked |= keys
+    last_round: dict[str, int] = {}
+    for rnd, rows in history:
+        for k in rows:
+            checked.add(k)
+            last_round[k] = rnd
     order = list(REGISTRY)
     never = [k for k in order if k not in checked]
     print(f"registered: {len(order)}; driver-checked (any round): "
           f"{len(checked & set(order))}; never checked: {len(never)}")
-    for f, keys in per_round.items():
-        print(f"  {f}: {len(keys)} keys")
+    for rnd, rows in history:
+        print(f"  round {rnd}: {len(rows)} keys")
     print("\nnever-checked, in current registration order:")
     for k in never:
         print(f"  {k}")
-    in_sample = order[:50]
+    in_sample = order[:DRIVER_SAMPLE_SIZE]
     stale = [k for k in in_sample if k in checked]
-    print(f"\ncurrent first-50 sample: {len(in_sample) - len(stale)} "
-          f"first-time keys, {len(stale)} re-certifications")
-
-    # breakdown of the derived prefix by policy tier
-    last_round: dict[str, int] = {}
-    for f, keys in per_round.items():
-        import re
-        rnd = int(re.search(r"r(\d+)", f).group(1))
-        for k in keys:
-            last_round[k] = max(last_round.get(k, 0), rnd)
-    recert = [(k, last_round[k]) for k in stale]
+    print(f"\ncurrent first-{DRIVER_SAMPLE_SIZE} sample: "
+          f"{len(in_sample) - len(stale)} first-time keys, "
+          f"{len(stale)} re-certifications")
     print("\nre-certified keys (key, last driver round):")
-    for k, rnd in recert:
-        print(f"  {k}  r{rnd}")
+    for k in stale:
+        print(f"  {k}  r{last_round[k]}")
 
 
 if __name__ == "__main__":
