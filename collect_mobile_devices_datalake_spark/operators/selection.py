@@ -1,0 +1,374 @@
+"""Sketch-gated membership + model-based data-selection operators.
+
+Three pretraining-pipeline families the repo did not cover yet, each
+fully value-oracled because every "sketch" here is built from a
+deterministic cross-engine hash (a 31-polynomial over ASCII codes mod
+2^31-1 — identical arithmetic in Spark column expressions and DuckDB
+list lambdas, parity-tested in tests/test_selection.py):
+
+- **Bloom-prefiltered resume** (`resume_bloom_prefilter`,
+  `bloom_fp_report`): the reference's crawl-resume set difference
+  (app.js:457-482) behind a Bloom filter. Spark's own
+  ``BloomFilterAggregate`` exists only as an internal runtime-filter
+  expression in this build (not SQL-registered — see
+  tests/test_plans.py::test_runtime_bloom_filter_prunes_probe_side for
+  the optimizer-injected form), so the filter is materialized the
+  *relational* way: the set of set bit positions is a table. That form
+  is equivalent, plan-visible, broadcastable, and — because the hash is
+  deterministic — bit-for-bit reproducible in the DuckDB oracle,
+  which checks the Bloom DECISION itself, not just the rescued output.
+
+- **DSIR-style importance scoring** (`dsir_importance_score`): Data
+  Selection via Importance Resampling (Xie et al. 2023,
+  arXiv:2302.03169) scores raw documents by an importance weight
+  between a small target distribution and the raw corpus over hashed
+  n-gram features. Logs through libm round differently per engine, so
+  the per-bucket weight is the add-one frequency RATIO in exact
+  fixed-point: ``w_b = (1024·(t_b+1)·R) // ((r_b+1)·T) − 1024`` —
+  integer floor division on both engines, centered so w_b ≈
+  1024·ln-ratio to first order (the corpus' frequency contrasts are
+  within ±10%, where the linearization is tight; a whole-bit
+  floor(log2) quantization would flatten them all to zero).
+
+- **Rarity scoring** (`doc_rarity_bits`): a CCNet-flavored (Wenzek et
+  al. 2020) LM-perplexity surrogate with the same integer-bits trick:
+  each token contributes ``flog2(N // df)`` bits (its IDF rounded down
+  to whole bits); the per-doc mean separates rare-vocabulary documents
+  from boilerplate-vocabulary ones at scan cost.
+
+Scale notes live on each operator's docstring; the common theme is
+that every sketch/model table here is bounded (2^20 bloom bits, 4096
+feature buckets, corpus vocabulary) and broadcast, while the document
+mass only ever moves through ordinary hash aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..session import load_table
+from ..sources.synthetic import SAVED_LIST_SQL, SOURCE_LIST_SQL, saved_list, source_list
+
+# 31-polynomial string hash, mod the Mersenne prime 2^31-1. The running
+# value stays < 2^31, so each step's a*31+ascii fits comfortably in
+# int64 — no overflow on either engine.
+_P = 2_147_483_647
+# Knuth multiplicative constant for the second (double-hashing) probe.
+_MULT = 2_654_435_761
+_M_BITS = 1 << 20  # bloom width m: 2^20 bits ≈ 0.4% FP at this corpus' load
+_K = 2  # probes per key (double hashing: h1, h1+h2)
+_B = 4096  # DSIR hashed-feature buckets
+_KFP = 1024  # DSIR fixed-point scale: weights in 1/1024 units
+
+
+def _poly_hash(col: Column) -> Column:
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("bigint"),
+        lambda a, c: (a * 31 + F.ascii(c)) % _P,
+    )
+
+
+def _poly_hash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {_P})"
+    )
+
+
+def _flog2(col: Column) -> Column:
+    """floor(log2(x)) for x >= 1, exact: bit length minus one.
+
+    SQL twin in the oracles: ``length(to_base(x, 2)) - 1``.
+    """
+    return F.length(F.bin(col)) - 1
+
+
+def _bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, bloom_pass) for every distinct non-empty frontier url.
+
+    Build side: distinct saved urls → k=2 bit positions each → DISTINCT
+    position = the Bloom bitmap as a table of at most m rows (m = 2^20
+    here; a size knob, not a data-dependent quantity). Probe side joins
+    its positions against the broadcast bitmap and passes iff all k hit.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    saved_urls = saved_list(orders).select("url").distinct()
+    sh = saved_urls.select(_poly_hash(F.col("url")).alias("h1"))
+    bits = (
+        sh.select(
+            F.explode(
+                F.array(
+                    F.col("h1") % _M_BITS,
+                    (F.col("h1") + (F.col("h1") * _MULT) % _P) % _M_BITS,
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = (
+        source_list(orders)
+        .filter(F.col("url") != "")
+        .select("url")
+        .distinct()
+        .select("url", _poly_hash(F.col("url")).alias("h1"))
+    )
+    probe = cand.select(
+        "url",
+        F.explode(
+            F.array(
+                F.col("h1") % _M_BITS,
+                (F.col("h1") + (F.col("h1") * _MULT) % _P) % _M_BITS,
+            )
+        ).alias("pos"),
+    )
+    return (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("url")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == _K).alias("bloom_pass"))
+    )
+
+
+# Oracle fragment shared by both bloom queries: distinct saved urls,
+# bitmap positions, distinct non-empty candidates, per-candidate pass.
+def _bloom_oracle_cte() -> str:
+    h_saved = _poly_hash_sql("url")
+    return f"""
+    src AS ({SOURCE_LIST_SQL}), sav AS ({SAVED_LIST_SQL}),
+    saved_urls AS (SELECT DISTINCT url FROM sav),
+    sh AS (SELECT url, {h_saved} AS h1 FROM saved_urls),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT h1 % {_M_BITS} AS pos FROM sh
+        UNION ALL
+        SELECT (h1 + (h1 * {_MULT}) % {_P}) % {_M_BITS} AS pos FROM sh
+      )
+    ),
+    cand AS (
+      SELECT url, {h_saved} AS h1
+      FROM (SELECT DISTINCT url FROM src WHERE url <> '')
+    ),
+    cpos AS (
+      SELECT url, h1 % {_M_BITS} AS pos FROM cand
+      UNION ALL
+      SELECT url, (h1 + (h1 * {_MULT}) % {_P}) % {_M_BITS} AS pos FROM cand
+    ),
+    probe AS (
+      SELECT c.url, COUNT(b.pos) = {_K} AS bloom_pass
+      FROM cpos c LEFT JOIN bits b ON b.pos = c.pos
+      GROUP BY c.url
+    )
+    """
+
+
+@register(
+    "resume_bloom_prefilter",
+    oracle=f"""
+    WITH {_bloom_oracle_cte()}
+    SELECT url, bloom_pass FROM probe WHERE NOT bloom_pass
+    UNION ALL
+    SELECT p.url, p.bloom_pass
+    FROM probe p LEFT JOIN saved_urls s ON s.url = p.url
+    WHERE p.bloom_pass AND s.url IS NULL
+    """,
+    doc="Crawl-resume (app.js:457-482) behind a Bloom prefilter: frontier "
+    "urls whose k bit probes miss the broadcast bitmap are PENDING with no "
+    "further work (a Bloom filter has no false negatives); only the "
+    "might-be-saved remainder reaches the exact anti-join against the "
+    "checkpoint table. Output = the exact pending set plus the Bloom "
+    "decision per url, so the driver hash checks the filter's bits "
+    "cross-engine, not just the final set. At 100 TB the bitmap is a "
+    "bounded m-row table (2^20 here — a knob) built once from the "
+    "checkpoint side and broadcast; the frontier mass is prefiltered at "
+    "scan+broadcast-probe cost and the expensive url-keyed shuffle join "
+    "runs only on the sliver the filter could not decide.",
+)
+def q_resume_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = _bloom_probe(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    saved_urls = saved_list(orders).select("url").distinct()
+    definite = flags.filter(~F.col("bloom_pass"))
+    rescued = flags.filter(F.col("bloom_pass")).join(saved_urls, "url", "left_anti")
+    return definite.unionByName(rescued)
+
+
+@register(
+    "bloom_fp_report",
+    oracle=f"""
+    WITH {_bloom_oracle_cte()},
+    j AS (
+      SELECT p.url, p.bloom_pass,
+             EXISTS (SELECT 1 FROM saved_urls s WHERE s.url = p.url) AS is_member
+      FROM probe p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           round(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)), 6) AS fp_rate
+    FROM j
+    """,
+    doc="Observed false-positive accounting for the resume Bloom filter: "
+    "probes, passes, true members, false positives, and the realized FP "
+    "rate over non-members. Exactly reproducible (not a tolerance bound) "
+    "because the filter's hash is deterministic on both engines — the "
+    "oracle rebuilds the same bitmap and must land on the same FP count. "
+    "The quality dashboard a production pipeline runs to size m/k.",
+)
+def q_bloom_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = _bloom_probe(spark, sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    saved_urls = saved_list(orders).select("url").distinct().withColumn("m", F.lit(1))
+    j = flags.join(saved_urls, "url", "left").select(
+        "bloom_pass", F.coalesce("m", F.lit(0)).alias("is_member")
+    )
+    pass_i = F.when(F.col("bloom_pass"), 1).otherwise(0)
+    fp_i = F.when(F.col("bloom_pass") & (F.col("is_member") == 0), 1).otherwise(0)
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(pass_i).cast("bigint").alias("n_bloom_pass"),
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(fp_i).cast("bigint").alias("n_false_pos"),
+        F.round(
+            F.sum(fp_i).cast("double") / (F.count("*") - F.sum("is_member")), 6
+        ).alias("fp_rate"),
+    )
+
+
+@register(
+    "dsir_importance_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    bt AS (SELECT doc_id, lang, {_poly_hash_sql("w")} % {_B} AS b FROM toks),
+    cnt AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+             COUNT(*) AS r
+      FROM bt GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS tt, CAST(SUM(r) AS BIGINT) AS rr FROM cnt
+    ),
+    w AS (
+      SELECT b, ({_KFP} * (t + 1) * rr) // ((r + 1) * tt) - {_KFP} AS wt
+      FROM cnt, tot
+    )
+    SELECT bt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(wt) AS BIGINT) AS dsir_score,
+           CAST(SUM(wt) > 0 AS BOOLEAN) AS selected
+    FROM bt JOIN w USING (b)
+    GROUP BY bt.doc_id
+    """,
+    doc="DSIR importance scoring (Xie et al. 2023): hashed word features "
+    "(31-poly hash mod 4096 buckets); per-bucket weight = add-one "
+    "frequency ratio of the target distribution (lang='en' docs) against "
+    "the raw corpus in exact 1/1024 fixed-point (integer floor division — "
+    "no libm, engine-identical; ≈1024·ln-ratio to first order at this "
+    "corpus' ±10%% contrasts). Per-doc score = sum of its tokens' bucket "
+    "weights; selected = score > 0. Shape at 100 TB: one token-bucket "
+    "aggregation (partial map-side), a 4096-row weight table crossed "
+    "with a scalar totals row — both broadcast — then one doc_id "
+    "re-aggregation; the corpus never moves except keyed by bucket/doc. "
+    "(The fixed-point products 1024·(t+1)·R stay inside int64 up to "
+    "~10^12 total tokens; beyond that, compute the 4096 weights from the "
+    "bounded count table in DECIMAL.)",
+)
+def q_dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
+    )
+    bt = toks.select("doc_id", "lang", (_poly_hash(F.col("w")) % _B).alias("b"))
+    cnt = bt.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t"),
+        F.count("*").alias("r"),
+    )
+    tot = cnt.agg(F.sum("t").alias("tt"), F.sum("r").alias("rr"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(f"({_KFP} * (t + 1) * rr) div ((r + 1) * tt) - {_KFP}").alias("wt"),
+    )
+    return (
+        bt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("wt").cast("bigint").alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_score",
+            (F.col("dsir_score") > 0).alias("selected"),
+        )
+    )
+
+
+@register(
+    "doc_rarity_bits",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    dfs AS (
+      SELECT w, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    bits AS (
+      SELECT w, length(to_base(n_docs // df, 2)) - 1 AS bits FROM dfs, nd
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(bits) AS BIGINT) AS rarity_bits,
+           round(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 6) AS mean_bits
+    FROM toks JOIN bits USING (w)
+    GROUP BY doc_id
+    """,
+    doc="CCNet-flavored rarity scoring (Wenzek et al. 2020 use a real LM; "
+    "this is the IDF-bits surrogate with identical plumbing): each token "
+    "contributes floor(log2(N // df)) whole bits — 0 for corpus-universal "
+    "words, log2(N) for hapaxes — summed and averaged per document. All "
+    "integer arithmetic plus one final IEEE division, engine-exact. "
+    "Shape at 100 TB: document-frequency table = one distinct+aggregate "
+    "keyed by word (Zipf-bounded vocabulary), joined back as a dimension "
+    "(AQE broadcasts it when small); the scalar N is a broadcast cross; "
+    "per-doc re-aggregation is the only payload shuffle.",
+)
+def q_doc_rarity_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
+    )
+    dfs = toks.distinct().groupBy("w").agg(F.count("*").alias("df"))
+    nd = toks.agg(F.count_distinct("doc_id").alias("n_docs"))
+    bits = dfs.crossJoin(F.broadcast(nd)).select(
+        "w", _flog2(F.expr("n_docs div df")).alias("bits")
+    )
+    return (
+        toks.join(bits, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("bits").cast("bigint").alias("rarity_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "rarity_bits",
+            F.round(
+                F.col("rarity_bits").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_bits"),
+        )
+    )

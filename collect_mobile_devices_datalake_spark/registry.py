@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
         relational,
         coverage2,
         coverage3,
+        selection,
         tpch_more,
         tpch_wave2,
         tpch_wave3,

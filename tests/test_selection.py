@@ -1,0 +1,102 @@
+"""Properties of the bloom-prefiltered resume + model-based selection ops.
+
+Value-level parity with the DuckDB oracles is covered by the parametrized
+tests in test_oracle_parity.py; these tests pin the SEMANTIC guarantees
+(no false negatives, accounting identities, score direction) and the
+plan shapes (broadcast bitmap, no cartesian products).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.plans.explain import formatted_plan
+from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+from collect_mobile_devices_datalake_spark.session import load_table
+from collect_mobile_devices_datalake_spark.sources.synthetic import (
+    saved_list,
+    source_list,
+)
+
+from .conftest import SF_SMOKE
+
+_ensure_loaded()
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    # Bloom guarantee: the prefiltered pending set must EQUAL the exact
+    # anti-join's pending set (restricted to non-empty urls) — a missing
+    # url would be a false negative, which the bitmap cannot produce.
+    orders = load_table(spark, "orders", SF_SMOKE)
+    exact = {
+        r.url
+        for r in source_list(orders)
+        .filter(F.col("url") != "")
+        .select("url")
+        .distinct()
+        .join(saved_list(orders).select("url").distinct(), "url", "left_anti")
+        .collect()
+    }
+    got_rows = REGISTRY["resume_bloom_prefilter"].spark(spark, SF_SMOKE).collect()
+    got = {r.url for r in got_rows}
+    assert got == exact
+    # every row is unique — the definite/rescued branches never overlap
+    assert len(got_rows) == len(got)
+
+
+def test_bloom_fp_accounting_identity(spark):
+    row = REGISTRY["bloom_fp_report"].spark(spark, SF_SMOKE).collect()[0]
+    # no false negatives ⇒ every true member passes ⇒ passes split exactly
+    # into members + false positives
+    assert row.n_bloom_pass == row.n_members + row.n_false_pos
+    assert 0 <= row.n_false_pos <= row.n_probed - row.n_members
+    # 2^20 bits against this corpus' load keeps the realized rate tiny
+    assert row.fp_rate < 0.05
+
+
+def test_dsir_scores_rank_target_language_higher(spark):
+    # the importance weight is trained FOR lang='en' — mean score of en
+    # docs must exceed mean score of every other language's docs
+    scores = REGISTRY["dsir_importance_score"].spark(spark, SF_SMOKE)
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "lang")
+    by_lang = {
+        r.lang: r.m
+        for r in scores.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg(F.col("dsir_score") / F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    assert all(by_lang["en"] > v for k, v in by_lang.items() if k != "en"), by_lang
+
+
+def test_rarity_bits_are_bounded_by_corpus_size(spark):
+    out = REGISTRY["doc_rarity_bits"].spark(spark, SF_SMOKE)
+    n_docs = load_table(spark, "documents", SF_SMOKE).count()
+    max_bits = n_docs.bit_length() - 1  # flog2(N) = a hapax's contribution
+    row = out.agg(
+        F.min("rarity_bits").alias("lo"), F.max("mean_bits").alias("hi")
+    ).collect()[0]
+    assert row.lo >= 0
+    assert row.hi <= max_bits
+
+
+def test_bloom_probe_broadcasts_bitmap_no_cartesian(spark):
+    # the bitmap is the bounded side — it must broadcast to the frontier
+    # probes; nothing in the plan may be an all-pairs product
+    q = REGISTRY["resume_bloom_prefilter"].spark(spark, SF_SMOKE)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_selection_scores_have_no_global_sort(spark):
+    # dsir / rarity: the only SinglePartition exchange allowed is the
+    # scalar totals aggregate over the bounded feature/vocab table; doc
+    # mass must move through hash partitionings only
+    for name in ["dsir_importance_score", "doc_rarity_bits"]:
+        q = REGISTRY[name].spark(spark, SF_SMOKE)
+        plan = formatted_plan(q)
+        assert plan.count("Exchange SinglePartition") <= 1, (name, plan)
+        assert "rangepartitioning" not in plan.lower(), (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastExchange" in plan, (name, plan)
