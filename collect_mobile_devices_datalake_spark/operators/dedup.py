@@ -720,3 +720,147 @@ def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- exact duplicated-substring spans (Lee et al. 2021) ----------------------
+
+# Exact-substring dedup detects VERBATIM repeats the approximate paths
+# (MinHash, winnowing) only sample: every character L-gram that occurs
+# more than once corpus-wide marks its offsets as duplicated, and
+# adjacent duplicated offsets merge into maximal spans — the unit Lee et
+# al. ("Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499) cut out of the training corpus. (The paper builds a
+# suffix array; over a fixed minimum match length L the duplicated-span
+# set it yields is exactly this L-gram construction, which — unlike a
+# suffix array — is a pair of hash aggregations Spark runs at any scale.)
+_LGRAM = 25  # minimum duplicate length in chars (~5 words in this corpus)
+
+
+def _dup_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, i) for every char offset opening a corpus-duplicated L-gram."""
+    d = load_table(spark, "documents", sf_dir).filter(F.length("text") >= _LGRAM)
+    grams = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - _LGRAM + 1)).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.xxhash64(F.col("text").substr(F.col("i"), F.lit(_LGRAM))).alias("h"),
+    )
+    hot = grams.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") >= 2)
+    return grams.join(hot.select("h"), "h", "left_semi").select("doc_id", "i")
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    offs = _dup_offsets(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = offs.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + _LGRAM - 1).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias(
+                "span_chars"
+            ),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+        )
+    )
+
+
+_DUP_SPANS_SQL = f"""
+    g AS (
+      SELECT doc_id, i, substring(text, CAST(i AS INTEGER), {_LGRAM}) AS gram
+      FROM documents, UNNEST(range(1, len(text) - {_LGRAM} + 2)) r(i)
+      WHERE len(text) >= {_LGRAM}
+    ),
+    hot AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram) WHERE n >= 2),
+    d AS (SELECT doc_id, i FROM g JOIN hot USING (gram)),
+    isl AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(i) AS BIGINT) AS span_start,
+             CAST(MAX(i) + {_LGRAM} - 1 AS BIGINT) AS span_end,
+             CAST(MAX(i) - MIN(i) + {_LGRAM} AS BIGINT) AS span_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM isl GROUP BY doc_id, grp
+    )
+"""
+
+
+@register(
+    "dup_substring_spans",
+    oracle=f"""
+    WITH {_DUP_SPANS_SQL}
+    SELECT doc_id, span_start, span_end, span_chars, n_grams FROM spans
+    """,
+    doc="Exact duplicated-substring spans (Lee et al. 2021, "
+    "arXiv:2107.06499): every char offset whose 25-gram occurs >= 2 "
+    "times corpus-wide is duplicated; adjacent duplicated offsets merge "
+    "into maximal [span_start, span_end] islands via the classic "
+    "offset-minus-row-number trick. Shape at 100 TB: grams shuffle as "
+    "8-byte xxhash64 keys for the frequency count and the semi-join "
+    "(never the text; add an equality verify behind the hash for "
+    "cryptographic-grade exactness), then one doc-keyed window — three "
+    "keyed exchanges, no sort over the corpus, no suffix array needed "
+    "for a fixed minimum match length.",
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dup_spans(spark, sf_dir)
+
+
+@register(
+    "dup_substring_profile",
+    oracle=f"""
+    WITH {_DUP_SPANS_SQL},
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_chars) AS BIGINT) AS dup_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           CAST(len(d.text) AS BIGINT) AS doc_chars,
+           round(COALESCE(p.dup_chars, 0) / CAST(len(d.text) AS DOUBLE), 6)
+             AS dup_frac
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    doc="Per-document duplication profile from the exact spans: span "
+    "count, duplicated chars (spans are disjoint by construction, so the "
+    "sum is exact coverage), and the duplicated fraction — the column a "
+    "curation pass thresholds to drop mostly-duplicated documents. Every "
+    "document appears (zero-filled), so the filter is a scan over this "
+    "output, not a join back.",
+)
+def q_dup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _dup_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_chars").cast("bigint").alias("dup_chars"),
+    )
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("doc_chars")
+    )
+    return d.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+        "doc_chars",
+        F.round(
+            F.coalesce("dup_chars", F.lit(0)) / F.col("doc_chars").cast("double"), 6
+        ).alias("dup_frac"),
+    )
