@@ -161,6 +161,7 @@ def _ensure_loaded() -> None:
         coverage2,
         coverage3,
         selection,
+        tokenizer,
         tpch_more,
         tpch_wave2,
         tpch_wave3,

@@ -1,0 +1,59 @@
+"""BPE merge-learning semantics (value parity lives in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+    _initial_symbols,
+    _one_merge,
+)
+from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+
+from .conftest import SF_SMOKE
+
+_ensure_loaded()
+
+
+def _merge_word(spark, word: str) -> list[str]:
+    types = spark.createDataFrame([(word, 1)], "word string, freq long")
+    _, nxt = _one_merge(_initial_symbols(types))
+    return [r.sym for r in nxt.orderBy("pos").collect()]
+
+
+def test_greedy_overlap_takes_every_other_occurrence(spark):
+    # (a,a) over "aaaa": occurrences at 1,2,3 overlap; greedy left-to-right
+    # merges 1 and 3 → "aa","aa" (never "aa","a","a" or a triple)
+    assert _merge_word(spark, "aaaa") == ["aa", "aa"]
+    assert _merge_word(spark, "aaa") == ["aa", "a"]
+    assert _merge_word(spark, "aaaaa") == ["aa", "aa", "a"]
+
+
+def test_nonoverlapping_occurrences_all_merge(spark):
+    # (a,b) over "abab": disjoint adjacent occurrences both merge
+    assert _merge_word(spark, "abab") == ["ab", "ab"]
+
+
+def test_merge_weights_are_nonincreasing_and_ranks_complete(spark):
+    rows = (
+        REGISTRY["bpe_learn_merges"]
+        .spark(spark, SF_SMOKE)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    # classic BPE invariant: each chosen pair's weight never exceeds the
+    # previous one (new pairs are bounded by the count just merged)
+    weights = [r.pair_weight for r in rows]
+    assert all(a >= b for a, b in zip(weights, weights[1:])), weights
+    assert all(r.merged == r.merge_left + r.merge_right for r in rows)
+    assert len({(r.merge_left, r.merge_right) for r in rows}) == len(rows)
+
+
+def test_later_merges_can_build_on_earlier_symbols(spark):
+    # at least one learned rule should consume a multi-char symbol — the
+    # signature of real BPE dynamics (e.g. m + er → mer)
+    rows = REGISTRY["bpe_learn_merges"].spark(spark, SF_SMOKE).collect()
+    assert any(
+        len(r.merge_left) > 1 or len(r.merge_right) > 1 for r in rows
+    ), [(r.merge_left, r.merge_right) for r in rows]
