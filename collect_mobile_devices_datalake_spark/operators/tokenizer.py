@@ -114,7 +114,7 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
     return rule, nxt_syms
 
 
-def _bpe_oracle(k: int = BPE_MERGES) -> str:
+def _bpe_oracle(k: int = BPE_MERGES, final: str | None = None) -> str:
     ctes = [
         """w AS (
           SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -169,12 +169,13 @@ def _bpe_oracle(k: int = BPE_MERGES) -> str:
             WHERE b.pos IS NULL
           )
         )""")
-    finals = "\n    UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS merge_rank, merge_left, merge_right, "
-        f"merge_left || merge_right AS merged, pair_weight FROM r{i}"
-        for i in range(1, k + 1)
-    )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+    if final is None:
+        final = "\n    UNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS merge_rank, merge_left, merge_right, "
+            f"merge_left || merge_right AS merged, pair_weight FROM r{i}"
+            for i in range(1, k + 1)
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
 
 
 @register(
@@ -206,3 +207,39 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ranked if out is None else out.unionByName(ranked)
     return out
+
+
+@register(
+    "bpe_vocab_segmentation",
+    oracle=_bpe_oracle(
+        final=f"""SELECT word, freq,
+           CAST(len(word) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+           round(len(word) / CAST(COUNT(*) AS DOUBLE), 6) AS chars_per_token
+    FROM s{BPE_MERGES + 1}
+    GROUP BY word, freq"""
+    ),
+    doc=f"The learned tokenizer APPLIED: per word type, its segment count "
+    f"after the {BPE_MERGES} merges and the resulting compression "
+    "(chars per BPE token) — the fertility/efficiency report a tokenizer "
+    "training run emits. Same iterative state as bpe_learn_merges, one "
+    "final vocabulary-sized aggregate; corpus token counts under the "
+    "learned vocab follow by joining freq (already a column). Oracle = "
+    "the same unrolled chain aggregated at s9.",
+)
+def q_bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    syms = _initial_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    for _ in range(BPE_MERGES):
+        _, syms = _one_merge(syms)
+    return syms.groupBy("word", "freq").agg(
+        F.max("pos").cast("bigint").alias("n_bpe_tokens")
+    ).select(
+        "word",
+        "freq",
+        F.length("word").cast("bigint").alias("n_chars"),
+        "n_bpe_tokens",
+        F.round(
+            F.length("word") / F.col("n_bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
