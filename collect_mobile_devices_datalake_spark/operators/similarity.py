@@ -1617,3 +1617,69 @@ def q_semdedup_pq_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", "code_word", F.round(cos, 6).alias("cosine"))
     )
+
+
+# --- clustering QA: simplified silhouette over the coarse quantizer ---------
+
+
+@register(
+    "ivf_silhouette_report",
+    oracle=f"""
+    WITH cent AS ({_CENTROID_AGG_SQL.format(src="(SELECT label AS cell, embedding FROM embeddings)")}),
+    d AS (
+      SELECT e.vec_id, e.label AS cell, c.cell AS ocell,
+             1 - ({_cos_sql_pair('e.embedding', 'c.centroid')}) AS dist
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ab AS (
+      SELECT vec_id, cell,
+             MIN(CASE WHEN ocell = cell THEN dist END) AS a,
+             MIN(CASE WHEN ocell <> cell THEN dist END) AS b
+      FROM d GROUP BY vec_id, cell
+    ),
+    s AS (SELECT vec_id, cell, round((b - a) / greatest(a, b), 9) AS sil FROM ab)
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+           round(CAST(CAST(SUM(CAST(sil AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_silhouette,
+           CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+    FROM s GROUP BY cell
+    """,
+    doc="Clustering QA for the IVF coarse quantizer: simplified silhouette "
+    "(Hruschka et al. variant — centroid distances only, so it is LINEAR "
+    "in corpus size where the classic silhouette is quadratic). Per "
+    "point: a = cosine distance to own centroid, b = min distance to any "
+    "other centroid, s = (b-a)/max(a,b); per cell: size, mean s, and the "
+    "count of negative-s points (nearer to a foreign centroid — "
+    "misassigned mass that degrades IVF probe recall). Shape at 100 TB: "
+    "one scan x k broadcast centroids + one cell-keyed aggregate; "
+    "per-point silhouettes round to 9 digits and sum through DECIMAL so "
+    "the mean is order-independent and engine-exact.",
+)
+def q_ivf_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    cent = _mean_centroids(emb.select(F.col("label").alias("cell"), "embedding"))
+    d = emb.select(F.col("vec_id"), F.col("label").alias("cell"), "embedding").crossJoin(
+        F.broadcast(cent.select(F.col("cell").alias("ocell"), "centroid"))
+    ).select(
+        "vec_id",
+        "cell",
+        "ocell",
+        (F.lit(1) - cosine_similarity("embedding", "centroid")).alias("dist"),
+    )
+    ab = d.groupBy("vec_id", "cell").agg(
+        F.min(F.when(F.col("ocell") == F.col("cell"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("ocell") != F.col("cell"), F.col("dist"))).alias("b"),
+    )
+    s = ab.select(
+        "cell",
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 9).alias("sil"),
+    )
+    return s.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(
+            F.sum(F.col("sil").cast("decimal(18,9)")).cast("double") / F.count("*"), 6
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("sil") < 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_misassigned"
+        ),
+    )
