@@ -372,3 +372,111 @@ def q_doc_rarity_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_bits"),
         )
     )
+
+
+# --- bloom-prefiltered train/test decontamination ---------------------------
+
+# Imported at module top-level would be circular-import-safe too (dedup
+# and training only depend on registry/session/functions), but the
+# operators are only needed here:
+from .dedup import _HASHES_SQL, shingled_docs  # noqa: E402
+from .training import _SPLIT_BUCKET_SQL, split_bucket  # noqa: E402
+from ..functions.text import rolling_hash  # noqa: E402
+
+
+def _h2(h):  # second (double-hashing) probe position for an int64 hash
+    return (h + (h * _MULT) % _P) % _M_BITS
+
+
+@register(
+    "decontam_bloom_report",
+    oracle=f"""
+    WITH g0 AS (
+      SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b,
+             unnest(list_distinct({_HASHES_SQL})) AS h
+      FROM documents
+    ),
+    test_h AS (SELECT DISTINCT h FROM g0 WHERE b >= 90),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT h % {_M_BITS} AS pos FROM test_h
+        UNION ALL
+        SELECT (h + (h * {_MULT}) % {_P}) % {_M_BITS} AS pos FROM test_h
+      )
+    ),
+    train AS (SELECT doc_id, h FROM g0 WHERE b < 80),
+    tpos AS (
+      SELECT doc_id, h, h % {_M_BITS} AS pos FROM train
+      UNION ALL
+      SELECT doc_id, h, (h + (h * {_MULT}) % {_P}) % {_M_BITS} AS pos FROM train
+    ),
+    probe AS (
+      SELECT t.doc_id, t.h, COUNT(b.pos) = {_K} AS bloom_hit
+      FROM tpos t LEFT JOIN bits b ON b.pos = t.pos
+      GROUP BY t.doc_id, t.h
+    ),
+    ex AS (
+      SELECT p.doc_id, p.bloom_hit, (te.h IS NOT NULL) AS exact_hit
+      FROM probe p LEFT JOIN test_h te ON te.h = p.h
+    )
+    SELECT doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) >= 3 AS BOOLEAN) AS flagged,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) < 3 AS BOOLEAN) AS bloom_clean
+    FROM ex GROUP BY doc_id
+    """,
+    doc="Train/test decontamination at the 100 TB shape (the GPT-3 "
+    "appendix-C scheme): the TEST split's distinct shingle hashes build a "
+    "bounded Bloom bitmap (the test set is the small side by "
+    "construction); every TRAIN doc's shingles probe the broadcast bitmap "
+    "at scan speed, and only Bloom-positive shingles would touch the "
+    "exact join at scale — ``bloom_clean`` marks the docs the sketch "
+    "alone clears (no false negatives ⇒ provably < 3 true overlaps). "
+    "Reports per train doc: shingle count, Bloom hits, exact hits, and "
+    "the ≥3-overlap contamination flag (same threshold as "
+    "split_contamination, which this prefilters). Shingle hashes are the "
+    "cross-engine rolling hash, so even the Bloom false-positive counts "
+    "are value-checked.",
+)
+def q_decontam_bloom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    g = (
+        shingled_docs(d)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .select("doc_id", rolling_hash("shingle").alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .withColumn("b", split_bucket("doc_id"))
+        .localCheckpoint(eager=True)  # feeds the bitmap AND the probe side
+    )
+    test_h = g.filter(F.col("b") >= 90).select("h").distinct()
+    bits = (
+        test_h.select(
+            F.explode(F.array(F.col("h") % _M_BITS, _h2(F.col("h")))).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = g.filter(F.col("b") < 80).select("doc_id", "h")
+    probe = (
+        train.select(
+            "doc_id",
+            "h",
+            F.explode(F.array(F.col("h") % _M_BITS, _h2(F.col("h")))).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == _K).alias("bloom_hit"))
+    )
+    ex = probe.join(
+        test_h.withColumn("ex", F.lit(1)), "h", "left"
+    ).select("doc_id", "bloom_hit", F.coalesce("ex", F.lit(0)).alias("exact_hit"))
+    bloom_i = F.when(F.col("bloom_hit"), 1).otherwise(0)
+    return ex.groupBy(F.col("doc_id").alias("train_doc")).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(bloom_i).cast("bigint").alias("n_bloom_hits"),
+        F.sum("exact_hit").cast("bigint").alias("n_exact_hits"),
+        (F.sum("exact_hit") >= 3).alias("flagged"),
+        (F.sum(bloom_i) < 3).alias("bloom_clean"),
+    )
