@@ -508,12 +508,17 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
     "window over candidates only.",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, "documents", sf_dir)
-    tau = 0.5
-    ordered = (
-        shingled_docs(d)
+    ordered = ordered_shingle_hashes(d)
+    is_new = F.col("doc_id") % 10 == 7
+    return ppjoin_best_match(ordered.filter(is_new), ordered.filter(~is_new))
+
+
+def ordered_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, hs): sorted 8-byte shingle-hash arrays, checkpointed —
+    the input shape of the PPJoin family."""
+    return (
+        shingled_docs(docs)
         .select(
             "doc_id",
             "n",
@@ -521,13 +526,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    is_new = F.col("doc_id") % 10 == 7
-    pref_len = (F.col("n") - F.ceil(F.col("n") * tau) + 1).cast("int")
-    pref = ordered.select(
-        "doc_id", "n", F.posexplode(F.slice("hs", F.lit(1), pref_len)).alias("pos", "h")
-    )
-    a = pref.filter(is_new).alias("a")       # new batch side
-    b = pref.filter(~is_new).alias("b")      # corpus side
+
+
+def ppjoin_best_match(
+    new_ordered: DataFrame, corpus_ordered: DataFrame
+) -> DataFrame:
+    """R×S PPJoin at τ=0.5: each new doc's best corpus match (if any).
+
+    Shared by the registered ``dedup_incremental`` query and the
+    streaming maintenance loop (streaming/dedup_maintenance.py). The
+    integer-exact size/position filters (``3x >= na+nb``) encode τ=0.5 —
+    the fixed threshold of both call sites.
+    """
+    from pyspark.sql.window import Window
+
+    tau = 0.5
+
+    def pref(df: DataFrame, alias: str) -> DataFrame:
+        pref_len = (F.col("n") - F.ceil(F.col("n") * tau) + 1).cast("int")
+        return df.select(
+            "doc_id",
+            "n",
+            F.posexplode(F.slice("hs", F.lit(1), pref_len)).alias("pos", "h"),
+        ).alias(alias)
+
+    a, b = pref(new_ordered, "a"), pref(corpus_ordered, "b")
     s_total = F.col("a.n") + F.col("b.n")
     cand = (
         a.join(
@@ -542,9 +565,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
         .distinct()
     )
-    maybe_b = F.broadcast if ordered.count() <= 100_000 else (lambda df: df)
-    left = ordered.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na"), F.col("hs").alias("ha"))
-    right = ordered.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb"), F.col("hs").alias("hb"))
+    small = (new_ordered.count() + corpus_ordered.count()) <= 100_000
+    maybe_b = F.broadcast if small else (lambda df: df)
+    left = new_ordered.select(
+        F.col("doc_id").alias("new_doc"), F.col("n").alias("na"), F.col("hs").alias("ha")
+    )
+    right = corpus_ordered.select(
+        F.col("doc_id").alias("dup_of"), F.col("n").alias("nb"), F.col("hs").alias("hb")
+    )
     jac_num = F.size(F.array_intersect("ha", "hb")).cast("double")
     verified = (
         cand.join(maybe_b(left), "new_doc")

@@ -658,3 +658,92 @@ def test_graph_maintenance_replay_repairs_partial_commit(spark, tmp):
     fn(batch, 0)
     got = {(r["src"], r["dst"], r["rk"]) for r in spark.read.parquet(bdir).collect()}
     assert got == want
+
+
+def test_dedup_maintenance_stream_matches_batch(spark, tmp):
+    """The streaming incremental-dedup loop must produce EXACTLY the
+    matches the batch R×S PPJoin computes for the full arrival set,
+    across chunked arrivals, a checkpoint restart, and a wholesale
+    re-delivery of old files."""
+    from collect_mobile_devices_datalake_spark.streaming.dedup_maintenance import (
+        incremental_matches_for_batch,
+        start_dedup_maintenance_stream,
+    )
+
+    arrivals = (
+        load_table(spark, "documents", SF)
+        .filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    docs_dir = os.path.join(tmp, "docs_in")
+    matches_dir = os.path.join(tmp, "matches")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    first = arrivals.filter(F.col("doc_id") < 1_000_025)
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    q1 = start_dedup_maintenance_stream(spark, docs_dir, matches_dir, SF, ckpt)
+    q1.awaitTermination(120)
+
+    arrivals.filter(F.col("doc_id") >= 1_000_025).coalesce(1).write.mode(
+        "append"
+    ).parquet(docs_dir)
+    q2 = start_dedup_maintenance_stream(spark, docs_dir, matches_dir, SF, ckpt)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    want = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in incremental_matches_for_batch(spark, SF, arrivals).collect()
+    }
+    assert got == want and len(got) > 0
+    # every re-idded doc matches its original verbatim twin at jaccard 1.0
+    assert {(d - 1_000_000 == o) for d, o, j in got if j == 1.0} == {True}
+
+    # re-delivery: duplicate the first file set under a new name → the
+    # new_doc anti-join keeps the decisions table unchanged
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    q3 = start_dedup_maintenance_stream(spark, docs_dir, matches_dir, SF, ckpt)
+    q3.awaitTermination(120)
+    again = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(matches_dir).collect()
+    }
+    assert again == want
+
+
+def test_dedup_maintenance_replay_repairs_partial_commit(spark, tmp):
+    """Checkpoint replay of a partially-committed batch rewrites the
+    batch partition wholesale — repair, not freeze."""
+    from collect_mobile_devices_datalake_spark.streaming.dedup_maintenance import (
+        _maintain_batch,
+    )
+
+    batch = (
+        load_table(spark, "documents", SF)
+        .filter(F.col("doc_id") % 10 == 3)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    matches_dir = os.path.join(tmp, "matches")
+    fn = _maintain_batch(matches_dir, SF)
+
+    fn(batch, 0)
+    bdir = os.path.join(matches_dir, "batch=0")
+    want = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(bdir).collect()
+    }
+    assert want
+
+    parts = [n for n in os.listdir(bdir) if n.endswith(".parquet")]
+    for n in parts[: max(1, len(parts) // 2)]:
+        os.remove(os.path.join(bdir, n))
+
+    fn(batch, 0)
+    got = {
+        (r["new_doc"], r["dup_of"], r["jaccard"])
+        for r in spark.read.parquet(bdir).collect()
+    }
+    assert got == want
