@@ -1683,3 +1683,90 @@ def q_ivf_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_misassigned"
         ),
     )
+
+
+# --- kNN self-join: top-k neighbors for EVERY corpus point ------------------
+
+SELF_JOIN_K = 5
+
+
+@register(
+    "knn_self_join",
+    oracle=f"""
+    WITH b AS (
+      SELECT e.vec_id, e.embedding, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+    ),
+    probes AS (
+      SELECT vec_id, t,
+             CASE WHEN f.f = 0 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+      FROM b CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM probes x JOIN b y ON x.t = y.t AND x.probe = y.bucket AND x.vec_id <> y.vec_id
+    ),
+    scored AS (
+      SELECT cand.src, cand.dst, {_cos_sql_pair('a.embedding', 'b.embedding')} AS cos
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.src
+      JOIN embeddings b ON b.vec_id = cand.dst
+    )
+    SELECT src, dst, round(cos, 6) AS cosine, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      FROM scored
+    ) WHERE rk <= {SELF_JOIN_K}
+    """,
+    doc="kNN SELF-join: top-5 approximate neighbors for EVERY corpus "
+    "point (not just a query sample) — the primitive semantic-dedup and "
+    "graph-construction pipelines (SemDeDup, k-NN graphs) run over the "
+    "whole corpus. Candidates come from the persisted multiprobe bucket "
+    "index (8 tables × Hamming-1), the same index every other ANN query "
+    "shares — never an all-pairs product; exact cosine + a per-src "
+    "window pick the top-k among candidates only. At 100 TB this is the "
+    "canonical 'embed everything, link everything' job: two keyed "
+    "shuffles (bucket join, src window) over 8-byte keys.",
+)
+def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    buckets = bucket_index(spark, sf_dir)
+    probes = buckets.select(
+        "vec_id", "t", F.explode(_multiprobe(F.col("bucket"))).alias("probe")
+    )
+    x = probes.alias("x")
+    y = buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.probe") == F.col("y.bucket"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    from ..functions.vectors import dot_product, l2_norm
+
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    cos = F.when(F.col("na") * F.col("nb") == 0, F.lit(0.0)).otherwise(
+        dot_product("ea", "eb") / (F.col("na") * F.col("nb"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SELF_JOIN_K)
+        .select("src", "dst", F.round("cos", 6).alias("cosine"), "rk")
+    )
