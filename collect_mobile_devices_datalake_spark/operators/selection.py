@@ -480,3 +480,98 @@ def q_decontam_bloom_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("exact_hit") >= 3).alias("flagged"),
         (F.sum(bloom_i) < 3).alias("bloom_clean"),
     )
+
+
+# --- curation ensemble: one keep/drop decision from five signals ------------
+
+from . import text_quality  # noqa: E402, F401  (registers gopher + repetition)
+
+
+def _ensemble_oracle() -> str:
+    """Compose the five component oracles verbatim (parenthesized
+    WITH-subqueries — the curation_funnel precedent), then score."""
+    from ..registry import REGISTRY
+
+    gopher = REGISTRY["gopher_quality_rules"].oracle
+    dupprof = REGISTRY["dup_substring_profile"].oracle
+    rep = REGISTRY["doc_repetition_metrics"].oracle
+    rar = REGISTRY["doc_rarity_bits"].oracle
+    dsir = REGISTRY["dsir_importance_score"].oracle
+    return f"""
+    WITH g AS (SELECT doc_id, pass_all FROM ({gopher})),
+    p AS (SELECT doc_id, dup_frac FROM ({dupprof})),
+    r AS (SELECT doc_id, dup_word_frac FROM ({rep})),
+    ra AS (SELECT doc_id, rarity_bits FROM ({rar})),
+    d AS (SELECT doc_id, selected FROM ({dsir})),
+    j AS (
+      SELECT g.doc_id,
+             g.pass_all AS ok_gopher,
+             p.dup_frac <= 0.2 AS ok_dup,
+             r.dup_word_frac <= 0.6 AS ok_repetition,
+             ra.rarity_bits = 0 AS ok_rarity,
+             d.selected AS ok_dsir
+      FROM g JOIN p USING (doc_id) JOIN r USING (doc_id)
+             JOIN ra USING (doc_id) JOIN d USING (doc_id)
+    )
+    SELECT doc_id, ok_gopher, ok_dup, ok_repetition, ok_rarity, ok_dsir,
+           CAST(2 * CAST(ok_gopher AS INTEGER) + 2 * CAST(ok_dup AS INTEGER)
+                + CAST(ok_repetition AS INTEGER) + CAST(ok_rarity AS INTEGER)
+                + 2 * CAST(ok_dsir AS INTEGER) AS BIGINT) AS score,
+           2 * CAST(ok_gopher AS INTEGER) + 2 * CAST(ok_dup AS INTEGER)
+                + CAST(ok_repetition AS INTEGER) + CAST(ok_rarity AS INTEGER)
+                + 2 * CAST(ok_dsir AS INTEGER) >= 6 AS keep
+    FROM j
+    """
+
+
+@register(
+    "quality_ensemble_rank",
+    oracle=_ensemble_oracle(),
+    doc="Curation capstone: five independent quality signals — Gopher rule "
+    "conjunction, exact duplicated-substring fraction <= 0.2, in-doc "
+    "repetition <= 0.6, zero out-of-distribution (rare-IDF) tokens, DSIR "
+    "importance selection — combined into one integer-weighted score "
+    "(rules 2/2/1/1/2, keep at >= 6 of 8) per document: the ensemble "
+    "decision table real pipelines threshold instead of any single "
+    "filter. Pure composition of registered operators (each is "
+    "independently value-oracled); the joins move 8-byte doc_ids plus "
+    "booleans, so the ensemble costs its components plus one keyed "
+    "join tree.",
+)
+def q_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import REGISTRY
+
+    g = REGISTRY["gopher_quality_rules"].spark(spark, sf_dir).select(
+        "doc_id", F.col("pass_all").alias("ok_gopher")
+    )
+    p = REGISTRY["dup_substring_profile"].spark(spark, sf_dir).select(
+        "doc_id", (F.col("dup_frac") <= 0.2).alias("ok_dup")
+    )
+    r = REGISTRY["doc_repetition_metrics"].spark(spark, sf_dir).select(
+        "doc_id", (F.col("dup_word_frac") <= 0.6).alias("ok_repetition")
+    )
+    ra = REGISTRY["doc_rarity_bits"].spark(spark, sf_dir).select(
+        "doc_id", (F.col("rarity_bits") == 0).alias("ok_rarity")
+    )
+    d = REGISTRY["dsir_importance_score"].spark(spark, sf_dir).select(
+        "doc_id", F.col("selected").alias("ok_dsir")
+    )
+    j = g.join(p, "doc_id").join(r, "doc_id").join(ra, "doc_id").join(d, "doc_id")
+    as_i = lambda c: F.col(c).cast("int")  # noqa: E731
+    score = (
+        2 * as_i("ok_gopher")
+        + 2 * as_i("ok_dup")
+        + as_i("ok_repetition")
+        + as_i("ok_rarity")
+        + 2 * as_i("ok_dsir")
+    )
+    return j.select(
+        "doc_id",
+        "ok_gopher",
+        "ok_dup",
+        "ok_repetition",
+        "ok_rarity",
+        "ok_dsir",
+        score.cast("bigint").alias("score"),
+        (score >= 6).alias("keep"),
+    )
