@@ -10,6 +10,8 @@ HEADLINE = [
     "cdc_snapshot_diff", "zorder_manifest", "scd2_event_type_history",
     "boilerplate_removal", "dedup_incremental", "curriculum_bins",
     "knn_nsw_probe", "nsw_graph_delta", "doc_containment_pairs",
+    "resume_bloom_prefilter", "dsir_importance_score", "dup_substring_spans",
+    "knn_self_join", "decontam_bloom_report",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
