@@ -100,3 +100,37 @@ def test_selection_scores_have_no_global_sort(spark):
         assert "rangepartitioning" not in plan.lower(), (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastExchange" in plan, (name, plan)
+
+
+def test_poly_hash_cross_engine_parity_on_adversarial_strings(spark):
+    # the 31-poly hash is the load-bearing primitive of the bloom + DSIR
+    # oracles: pin Spark's aggregate-fold == DuckDB's list_reduce on a
+    # seeded batch of adversarial ASCII strings (punctuation, digits,
+    # repeats, long tails — plus every printable char solo)
+    import random
+    import string
+
+    import duckdb
+
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        _poly_hash,
+        _poly_hash_sql,
+    )
+
+    rng = random.Random(42)
+    printable = string.ascii_letters + string.digits + string.punctuation
+    cases = [c for c in printable]
+    cases += ["".join(rng.choice(printable) for _ in range(rng.randint(1, 300)))
+              for _ in range(60)]
+    cases += ["a" * 500, "https://example.com/devices/gsmarena/1-urgent_42"]
+
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r.s: r.h for r in df.select("s", _poly_hash(F.col("s")).alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in cases])
+    want = dict(con.execute(f"SELECT s, {_poly_hash_sql('s')} FROM t").fetchall())
+
+    assert got == want
+    assert all(0 <= h < 2_147_483_647 for h in got.values())
