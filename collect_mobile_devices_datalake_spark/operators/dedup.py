@@ -766,7 +766,12 @@ _LGRAM = 25  # minimum duplicate length in chars (~5 words in this corpus)
 
 def _dup_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, i) for every char offset opening a corpus-duplicated L-gram."""
-    d = load_table(spark, "documents", sf_dir).filter(F.length("text") >= _LGRAM)
+    # fan_out: the single-row-group local scan is ONE task; the offset
+    # explode + per-gram hashing must spread across cores BEFORE the
+    # first shuffle (the shingled_docs lesson)
+    d = fan_out(load_table(spark, "documents", sf_dir), "doc_id").filter(
+        F.length("text") >= _LGRAM
+    )
     grams = d.select(
         "doc_id",
         "text",
@@ -786,12 +791,29 @@ def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = _dup_offsets(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("i")
     isl = offs.withColumn("grp", F.col("i") - F.row_number().over(w))
+    raw = isl.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("s"),
+        (F.max("i") + _LGRAM - 1).alias("e"),
+        F.count("*").alias("ng"),
+    )
+    # Offset islands are maximal in OFFSET space, but each span extends
+    # L-1 chars past its last offset — two islands closer than L produce
+    # OVERLAPPING spans. Merge them (classic interval union via windows)
+    # so the output is disjoint maximal duplicated regions and the
+    # profile's char sum is true coverage.
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(ws.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = raw.withColumn(
+        "new_iv", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(0)), 1).otherwise(0)
+    ).withColumn(
+        "iv", F.sum("new_iv").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
     return (
-        isl.groupBy("doc_id", "grp")
+        flagged.groupBy("doc_id", "iv")
         .agg(
-            F.min("i").alias("span_start"),
-            (F.max("i") + _LGRAM - 1).alias("span_end"),
-            F.count("*").alias("n_grams"),
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.sum("ng").alias("n_grams"),
         )
         .select(
             "doc_id",
@@ -818,13 +840,32 @@ _DUP_SPANS_SQL = f"""
              i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
       FROM d
     ),
+    raw_spans AS (
+      SELECT doc_id, MIN(i) AS s, MAX(i) + {_LGRAM} - 1 AS e,
+             COUNT(*) AS ng
+      FROM isl GROUP BY doc_id, grp
+    ),
+    flagged AS (
+      SELECT doc_id, s, e, ng,
+             CASE WHEN s > coalesce(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS new_iv
+      FROM raw_spans
+    ),
+    ivs AS (
+      SELECT doc_id, s, e, ng,
+             SUM(new_iv) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iv
+      FROM flagged
+    ),
     spans AS (
       SELECT doc_id,
-             CAST(MIN(i) AS BIGINT) AS span_start,
-             CAST(MAX(i) + {_LGRAM} - 1 AS BIGINT) AS span_end,
-             CAST(MAX(i) - MIN(i) + {_LGRAM} AS BIGINT) AS span_chars,
-             CAST(COUNT(*) AS BIGINT) AS n_grams
-      FROM isl GROUP BY doc_id, grp
+             CAST(MIN(s) AS BIGINT) AS span_start,
+             CAST(MAX(e) AS BIGINT) AS span_end,
+             CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_chars,
+             CAST(SUM(ng) AS BIGINT) AS n_grams
+      FROM ivs GROUP BY doc_id, iv
     )
 """
 
@@ -838,8 +879,10 @@ _DUP_SPANS_SQL = f"""
     doc="Exact duplicated-substring spans (Lee et al. 2021, "
     "arXiv:2107.06499): every char offset whose 25-gram occurs >= 2 "
     "times corpus-wide is duplicated; adjacent duplicated offsets merge "
-    "into maximal [span_start, span_end] islands via the classic "
-    "offset-minus-row-number trick. Shape at 100 TB: grams shuffle as "
+    "into islands via the classic offset-minus-row-number trick, and "
+    "overlapping islands' spans (each extends L-1 past its last offset) "
+    "merge again by windowed interval union, so the output is DISJOINT "
+    "maximal duplicated regions. Shape at 100 TB: grams shuffle as "
     "8-byte xxhash64 keys for the frequency count and the semi-join "
     "(never the text; add an equality verify behind the hash for "
     "cryptographic-grade exactness), then one doc-keyed window — three "
@@ -891,4 +934,97 @@ def q_dup_substring_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.coalesce("dup_chars", F.lit(0)) / F.col("doc_chars").cast("double"), 6
         ).alias("dup_frac"),
+    )
+
+
+@register(
+    "dup_substring_clean",
+    oracle=f"""
+    WITH {_DUP_SPANS_SQL},
+    gaps AS (
+      SELECT doc_id,
+             coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1
+               AS gap_start,
+             span_start AS gap_end
+      FROM spans
+      UNION ALL
+      SELECT s.doc_id, MAX(s.span_end) + 1 AS gap_start, len(ANY_VALUE(d.text)) + 1 AS gap_end
+      FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY s.doc_id
+    ),
+    segs AS (
+      SELECT g.doc_id, g.gap_start,
+             substring(d.text, CAST(g.gap_start AS INTEGER),
+                       CAST(g.gap_end - g.gap_start AS INTEGER)) AS seg
+      FROM gaps g JOIN documents d ON d.doc_id = g.doc_id
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY gap_start) AS clean_text
+      FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.clean_text, d.text) AS clean_text,
+           CAST(len(d.text) - len(coalesce(c.clean_text, d.text)) AS BIGINT)
+             AS n_chars_removed
+    FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+    """,
+    doc="The exact-substring dedup ACT step (Lee et al. 2021 cut the "
+    "detected spans out of the corpus): complement intervals via a lag "
+    "window over each doc's disjoint spans (gap before each span + the "
+    "tail after the last one), substring the gaps, reassemble in offset "
+    "order — the boilerplate_removal pattern applied to character spans. "
+    "This variant removes EVERY duplicated span (the keep-one-copy "
+    "refinement adds a span-ownership argmin over the gram's occurrence "
+    "set — same plan plus one aggregate). Docs without spans pass "
+    "through zero-filled. Payload text moves through one doc-keyed "
+    "window + one reassembly aggregate.",
+)
+def q_dup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    spans = _dup_spans(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    )
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    pre_gaps = spans.select(
+        "doc_id",
+        (F.coalesce(F.lag("span_end").over(w), F.lit(0)) + 1).alias("gap_start"),
+        F.col("span_start").alias("gap_end"),
+    )
+    tails = (
+        spans.groupBy("doc_id")
+        .agg(F.max("span_end").alias("last_end"))
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("last_end") + 1).alias("gap_start"),
+            (F.col("n_chars") + 1).alias("gap_end"),
+        )
+    )
+    segs = (
+        pre_gaps.unionByName(tails)
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "gap_start",
+            F.col("text")
+            .substr(
+                F.col("gap_start").cast("int"),
+                (F.col("gap_end") - F.col("gap_start")).cast("int"),
+            )
+            .alias("seg"),
+        )
+    )
+    cleaned = (
+        segs.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("gap_start", "seg"))).alias("gs"))
+        .select("doc_id", F.array_join(F.col("gs").getField("seg"), "").alias("ct"))
+    )
+    return d.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("ct", "text").alias("clean_text"),
+        (F.col("n_chars") - F.length(F.coalesce("ct", "text")))
+        .cast("bigint")
+        .alias("n_chars_removed"),
     )

@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..session import load_table
+from ..session import fan_out, load_table
 from ..sources.synthetic import SAVED_LIST_SQL, SOURCE_LIST_SQL, saved_list, source_list
 
 # 31-polynomial string hash, mod the Mersenne prime 2^31-1. The running
@@ -284,7 +284,9 @@ def q_bloom_fp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded count table in DECIMAL.)",
 )
 def q_dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # fan_out: spread the single-row-group scan before the token explode
+    # + per-word hashing (map-side work dominates this query)
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
     )
@@ -347,7 +349,7 @@ def q_dsir_importance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-doc re-aggregation is the only payload shuffle.",
 )
 def q_doc_rarity_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("w")
     )
