@@ -57,3 +57,51 @@ def test_later_merges_can_build_on_earlier_symbols(spark):
     assert any(
         len(r.merge_left) > 1 or len(r.merge_right) > 1 for r in rows
     ), [(r.merge_left, r.merge_right) for r in rows]
+
+
+def test_one_merge_matches_reference_python_on_random_words(spark):
+    # batch-compare _one_merge against a straightforward Python BPE
+    # iteration (pair counts -> argmax with the same tiebreak -> greedy
+    # left-to-right merge) over seeded random words on a tiny alphabet
+    # (lots of aa-style overlaps)
+    import random
+
+    rng = random.Random(7)
+    words = list(
+        {
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+            for _ in range(30)
+        }
+        | {"".join(rng.choice("abc") for _ in range(rng.randint(2, 12))) for _ in range(30)}
+    )
+    freqs = {w: rng.randint(1, 9) for w in words}
+
+    # reference: one classic BPE iteration
+    seqs = {w: list(w) for w in words}
+    counts: dict[tuple[str, str], int] = {}
+    for w, s in seqs.items():
+        for x, y in zip(s, s[1:]):
+            counts[(x, y)] = counts.get((x, y), 0) + freqs[w]
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+    expected = {}
+    for w, s in seqs.items():
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                out.append(s[i] + s[i + 1])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        expected[w] = out
+
+    types = spark.createDataFrame(
+        [(w, freqs[w]) for w in words], "word string, freq long"
+    )
+    rule, nxt = _one_merge(_initial_symbols(types))
+    rrow = rule.collect()[0]
+    assert (rrow.merge_left, rrow.merge_right) == best
+    got = {}
+    for r in nxt.orderBy("word", "pos").collect():
+        got.setdefault(r.word, []).append(r.sym)
+    assert got == expected
