@@ -1,10 +1,15 @@
 """Sketch-gated membership + model-based data-selection operators.
 
-Three pretraining-pipeline families the repo did not cover yet, each
-fully value-oracled because every "sketch" here is built from a
+Pretraining-pipeline families the repo did not cover before this module,
+each fully value-oracled because every "sketch" here is built from a
 deterministic cross-engine hash (a 31-polynomial over ASCII codes mod
 2^31-1 — identical arithmetic in Spark column expressions and DuckDB
-list lambdas, parity-tested in tests/test_selection.py):
+list lambdas, parity-tested in tests/test_selection.py). Also here:
+``decontam_bloom_report`` (the GPT-3-style bloom decontamination of the
+train split against the test split's shingles) and
+``quality_ensemble_rank`` (the five-signal keep/drop decision table
+composing gopher rules, substring-dup fraction, repetition, rarity, and
+DSIR selection):
 
 - **Bloom-prefiltered resume** (`resume_bloom_prefilter`,
   `bloom_fp_report`): the reference's crawl-resume set difference
