@@ -1,0 +1,376 @@
+"""Hybrid retrieval and embedding-evaluation operators (north-star M5).
+
+The missing third leg of the ANN family: production LLM-data retrieval
+is rarely vector-only — candidates come from a LEXICAL inverted index
+and a VECTOR index, fused by reciprocal-rank fusion (RRF). This module
+adds that fusion as a first-class query, plus two evaluation operators
+(Matryoshka-style truncation recall, cross-source vocabulary overlap)
+that a curation pipeline runs to pick index/embedding parameters.
+
+Scale notes (100 TB):
+- the lexical leg is a token-partitioned inverted-index join — the
+  standard shape; the df cut (drop tokens present in > x% of docs)
+  bounds the posting-list blowup and is the documented knob;
+- the vector leg here is the exact brute-force scorer (the corpus at
+  test SF is the query set's candidate pool); at scale the leg swaps
+  for ``knn_lsh_probe``/``knn_nsw_probe`` over the persisted index —
+  fusion is rank-based, so legs are interchangeable;
+- RRF contributions are INTEGER (1e12 div (k + rank)) so the fused
+  score is an order-independent BIGINT sum — bit-stable across
+  engines, partitionings, and re-runs (no float accumulation).
+
+Reference lineage: the reference app has no retrieval surface (app.js
+is a crawler); this family is part of the LLM-training-pipeline
+extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens, word_ngrams
+from ..functions.vectors import dot_product, l2_norm
+from ..registry import register
+from ..session import fan_out, load_table
+
+QUERY_MOD = 25  # doc_id % 25 == 0 → 20 query docs over the 500-row table
+RRF_K = 60  # the standard RRF damping constant
+RRF_SCALE = 1_000_000_000_000  # integer contribution = SCALE div (K + rank)
+LEG_TOPN = 20  # per-leg shortlist depth fed into fusion
+FUSE_TOPK = 10  # fused results surfaced per query
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+_RRF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+  ) GROUP BY doc_id, word
+),
+lex_scored AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+         SUM(q.tf * d.tf) AS lex_score
+  FROM tf q JOIN tf d USING (word)
+  WHERE q.doc_id % {QUERY_MOD} = 0 AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, rk AS lex_rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY lex_score DESC, doc_id) AS rk
+    FROM lex_scored
+  ) WHERE rk <= {LEG_TOPN}
+),
+vec_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                     (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (a, b) -> a + b))) AS cos
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND e.vec_id <> q.vec_id
+),
+vec AS (
+  SELECT query_id, doc_id, rk AS vec_rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id) AS rk
+    FROM vec_scored
+  ) WHERE rk <= {LEG_TOPN}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(l.lex_rk, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(v.vec_rk, 0) AS BIGINT) AS vec_rank,
+         COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rk), 0)
+         + COALESCE({RRF_SCALE} // ({RRF_K} + v.vec_rk), 0) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= {FUSE_TOPK}
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=_RRF_ORACLE,
+    doc="Hybrid retrieval: a lexical leg (inverted-index tf-dot-product "
+    "over whitespace tokens) and a vector leg (cosine over the paired "
+    "embedding, doc_id = vec_id) each produce a per-query top-20 "
+    "shortlist; the legs are fused by reciprocal-rank fusion with "
+    "integer contributions (1e12 div (60 + rank)), and the fused top-10 "
+    "per query is surfaced with both leg ranks (0 = absent from that "
+    "leg's shortlist). The fused score is a BIGINT sum — exact, "
+    "order-independent, engine-portable.",
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+
+    # Lexical leg: inverted-index join. The query-side postings are tiny
+    # (|queries| x |vocab|) -> broadcast; the corpus side shuffles by
+    # token only into the aggregation.
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    qtf = tf.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "word", F.col("tf").alias("qtf")
+    )
+    lex_scored = (
+        F.broadcast(qtf)
+        .join(tf, "word")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).alias("lex_score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), "doc_id")
+    lex = (
+        lex_scored.withColumn("lex_rk", F.row_number().over(w_lex))
+        .filter(F.col("lex_rk") <= LEG_TOPN)
+        .select("query_id", "doc_id", "lex_rk")
+    )
+
+    # Vector leg: exact cosine (norms projected once per side, one array
+    # fold per pair). At scale this leg is served by the persisted
+    # LSH/NSW index instead; fusion only consumes ranks.
+    corpus = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    qv = corpus.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    vec_scored = (
+        F.broadcast(qv)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.when(F.col("qnrm") * F.col("nrm") == 0, F.lit(0.0))
+            .otherwise(dot_product("query_vec", "embedding") / (F.col("qnrm") * F.col("nrm")))
+            .alias("cos"),
+        )
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(F.desc("cos"), "doc_id")
+    vec = (
+        vec_scored.withColumn("vec_rk", F.row_number().over(w_vec))
+        .filter(F.col("vec_rk") <= LEG_TOPN)
+        .select("query_id", "doc_id", "vec_rk")
+    )
+
+    # RRF fusion: outer-join the shortlists per (query, doc); absent leg
+    # contributes 0. Integer div keeps the sum exact in any order.
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("lex_rk"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("vec_rk"), F.lit(0)).cast("long").alias("vec_rank"),
+        (
+            F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rk)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rk)"), F.lit(0))
+        ).alias("rrf_score"),
+    )
+    w_fuse = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w_fuse))
+        .filter(F.col("rk") <= FUSE_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_score", "rk")
+    )
+
+
+TRUNC_DIMS = (8, 16, 32, 64)
+TRUNC_TOPK = 10
+
+_TRUNC_ORACLE = f"""
+WITH dims AS (SELECT unnest([{", ".join(str(d) for d in TRUNC_DIMS)}]) AS dim),
+scored AS (
+  SELECT dm.dim, q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, dm.dim + 1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(range(1, dm.dim + 1),
+                     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                     (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(range(1, dm.dim + 1),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                     (a, b) -> a + b))) AS cos
+  FROM embeddings q CROSS JOIN embeddings e CROSS JOIN dims dm
+  WHERE q.vec_id % {QUERY_MOD} = 0 AND e.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {TRUNC_TOPK}
+),
+base AS (SELECT query_id, neighbor_id FROM topk WHERE dim = {max(TRUNC_DIMS)}),
+base_n AS (SELECT COUNT(*) AS n FROM base)
+SELECT t.dim,
+       CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits,
+       CAST(MIN(base_n.n) AS BIGINT) AS n_baseline,
+       round(COUNT(b.neighbor_id) / CAST(MIN(base_n.n) AS DOUBLE), 4) AS recall
+FROM topk t
+LEFT JOIN base b ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+CROSS JOIN base_n
+GROUP BY t.dim
+ORDER BY t.dim
+"""
+
+
+@register(
+    "embedding_truncation_recall",
+    oracle=_TRUNC_ORACLE,
+    doc="Matryoshka-style truncation evaluation: brute-force cosine "
+    "top-10 using only the first d dims of each embedding (d in "
+    f"{TRUNC_DIMS}), scored as recall against the full-dimension "
+    "baseline. The report a pipeline runs before shipping truncated "
+    "embeddings to a cheaper index tier. One pair scan serves all "
+    "dims (dim exploded per pair); fold order is fixed so the cosine "
+    "is bit-identical across engines.",
+)
+def q_embedding_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    corpus = emb.select("vec_id", "embedding")
+    qv = corpus.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pairs = (
+        F.broadcast(qv)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "query_vec",
+            "embedding",
+            F.explode(F.array(*[F.lit(d) for d in TRUNC_DIMS])).alias("dim"),
+        )
+    )
+    qt = F.expr("slice(query_vec, 1, dim)")
+    et = F.expr("slice(embedding, 1, dim)")
+    denom = l2_norm(qt) * l2_norm(et)
+    scored = pairs.select(
+        "dim",
+        "query_id",
+        "neighbor_id",
+        F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(qt, et) / denom).alias("cos"),
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(F.desc("cos"), "neighbor_id")
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TRUNC_TOPK)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    base = topk.filter(F.col("dim") == max(TRUNC_DIMS)).select(
+        "query_id", F.col("neighbor_id").alias("base_neighbor")
+    )
+    base_n = base.agg(F.count("*").alias("n"))
+    hits = (
+        topk.join(
+            base,
+            (topk.query_id == base.query_id)
+            & (topk.neighbor_id == base.base_neighbor),
+            "left",
+        )
+        .groupBy("dim")
+        .agg(F.count("base_neighbor").cast("long").alias("hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(base_n))
+        .select(
+            "dim",
+            "hits",
+            F.col("n").cast("long").alias("n_baseline"),
+            F.round(F.col("hits") / F.col("n").cast("double"), 4).alias("recall"),
+        )
+        .orderBy("dim")
+    )
+
+
+_VOCAB_OVERLAP_ORACLE = f"""
+WITH toks AS (SELECT source, {_TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, c.n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       round(c.n_common / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.source = c.source_a
+JOIN sizes sb ON sb.source = c.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=_VOCAB_OVERLAP_ORACLE,
+    doc="Cross-source corpus diagnostics: pairwise Jaccard overlap of "
+    "the word-trigram shingle vocabularies of every source pair — the "
+    "report that flags mirrored/scraped-twice sources before mixing "
+    "weights are assigned. Exact set Jaccard via a shingle-partitioned "
+    "self-join; at 100 TB the per-source vocabulary is replaced by its "
+    "minhash signature (dedup_minhash_signature) and the same report "
+    "reads the sketch instead.",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    grams = (
+        docs.select("source", F.explode(word_ngrams("text", 3)).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -158,6 +158,7 @@ def _ensure_loaded() -> None:
         multimodal_queries,
         advanced,
         relational,
+        retrieval,
         coverage2,
         coverage3,
         selection,

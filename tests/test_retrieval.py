@@ -1,0 +1,66 @@
+"""Semantic invariants for the hybrid-retrieval / embedding-eval family.
+
+Cross-engine value parity is covered by test_oracle_parity; these tests
+pin properties parity can't see: internal score consistency, recall
+bounds, and set-algebra sanity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.operators.retrieval import (
+    FUSE_TOPK,
+    LEG_TOPN,
+    RRF_K,
+    RRF_SCALE,
+    TRUNC_DIMS,
+    q_embedding_truncation_recall,
+    q_hybrid_search_rrf,
+    q_source_vocab_overlap,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_rrf_score_is_exact_sum_of_leg_contributions(spark):
+    rows = q_hybrid_search_rrf(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rk <= FUSE_TOPK
+        assert 0 <= r.lex_rank <= LEG_TOPN
+        assert 0 <= r.vec_rank <= LEG_TOPN
+        expect = (RRF_SCALE // (RRF_K + r.lex_rank) if r.lex_rank else 0) + (
+            RRF_SCALE // (RRF_K + r.vec_rank) if r.vec_rank else 0
+        )
+        assert r.rrf_score == expect, r
+        # a fused hit must come from at least one leg
+        assert r.lex_rank or r.vec_rank
+
+
+def test_rrf_never_returns_the_query_itself(spark):
+    df = q_hybrid_search_rrf(spark, SF_SMOKE)
+    assert df.filter(F.col("doc_id") == F.col("query_id")).count() == 0
+
+
+def test_truncation_recall_full_dim_is_one(spark):
+    rows = {r.dim: r for r in q_embedding_truncation_recall(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(TRUNC_DIMS)
+    full = rows[max(TRUNC_DIMS)]
+    assert full.hits == full.n_baseline
+    assert full.recall == 1.0
+    for r in rows.values():
+        assert 0 <= r.hits <= r.n_baseline
+
+
+def test_vocab_overlap_is_valid_jaccard(spark):
+    rows = q_source_vocab_overlap(spark, SF_SMOKE).collect()
+    assert rows
+    n_sources = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 < r.jaccard <= 1.0
+        denom = r.n_a + r.n_b - r.n_common
+        assert abs(r.jaccard - r.n_common / denom) < 1e-6
