@@ -392,3 +392,110 @@ def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nearest_click_ts"),
         )
     )
+
+
+@register(
+    "order_value_outliers_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM orders
+    ),
+    med AS (  -- med2 = 2 * median, exact decimal (middle-pair sum)
+      SELECT o_orderstatus,
+             SUM(CASE WHEN rn = (cnt + 1) // 2 THEN p ELSE 0 END)
+             + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN p ELSE 0 END) AS med2
+      FROM ranked GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.o_orderkey, r.o_orderstatus, r.p,
+             abs(2 * r.p - m.med2) AS dev2
+      FROM ranked r JOIN med m USING (o_orderstatus)
+    ),
+    dev_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY dev2, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      FROM dev
+    ),
+    mad AS (  -- mad4 = 4 * MAD, exact decimal
+      SELECT o_orderstatus,
+             SUM(CASE WHEN rn = (cnt + 1) // 2 THEN dev2 ELSE 0 END)
+             + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN dev2 ELSE 0 END) AS mad4
+      FROM dev_ranked GROUP BY 1
+    )
+    SELECT d.o_orderkey, d.o_orderstatus,
+           CAST(CAST(d.p AS VARCHAR) AS DOUBLE) AS totalprice,
+           round(CAST(CAST(2 * d.dev2 AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(m.mad4 AS VARCHAR) AS DOUBLE), 6) AS mad_score
+    FROM dev d JOIN mad m USING (o_orderstatus)
+    WHERE d.dev2 > m.mad4
+    """,
+    doc="Robust (median/MAD) outlier detection per order status. All "
+    "medians are computed EXACTLY in the decimal domain via the "
+    "middle-pair-sum trick (med2 = v[(n+1)/2] + v[(n+2)/2] = 2x the "
+    "interpolated median, so no engine-variant float interpolation "
+    "ever happens), and the outlier gate |x - med| > 2 * MAD is the "
+    "integer-exact comparison dev2 > mad4 — no FP boundary can "
+    "flip a row between engines. At 100 TB the exact per-group rank "
+    "pass swaps for approx_percentile (see approx_percentiles); this "
+    "operator is the exact twin the sketch is validated against.",
+)
+def q_order_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    p = F.col("o_totalprice").cast("decimal(18,4)")
+    w_rank = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_all = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        p.alias("p"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    mid_lo = F.expr("(cnt + 1) div 2")
+    mid_hi = F.expr("(cnt + 2) div 2")
+    zero = F.lit(0).cast("decimal(18,4)")
+    med = ranked.groupBy("o_orderstatus").agg(
+        (
+            F.sum(F.when(F.col("rn") == mid_lo, F.col("p")).otherwise(zero))
+            + F.sum(F.when(F.col("rn") == mid_hi, F.col("p")).otherwise(zero))
+        ).alias("med2")
+    )
+    dev = ranked.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "p",
+        F.abs(F.lit(2) * F.col("p") - F.col("med2")).alias("dev2"),
+    )
+    w_drank = Window.partitionBy("o_orderstatus").orderBy("dev2", "o_orderkey")
+    dev_ranked = dev.select(
+        "*",
+        F.row_number().over(w_drank).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    zero_d = F.lit(0).cast(dev.schema["dev2"].dataType.simpleString())
+    mad = dev_ranked.groupBy("o_orderstatus").agg(
+        (
+            F.sum(F.when(F.col("rn") == mid_lo, F.col("dev2")).otherwise(zero_d))
+            + F.sum(F.when(F.col("rn") == mid_hi, F.col("dev2")).otherwise(zero_d))
+        ).alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .filter(F.col("dev2") > F.col("mad4"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("p").cast("double").alias("totalprice"),
+            F.round(
+                (F.lit(2) * F.col("dev2")).cast("double")
+                / F.col("mad4").cast("double"),
+                6,
+            ).alias("mad_score"),
+        )
+    )

@@ -426,3 +426,89 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "order_overlap_stats",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_custkey, o.o_orderkey, o.o_orderdate AS s,
+             MAX(l.l_shipdate) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+      SELECT a.o_custkey,
+             date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+               AS overlap_days
+      FROM iv a JOIN iv b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT p.o_custkey AS custkey,
+           CAST(MIN(n.n_orders) AS BIGINT) AS n_orders,
+           COUNT(*) AS n_overlap_pairs,
+           CAST(MAX(p.overlap_days) AS BIGINT) AS max_overlap_days
+    FROM pairs p
+    JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM iv GROUP BY 1) n
+      ON n.o_custkey = p.o_custkey
+    GROUP BY 1
+    """,
+    doc="Interval-overlap self-join with an equi-key: each order's "
+    "fulfillment interval is [o_orderdate, max l_shipdate]; orders of "
+    "the SAME customer whose intervals overlap are paired and "
+    "summarized per customer. The equi-key (custkey) bounds the join "
+    "fan-out to each customer's own orders, so the plan is a plain "
+    "shuffled hash join on custkey + a residual range predicate — no "
+    "banding needed and no cross product at any scale. The per-order "
+    "interval itself comes from one partial aggregation of lineitem.",
+)
+def q_order_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+        .select("o_custkey", "o_orderkey", F.col("o_orderdate").alias("s"), "e")
+    )
+    a = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+    )
+    pairs = a.join(b, "custkey").filter(
+        (F.col("k_a") < F.col("k_b"))
+        & (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a"))
+    )
+    n_orders = iv.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders")
+    )
+    return (
+        pairs.select(
+            "custkey",
+            F.datediff(
+                F.least("e_a", "e_b"), F.greatest("s_a", "s_b")
+            ).alias("overlap_days"),
+        )
+        .groupBy("custkey")
+        .agg(
+            F.count("*").alias("n_overlap_pairs"),
+            F.max("overlap_days").cast("long").alias("max_overlap_days"),
+        )
+        .join(F.broadcast(n_orders), "custkey")
+        .select(
+            "custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "n_overlap_pairs",
+            "max_overlap_days",
+        )
+    )

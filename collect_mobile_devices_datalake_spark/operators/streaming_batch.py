@@ -337,3 +337,84 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("prospect")
         .alias("segment"),
     )
+
+
+@register(
+    "rollup_reuse_hierarchy",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,4))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(v) AS v
+      FROM hourly GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT date_trunc('month', bucket_start) AS bucket_start, event_type,
+             CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(v) AS v
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_start, event_type, n_events,
+           CAST(CAST(v AS VARCHAR) AS DOUBLE) AS total_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket_start, event_type, n_events,
+           CAST(CAST(v AS VARCHAR) AS DOUBLE) FROM daily
+    UNION ALL
+    SELECT 'month', bucket_start, event_type, n_events,
+           CAST(CAST(v AS VARCHAR) AS DOUBLE) FROM monthly
+    """,
+    doc="Hypertable-style continuous-aggregate hierarchy: the hourly "
+    "rollup is computed ONCE from raw events, then day and month levels "
+    "are derived from the next-finer level's partials (decimal sums "
+    "re-aggregate exactly), never by rescanning the fact table — the "
+    "TimescaleDB/Druid rollup-reuse pattern. At 100 TB the hour level "
+    "is the only scan of the raw data; each coarser level reads rows "
+    "numbering |buckets x types|. All three grains surface in one "
+    "frame keyed by `grain`.",
+)
+def q_rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import dec
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).alias("v"))
+    )
+    # daily/monthly re-aggregate the hourly PARTIALS (sum of decimal sums
+    # is exact and associative) — the raw table is scanned exactly once.
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+    )
+    monthly = (
+        daily.groupBy(
+            F.date_trunc("month", "bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+    )
+
+    def surface(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("v").cast("double").alias("total_value"),
+        )
+
+    return (
+        surface(hourly, "hour")
+        .unionByName(surface(daily, "day"))
+        .unionByName(surface(monthly, "month"))
+    )
