@@ -386,6 +386,12 @@ def q_rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count("*").alias("n_events"), F.sum(dec("value")).alias("v"))
+        # Catalyst does not CSE a shared subplan across union branches —
+        # without a barrier each grain would rescan the fact table.
+        # Materializing the hourly aggregate (the "continuous aggregate"
+        # itself, |hour-buckets x types| rows) keeps events to ONE scan;
+        # tests/test_plans.py pins the single-scan shape.
+        .localCheckpoint(eager=True)
     )
     # daily/monthly re-aggregate the hourly PARTIALS (sum of decimal sums
     # is exact and associative) — the raw table is scanned exactly once.

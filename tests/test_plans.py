@@ -312,3 +312,24 @@ def test_nsw_delta_reads_persisted_bucket_index(spark):
     plan = formatted_plan(q)
     assert "ann_index_" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_hierarchy_scans_events_once(spark):
+    # the hour level is the only reader of the fact table; day/month
+    # re-aggregate the materialized hourly partials (rollup reuse)
+    # building the query materializes hourly ONCE (localCheckpoint); the
+    # final plan must read only the materialized partials, never re-scan
+    # the fact table per grain branch
+    q = REGISTRY["rollup_reuse_hierarchy"].spark(spark, SF)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_order_overlap_is_equi_keyed(spark):
+    # interval self-join rides the custkey equi-key: shuffled/broadcast
+    # HASH join + residual range filter, never a nested-loop pair scan
+    q = REGISTRY["order_overlap_stats"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
