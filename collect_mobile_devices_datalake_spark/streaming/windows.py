@@ -77,6 +77,20 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", WATERMARK).dropDuplicates(["event_id", "ts"])
 
 
+def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
+    """Streaming dedup keyed on event_id ALONE, state evicted by the
+    watermark (``dropDuplicatesWithinWatermark``, Spark 3.5+).
+
+    Unlike ``dedup_stream`` the event-time column is NOT part of the key,
+    so re-deliveries with a jittered timestamp still dedup — the shape a
+    real at-least-once source needs. State stays bounded: a key is
+    dropped once the watermark passes its first-seen time.
+    """
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def purchase_click_join_stream(events: DataFrame) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's clicks within the preceding hour. Both sides watermarked so

@@ -19,6 +19,7 @@ from collect_mobile_devices_datalake_spark.streaming.pipeline import (
 )
 from collect_mobile_devices_datalake_spark.streaming.windows import (
     dedup_stream,
+    dedup_within_watermark_stream,
     tumbling_counts_stream,
 )
 
@@ -84,6 +85,23 @@ def test_streaming_dedup(spark, tmp):
     name = f"d_{uuid.uuid4().hex[:8]}"
     _run_to_memory(dedup_stream(stream), name, "append")
     assert spark.table(name).count() == ev.count()
+
+
+def test_streaming_dedup_within_watermark_drops_jittered_replays(spark, tmp):
+    # re-delivery with a JITTERED timestamp: (event_id, ts) dedup keeps the
+    # replica, dropDuplicatesWithinWatermark on event_id alone drops it
+    d, ev = _events_dir(spark, tmp)
+    jittered = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 7 SECONDS")
+    )
+    jittered.coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dedup_within_watermark_stream(stream), name, "append")
+    assert spark.table(name).count() == ev.count()
+    # per-key uniqueness, not just totals
+    ids = [r["event_id"] for r in spark.table(name).select("event_id").collect()]
+    assert len(ids) == len(set(ids))
 
 
 def test_ingest_stream_kill_and_resume(spark, tmp):
