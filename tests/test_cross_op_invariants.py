@@ -140,3 +140,37 @@ def test_containment_jaccard_matches_minhash_exact_jaccard(spark):
         j, cab, cba = cont[k]
         assert j == est[k], f"jaccard mismatch for {k}: {j} vs {est[k]}"
         assert max(cab, cba) >= j, f"containment bound violated for {k}"
+
+
+def test_rollup_grains_conserve_mass(spark):
+    """Every grain of the rollup hierarchy must carry the same event count
+    and the same (exactly-summed) value total — partial re-aggregation
+    cannot create or lose mass. Also cross-checks the hour grain against
+    the independently-built events_tumbling_hourly operator."""
+    roll = _q(spark, "rollup_reuse_hierarchy").collect()
+    by_grain = {}
+    for r in roll:
+        n, v = by_grain.get(r.grain, (0, 0.0))
+        by_grain[r.grain] = (n + r.n_events, v + r.total_value)
+    assert set(by_grain) == {"hour", "day", "month"}
+    counts = {g: n for g, (n, _) in by_grain.items()}
+    assert len(set(counts.values())) == 1, counts
+    totals = {g: round(v, 2) for g, (_, v) in by_grain.items()}
+    assert len(set(totals.values())) == 1, totals
+
+    hourly = _q(spark, "events_tumbling_hourly").collect()
+    assert sum(r.n_events for r in hourly) == counts["hour"]
+
+
+def test_mad_outliers_sit_beyond_the_gate(spark):
+    rows = _q(spark, "order_value_outliers_mad").collect()
+    assert rows
+    for r in rows:
+        assert r.mad_score > 2.0, r
+
+
+def test_order_overlap_pairs_bounded_by_order_count(spark):
+    for r in _q(spark, "order_overlap_stats").collect():
+        assert r.n_orders >= 2
+        assert 1 <= r.n_overlap_pairs <= r.n_orders * (r.n_orders - 1) // 2
+        assert r.max_overlap_days >= 0
