@@ -254,3 +254,84 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_sym.alias("ok_symbols"),
         (ok_wc & ok_mwl & ok_alpha & ok_sw & ok_sym).alias("pass_all"),
     )
+
+
+DRIFT_SCALE = 1_000_000  # fixed-point scale for chi-square contributions
+
+
+@register(
+    "source_token_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    cst AS (SELECT source, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, SUM(c) AS n_s FROM cst GROUP BY 1),
+    ct AS (SELECT word, SUM(c) AS c_t FROM cst GROUP BY 1),
+    tot AS (SELECT SUM(c) AS n FROM cst),
+    grid AS (SELECT ns.source, ns.n_s, ct.word, ct.c_t FROM ns CROSS JOIN ct),
+    terms AS (
+      SELECT g.source, g.n_s,
+             -- exact integer chi-square contribution, fixed-point 1e6:
+             -- SCALE * (c_st*N - n_s*c_t)^2 // (N * n_s * c_t)
+             CAST({DRIFT_SCALE} AS HUGEINT)
+               * (CAST(COALESCE(c.c, 0) AS HUGEINT) * t.n
+                  - CAST(g.n_s AS HUGEINT) * g.c_t)
+               * (CAST(COALESCE(c.c, 0) AS HUGEINT) * t.n
+                  - CAST(g.n_s AS HUGEINT) * g.c_t)
+               // (CAST(t.n AS HUGEINT) * g.n_s * g.c_t) AS term
+      FROM grid g
+      LEFT JOIN cst c ON c.source = g.source AND c.word = g.word
+      CROSS JOIN tot t
+    )
+    SELECT source,
+           CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+           CAST(SUM(term) AS BIGINT) AS chi2_fp,
+           round(CAST(SUM(term) AS BIGINT) / {DRIFT_SCALE}.0, 6) AS chi2
+    FROM terms GROUP BY source
+    """,
+    doc="Per-source distribution-drift report: the chi-square statistic "
+    "of each source's token histogram against the corpus-wide "
+    "expectation — the QA gate that flags a source whose language "
+    "suddenly shifts before it poisons the training mix. Every "
+    "contribution is computed in EXACT integer arithmetic "
+    "(SCALE*(c_st*N - n_s*c_t)^2 // (N*n_s*c_t), decimal(38) on Spark, "
+    "HUGEINT on DuckDB), so the per-source sum is an order-independent "
+    "BIGINT — no floating-point accumulation anywhere. The "
+    "source x token grid is dimension-sized (|sources| x |vocab|) and "
+    "broadcast; the only fact-table pass is the token count.",
+)
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as tok
+
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    cst = (
+        docs.select("source", F.explode(tok("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    ns = cst.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ct = cst.groupBy("word").agg(F.sum("c").alias("c_t"))
+    tot = cst.agg(F.sum("c").alias("n"))
+    grid = F.broadcast(ns).crossJoin(F.broadcast(ct))
+    d38 = "decimal(38,0)"
+    terms = (
+        grid.join(cst, ["source", "word"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.expr(
+                f"CAST({DRIFT_SCALE} AS {d38})"
+                f" * (CAST(COALESCE(c, 0) AS {d38}) * n - CAST(n_s AS {d38}) * c_t)"
+                f" * (CAST(COALESCE(c, 0) AS {d38}) * n - CAST(n_s AS {d38}) * c_t)"
+                f" div (CAST(n AS {d38}) * n_s * c_t)"
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.min("n_s").cast("long").alias("n_tokens"),
+        F.sum("term").cast("long").alias("chi2_fp"),
+        F.round(F.sum("term").cast("double") / DRIFT_SCALE, 6).alias("chi2"),
+    )

@@ -174,3 +174,17 @@ def test_order_overlap_pairs_bounded_by_order_count(spark):
         assert r.n_orders >= 2
         assert 1 <= r.n_overlap_pairs <= r.n_orders * (r.n_orders - 1) // 2
         assert r.max_overlap_days >= 0
+
+
+def test_token_drift_is_nonnegative_and_consistent(spark):
+    rows = _q(spark, "source_token_drift").collect()
+    assert rows
+    for r in rows:
+        assert r.chi2_fp >= 0
+        assert abs(r.chi2 - r.chi2_fp / 1_000_000) < 1e-6
+        assert r.n_tokens > 0
+    # drift against the corpus the sources themselves form: the total
+    # token mass must match doc_tokens_per_source's independent count
+    per_source = {r.source: r.total_tokens for r in _q(spark, "doc_tokens_per_source").collect()}
+    for r in rows:
+        assert per_source.get(r.source) == r.n_tokens, (r.source, r.n_tokens)
