@@ -374,3 +374,147 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def _knn_class_oracle() -> str:
+    """Compose the labeled brute-force top-k oracle verbatim, then vote."""
+    from ..registry import REGISTRY
+
+    base = REGISTRY["knn_bruteforce"].oracle
+    return f"""
+    WITH topk AS (SELECT query_id, label FROM ({base})),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, label) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    ),
+    truth AS (
+      SELECT vec_id AS query_id, label AS true_label
+      FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+    )
+    SELECT t.true_label,
+           COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = t.true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(SUM(CASE WHEN p.pred_label = t.true_label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS accuracy
+    FROM truth t JOIN pred p USING (query_id)
+    GROUP BY t.true_label
+    ORDER BY t.true_label
+    """
+
+
+@register(
+    "knn_classification_report",
+    oracle=_knn_class_oracle(),
+    doc="k-NN label prediction quality: each query vector's label is "
+    "predicted by majority vote of its exact top-10 neighbors "
+    "(deterministic tie-break: most votes, then smallest label), and "
+    "per-true-label accuracy is reported — the evaluation a pipeline "
+    "runs to decide whether an embedding space separates its classes "
+    "before using it for model-based filtering. Composes the registered "
+    "knn_bruteforce operator verbatim on BOTH engines (integer votes, "
+    "exact division only at the surfaced accuracy).",
+)
+def q_knn_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q_knn_bruteforce
+
+    topk = q_knn_bruteforce(spark, sf_dir)
+    votes = topk.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    truth = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return (
+        truth.join(pred, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            correct.cast("long").alias("n_correct"),
+            F.round(correct / F.count("*").cast("double"), 4).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
+
+
+def _semantic_cluster_oracle() -> str:
+    """Recursive min-label reachability over the LSH near-dup pair graph,
+    composing the registered embedding_near_dup_pairs oracle verbatim."""
+    from ..registry import REGISTRY
+
+    pairs = REGISTRY["embedding_near_dup_pairs"].oracle
+    return f"""
+    WITH RECURSIVE ndp AS (SELECT vec_a, vec_b FROM ({pairs})),
+    nodes AS (SELECT DISTINCT vec_a AS node FROM ndp
+              UNION SELECT DISTINCT vec_b FROM ndp),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM ndp
+      UNION ALL SELECT vec_b, vec_a FROM ndp
+    ),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id
+      FROM embeddings e LEFT JOIN labels l ON l.node = e.vec_id
+    )
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_survivor
+    FROM assigned
+    """
+
+
+@register(
+    "semantic_cluster_survivors",
+    oracle=_semantic_cluster_oracle(),
+    doc="SemDeDup-style semantic dedup end-to-end: LSH-bucketed cosine "
+    "near-dup pairs (embedding_near_dup_pairs, threshold 0.4) are "
+    "clustered by distributed min-label propagation (cluster_labels — "
+    "the union-find analogue), every vector is assigned its component's "
+    "lowest id (singletons keep their own id), and the lowest member of "
+    "each cluster is the survivor the pipeline keeps. One row per "
+    "corpus vector with cluster id/size/survivor flag. The pair graph "
+    "is the only super-linear stage and it is LSH-bounded — no "
+    "all-pairs product anywhere.",
+)
+def q_semantic_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import cluster_labels
+    from .similarity import q_embedding_near_dup_pairs
+
+    pairs = q_embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = cluster_labels(pairs)  # (doc_id, cluster_id)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id")
+    assigned = emb.join(
+        labels, emb.vec_id == labels.doc_id, "left"
+    ).select(
+        "vec_id",
+        F.coalesce(labels.cluster_id, emb.vec_id).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "vec_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
+    )

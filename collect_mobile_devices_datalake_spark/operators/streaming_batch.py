@@ -424,3 +424,116 @@ def q_rollup_reuse_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(surface(daily, "day"))
         .unionByName(surface(monthly, "month"))
     )
+
+
+@register(
+    "event_rate_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n, bucket_start) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM hourly
+    ),
+    med AS (  -- med2 = 2 * median hourly rate (exact integer)
+      SELECT event_type,
+             SUM(CASE WHEN rn = (cnt + 1) // 2 THEN n ELSE 0 END)
+             + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN n ELSE 0 END) AS med2
+      FROM ranked GROUP BY 1
+    ),
+    dev AS (
+      SELECT h.event_type, h.bucket_start, h.n,
+             abs(2 * h.n - m.med2) AS dev2, m.med2
+      FROM hourly h JOIN med m USING (event_type)
+    ),
+    dev_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2, bucket_start) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    ),
+    mad AS (  -- mad4 = 4 * MAD (exact integer)
+      SELECT event_type,
+             SUM(CASE WHEN rn = (cnt + 1) // 2 THEN dev2 ELSE 0 END)
+             + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN dev2 ELSE 0 END) AS mad4
+      FROM dev_ranked GROUP BY 1
+    )
+    SELECT d.event_type, d.bucket_start,
+           CAST(d.n AS BIGINT) AS n_events,
+           CAST(CAST(d.med2 AS BIGINT) AS DOUBLE) / 2 AS median_rate,
+           round(CASE WHEN m.mad4 = 0 THEN 0.0
+                      ELSE CAST(2 * d.dev2 AS DOUBLE) / CAST(m.mad4 AS DOUBLE)
+                 END, 6) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE 2 * d.dev2 > 3 * m.mad4
+    """,
+    doc="Traffic-spike/dip detection: per event type, hours whose event "
+    "count deviates from that type's median hourly rate by more than "
+    "3x the MAD. Rates are integer counts, medians use the exact "
+    "middle-pair-sum trick (2*median and 4*MAD stay integers), and the "
+    "gate 2*dev2 > 3*mad4 is integer-exact — engine-identical row "
+    "membership by construction. The hourly rollup is the only pass "
+    "over the fact table; everything after runs on |types x hours| "
+    "rows. The operational-monitoring twin of order_value_outliers_mad.",
+)
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.count("*").alias("n"))
+    w_rank = Window.partitionBy("event_type").orderBy("n", "bucket_start")
+    w_all = Window.partitionBy("event_type")
+    ranked = hourly.select(
+        "*",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    mid_lo = F.expr("(cnt + 1) div 2")
+    mid_hi = F.expr("(cnt + 2) div 2")
+    med = ranked.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == mid_lo, F.col("n")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == mid_hi, F.col("n")).otherwise(0))
+        ).alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "bucket_start",
+        "n",
+        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
+        "med2",
+    )
+    w_drank = Window.partitionBy("event_type").orderBy("dev2", "bucket_start")
+    dev_ranked = dev.select(
+        "*",
+        F.row_number().over(w_drank).alias("rn"),
+        F.count("*").over(w_all).alias("cnt"),
+    )
+    mad = dev_ranked.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == mid_lo, F.col("dev2")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == mid_hi, F.col("dev2")).otherwise(0))
+        ).alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4"))
+        .select(
+            "event_type",
+            "bucket_start",
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("med2").cast("double") / 2).alias("median_rate"),
+            F.round(
+                F.when(F.col("mad4") == 0, F.lit(0.0)).otherwise(
+                    (F.lit(2) * F.col("dev2")).cast("double")
+                    / F.col("mad4").cast("double")
+                ),
+                6,
+            ).alias("mad_score"),
+        )
+    )
