@@ -158,7 +158,6 @@ def _ensure_loaded() -> None:
         multimodal_queries,
         advanced,
         relational,
-        retrieval,
         coverage2,
         coverage3,
         selection,
@@ -167,6 +166,11 @@ def _ensure_loaded() -> None:
         tpch_wave2,
         tpch_wave3,
         udf_surface,
+        # registered LAST on purpose: within the rotation policy's
+        # "never-sampled" bucket, registration order decides who makes the
+        # 50-key sample — operators that have waited since earlier rounds
+        # (the TPC-H tail) go before this session's brand-new family.
+        retrieval,
     )
 
     _DRIVER_PRIORITY.clear()
