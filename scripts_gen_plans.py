@@ -12,6 +12,8 @@ HEADLINE = [
     "knn_nsw_probe", "nsw_graph_delta", "doc_containment_pairs",
     "resume_bloom_prefilter", "dsir_importance_score", "dup_substring_spans",
     "knn_self_join", "decontam_bloom_report",
+    "hybrid_search_rrf", "rollup_reuse_hierarchy", "order_overlap_stats",
+    "source_token_drift", "event_rate_anomalies",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")

@@ -333,3 +333,26 @@ def test_order_overlap_is_equi_keyed(spark):
     plan = formatted_plan(q)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hybrid_rrf_legs_have_sane_joins(spark):
+    # lexical leg: broadcast the query postings into a HASH join on word;
+    # vector leg: intentional broadcast cross (exact scorer at test SF);
+    # no un-broadcast cartesian may appear anywhere
+    q = REGISTRY["hybrid_search_rrf"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_clusters_final_plan_joins_materialized_labels(spark):
+    # the LSH pair graph + label prop run during the iterative build (the
+    # persisted-index read is asserted for the pair op itself in
+    # test_near_dup_pairs_is_bucketed_not_all_pairs); the FINAL plan must
+    # just hash-join the corpus ids to the materialized labels — no
+    # cartesian, no re-derivation of the pair graph
+    q = REGISTRY["semantic_cluster_survivors"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
