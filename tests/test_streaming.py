@@ -765,3 +765,67 @@ def test_dedup_maintenance_replay_repairs_partial_commit(spark, tmp):
         for r in spark.read.parquet(bdir).collect()
     }
     assert got == want
+
+
+def test_rollup_maintenance_finalizes_windows_exactly_once(spark, tmp):
+    from collect_mobile_devices_datalake_spark.streaming.rollup_maintenance import (
+        start_rollup_maintenance_stream,
+    )
+
+    d, ev = _events_dir(spark, tmp)
+    rollup = os.path.join(tmp, "rollup")
+    ckpt = os.path.join(tmp, "rollup_ckpt")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def run():
+        q = start_rollup_maintenance_stream(spark, d, rollup, ckpt, schema)
+        q.awaitTermination(180)
+
+    run()  # ingest the real chunks; their windows are still open
+
+    # sentinel 3h past the end advances the watermark in the NEXT batch,
+    # finalizing every real window
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts, 0, "sentinel", 0.0, "{}")],
+        schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+    run()
+
+    got_df = spark.read.parquet(rollup).filter(F.col("event_type") != "sentinel")
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in got_df.collect()
+    }
+    want = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # producer re-delivery with jittered timestamps: every replayed event
+    # is behind the watermark (dropped) or deduped on event_id — the
+    # finalized totals must not change, and no window may be re-stated
+    ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 7 SECONDS")
+    ).coalesce(1).write.mode("append").parquet(d)
+    run()
+    again = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 4))
+        for r in spark.read.parquet(rollup)
+        .filter(F.col("event_type") != "sentinel")
+        .collect()
+    }
+    assert again == want
