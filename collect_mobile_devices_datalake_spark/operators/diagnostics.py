@@ -122,3 +122,118 @@ def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "value_distribution_shift",
+    oracle="""
+    WITH ctv AS (
+      SELECT value AS v, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    dv AS (
+      SELECT v, SUM(c) AS c_v,
+             COALESCE(SUM(SUM(c)) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lt
+      FROM ctv GROUP BY v
+    ),
+    tcum AS (
+      SELECT v, event_type, c,
+             COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_t_lt
+      FROM ctv
+    ),
+    terms AS (
+      SELECT t.event_type,
+             t.c,
+             -- 2*U contribution of value v for type T vs everything else:
+             -- c_T(v) * (2*#others below v + #others tied at v)
+             t.c * (2 * (d.cum_lt - t.cum_t_lt) + (d.c_v - t.c)) AS u2_term
+      FROM tcum t JOIN dv d USING (v)
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(u2_term) AS BIGINT) AS u2
+      FROM terms GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n) AS total FROM per_type)
+    SELECT p.event_type, p.n,
+           CAST(t.total - p.n AS BIGINT) AS n_rest,
+           p.u2,
+           round(p.u2 / (2.0 * p.n * (t.total - p.n)), 6) AS auc
+    FROM per_type p CROSS JOIN tot t
+    ORDER BY p.event_type
+    """,
+    doc="Numeric-distribution drift: the exact Mann-Whitney U statistic "
+    "of each event type's `value` distribution against the rest of the "
+    "corpus, surfaced as the AUC effect size (0.5 = identical location, "
+    "->0/1 = stochastically smaller/larger). Ties are handled exactly: "
+    "2*U = sum over values of c_T(v)*(2*below + tied) stays an INTEGER, "
+    "so the statistic is bit-identical across engines — the numeric "
+    "twin of source_token_drift's chi-square. Cumulative counts run "
+    "over the per-distinct-value aggregate (bounded: 2-decimal values "
+    "in a bounded range), the curriculum_bins shape — the fact table "
+    "itself is never globally sorted.",
+)
+def q_value_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    ctv = e.groupBy(F.col("value").alias("v"), "event_type").agg(
+        F.count("*").alias("c")
+    )
+    w_lt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dv = (
+        ctv.groupBy("v")
+        .agg(F.sum("c").alias("c_v"))
+        .select(
+            "v",
+            "c_v",
+            F.coalesce(F.sum("c_v").over(w_lt), F.lit(0)).alias("cum_lt"),
+        )
+    )
+    w_t_lt = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tcum = ctv.select(
+        "v",
+        "event_type",
+        "c",
+        F.coalesce(F.sum("c").over(w_t_lt), F.lit(0)).alias("cum_t_lt"),
+    )
+    terms = tcum.join(dv, "v").select(
+        "event_type",
+        "c",
+        (
+            F.col("c")
+            * (
+                F.lit(2) * (F.col("cum_lt") - F.col("cum_t_lt"))
+                + (F.col("c_v") - F.col("c"))
+            )
+        ).alias("u2_term"),
+    )
+    per_type = terms.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("u2_term").cast("long").alias("u2"),
+    )
+    tot = per_type.agg(F.sum("n").alias("total"))
+    return (
+        per_type.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n",
+            (F.col("total") - F.col("n")).cast("long").alias("n_rest"),
+            "u2",
+            F.round(
+                F.col("u2")
+                / (F.lit(2.0) * F.col("n") * (F.col("total") - F.col("n"))),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("event_type")
+    )

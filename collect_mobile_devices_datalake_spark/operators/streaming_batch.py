@@ -537,3 +537,78 @@ def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_score"),
         )
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               AS total_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                                (SELECT hi FROM span),
+                                                INTERVAL 1 HOUR)) AS h) g
+    ),
+    joined AS (
+      SELECT grid.event_type, grid.h, hourly.n, hourly.total_value
+      FROM grid LEFT JOIN hourly
+        ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+    )
+    SELECT event_type, h AS hour,
+           COALESCE(n, 0) AS n_events,
+           last_value(total_value IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS filled_value,
+           n IS NULL AS is_filled
+    FROM joined
+    """,
+    doc="Time-series gap filling with last-observation-carried-forward "
+    "(the TimescaleDB locf() analogue): the dense (event_type x hour) "
+    "grid left-joins observed hourly totals, silent hours keep count 0 "
+    "but CARRY the last observed total_value forward "
+    "(last_value IGNORE NULLS over an hour-ordered window per type — "
+    "leading gaps before the first observation stay NULL). The window "
+    "partitions by event_type over the tiny aggregate grid — no global "
+    "sort; the carried value is an exact copy, so cross-engine parity "
+    "is structural.",
+)
+def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    span = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    grid = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n").isNull().alias("is_filled"),
+    )

@@ -188,3 +188,36 @@ def test_token_drift_is_nonnegative_and_consistent(spark):
     per_source = {r.source: r.total_tokens for r in _q(spark, "doc_tokens_per_source").collect()}
     for r in rows:
         assert per_source.get(r.source) == r.n_tokens, (r.source, r.n_tokens)
+
+
+def test_locf_agrees_with_zero_fill_grid(spark):
+    """The LOCF variant must sit on exactly the same dense grid as the
+    zero-fill gap filler (same cells, same counts), and every silent
+    hour must carry the most recent observed value forward."""
+    locf = {(r.event_type, r.hour): r for r in _q(spark, "events_gap_fill_locf").collect()}
+    zero = {(r.event_type, r.hour): r.n_events for r in _q(spark, "events_gap_fill_hourly").collect()}
+    assert set(locf) == set(zero)
+    assert all(locf[k].n_events == zero[k] for k in zero)
+    by_type = {}
+    for (et, h), r in sorted(locf.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+        if r.is_filled:
+            assert r.n_events == 0
+            # carried value equals the last non-filled cell's value (or
+            # stays None before the first observation)
+            assert r.filled_value == by_type.get(et)
+        else:
+            by_type[et] = r.filled_value
+
+
+def test_mann_whitney_u_is_a_valid_statistic(spark):
+    rows = _q(spark, "value_distribution_shift").collect()
+    assert rows
+    total = rows[0].n + rows[0].n_rest
+    for r in rows:
+        assert r.n + r.n_rest == total
+        assert 0 <= r.u2 <= 2 * r.n * r.n_rest
+        assert 0.0 <= r.auc <= 1.0
+    # each cross-type comparison is counted once from each side: the 2*U
+    # values sum to twice the number of cross-type pairs (ties included)
+    pair_mass = sum(r.n * r.n_rest for r in rows)
+    assert sum(r.u2 for r in rows) == pair_mass
