@@ -237,3 +237,122 @@ def q_value_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "value_ks_statistic",
+    oracle="""
+    WITH ctv AS (
+      SELECT value AS v, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, SUM(c) AS n_t FROM ctv GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_t) AS n FROM totals),
+    -- dense per-(type, value) cumulative counts on the shared distinct-value
+    -- spine: cum_t = #values <= v in type t, cum_all = #values <= v overall
+    spine AS (SELECT DISTINCT v FROM ctv),
+    grid AS (
+      SELECT s.v, t.event_type, t.n_t, COALESCE(c.c, 0) AS c
+      FROM spine s CROSS JOIN totals t
+      LEFT JOIN ctv c ON c.v = s.v AND c.event_type = t.event_type
+    ),
+    cums AS (
+      SELECT v, event_type, n_t,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum_t
+      FROM grid
+    ),
+    alls AS (
+      SELECT v, SUM(c) AS c_v FROM ctv GROUP BY v
+    ),
+    all_cums AS (
+      SELECT v, SUM(c_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_all
+      FROM alls
+    ),
+    diffs AS (
+      SELECT c.event_type, c.n_t, t.n,
+             -- |CDF_t - CDF_rest| at v, as the exact integer numerator
+             -- |cum_t*(n - n_t) - (cum_all - cum_t)*n_t|
+             abs(CAST(c.cum_t AS BIGINT) * (t.n - c.n_t)
+                 - (CAST(a.cum_all AS BIGINT) - CAST(c.cum_t AS BIGINT)) * c.n_t)
+               AS num
+      FROM cums c
+      JOIN all_cums a USING (v)
+      CROSS JOIN tot t
+    )
+    SELECT event_type,
+           CAST(MIN(n_t) AS BIGINT) AS n,
+           CAST(MIN(n - n_t) AS BIGINT) AS n_rest,
+           CAST(MAX(num) AS BIGINT) AS ks_num,
+           round(MAX(num) / (CAST(MIN(n_t) AS DOUBLE) * MIN(n - n_t)), 6) AS ks
+    FROM diffs GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic of each event type's "
+    "`value` distribution against the rest: KS = max_v |CDF_t(v) - "
+    "CDF_rest(v)|, computed as an exact INTEGER maximum "
+    "(|cum_t*(n-n_t) - cum_rest*n_t|, one common denominator "
+    "n_t*(n-n_t)) so the argmax and the surfaced statistic are "
+    "engine-identical. Catches SHAPE changes the Mann-Whitney AUC "
+    "(location shift) misses — together they are the numeric-drift "
+    "monitoring pair. Same per-distinct-value aggregate spine as "
+    "value_distribution_shift; the fact table is never globally sorted.",
+)
+def q_value_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir)
+    ctv = e.groupBy(F.col("value").alias("v"), "event_type").agg(
+        F.count("*").alias("c")
+    )
+    totals = ctv.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    tot = totals.agg(F.sum("n_t").alias("n"))
+    spine = ctv.select("v").distinct()
+    grid = (
+        spine.crossJoin(F.broadcast(totals))
+        .join(ctv, ["v", "event_type"], "left")
+        .select("v", "event_type", "n_t", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w_t = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.select(
+        "v", "event_type", "n_t", F.sum("c").over(w_t).alias("cum_t")
+    )
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    all_cums = (
+        ctv.groupBy("v")
+        .agg(F.sum("c").alias("c_v"))
+        .select("v", F.sum("c_v").over(w_all).alias("cum_all"))
+    )
+    diffs = (
+        cums.join(all_cums, "v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_t",
+            "n",
+            F.abs(
+                F.col("cum_t") * (F.col("n") - F.col("n_t"))
+                - (F.col("cum_all") - F.col("cum_t")) * F.col("n_t")
+            ).alias("num"),
+        )
+    )
+    return (
+        diffs.groupBy("event_type")
+        .agg(
+            F.min("n_t").cast("long").alias("n"),
+            F.min(F.col("n") - F.col("n_t")).cast("long").alias("n_rest"),
+            F.max("num").cast("long").alias("ks_num"),
+            F.round(
+                F.max("num")
+                / (F.min("n_t").cast("double") * F.min(F.col("n") - F.col("n_t"))),
+                6,
+            ).alias("ks"),
+        )
+        .orderBy("event_type")
+    )

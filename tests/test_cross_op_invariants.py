@@ -221,3 +221,16 @@ def test_mann_whitney_u_is_a_valid_statistic(spark):
     # values sum to twice the number of cross-type pairs (ties included)
     pair_mass = sum(r.n * r.n_rest for r in rows)
     assert sum(r.u2 for r in rows) == pair_mass
+
+
+def test_ks_statistic_bounds_and_spine_agreement(spark):
+    """KS must be a valid statistic (0 <= ks <= 1, integer numerator
+    bounded by n*n_rest) over the same population the Mann-Whitney op
+    sees (identical per-type counts)."""
+    ks = {r.event_type: r for r in _q(spark, "value_ks_statistic").collect()}
+    mw = {r.event_type: r for r in _q(spark, "value_distribution_shift").collect()}
+    assert set(ks) == set(mw)
+    for et, r in ks.items():
+        assert (r.n, r.n_rest) == (mw[et].n, mw[et].n_rest)
+        assert 0 <= r.ks_num <= r.n * r.n_rest
+        assert 0.0 <= r.ks <= 1.0
