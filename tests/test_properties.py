@@ -92,3 +92,44 @@ def test_rolling_hash_matches_python(spark, data):
         return acc
 
     assert got == [py_hash(c) for c in cases]
+
+
+# --- middle-pair-sum exact median (order_value_outliers_mad et al.) --------
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_middle_pair_sum_is_twice_the_median(vals):
+    """The conditional-sum formula med2 = v[(n+1)//2] + v[(n+2)//2] used by
+    the MAD operators must equal 2x the interpolated median for every list
+    of 2-decimal values (DuckDB evaluates the same SQL shape the oracles
+    use; Spark parity is covered by the oracle gate). The reference is
+    computed in exact rationals — float statistics.median already loses
+    ULPs that the DECIMAL formula does not."""
+    import duckdb
+
+    rows = ", ".join(f"({i}, {v!r})" for i, v in enumerate(vals))
+    med2 = duckdb.sql(
+        f"""
+        WITH ranked AS (
+          SELECT CAST(v AS DECIMAL(18,4)) AS p,
+                 row_number() OVER (ORDER BY v, i) AS rn,
+                 COUNT(*) OVER () AS cnt
+          FROM (VALUES {rows}) t(i, v)
+        )
+        SELECT SUM(CASE WHEN rn = (cnt + 1) // 2 THEN p ELSE 0 END)
+               + SUM(CASE WHEN rn = (cnt + 2) // 2 THEN p ELSE 0 END)
+        FROM ranked
+        """
+    ).fetchone()[0]
+    from fractions import Fraction
+
+    srt = sorted(vals)
+    n = len(srt)
+    want = Fraction(str(srt[(n - 1) // 2])) + Fraction(str(srt[n // 2]))
+    assert Fraction(med2) == want
