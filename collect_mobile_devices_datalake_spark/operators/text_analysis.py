@@ -586,3 +586,59 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
     )
+
+
+def _packing_efficiency_oracle() -> str:
+    """Compose the context-packing oracle verbatim, then audit bin fill."""
+    from ..registry import REGISTRY
+
+    packing = REGISTRY["doc_context_packing"].oracle
+    return f"""
+    WITH packed AS (SELECT * FROM ({packing})),
+    bins AS (
+      SELECT shard, bin_in_shard,
+             COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * 2048 AS BIGINT) AS capacity,
+           round(SUM(bin_tokens) / CAST(COUNT(*) * 2048 AS DOUBLE), 4)
+             AS fill_rate,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens
+    FROM bins GROUP BY shard ORDER BY shard
+    """
+
+
+@register(
+    "packing_efficiency",
+    oracle=_packing_efficiency_oracle(),
+    doc="Packing-quality audit over doc_context_packing (composed "
+    "verbatim on both engines): per shard, the bin count, packed token "
+    "mass, nominal capacity (bins x 2048) and fill rate — the number a "
+    "training job watches to know how much compute the packer wastes "
+    "as padding. max_bin_tokens > 2048 quantifies start-offset bin "
+    "overflow (documents straddle bin boundaries in offset packing). "
+    "Runs entirely on the |shards x bins| aggregate.",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q_doc_context_packing(spark, sf_dir)
+    bins = packed.groupBy("shard", "bin_in_shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            (F.count("*") * 2048).cast("long").alias("capacity"),
+            F.round(
+                F.sum("bin_tokens") / (F.count("*") * 2048).cast("double"), 4
+            ).alias("fill_rate"),
+            F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+        )
+        .orderBy("shard")
+    )
