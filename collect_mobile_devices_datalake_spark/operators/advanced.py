@@ -499,3 +499,52 @@ def q_order_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_score"),
         )
     )
+
+
+def _attribution_oracle() -> str:
+    """Compose the as-of join oracle verbatim, credit purchase value to
+    the attributed click's hour."""
+    from ..registry import REGISTRY
+
+    asof = REGISTRY["asof_purchase_click"].oracle
+    return f"""
+    WITH attributed AS ({asof})
+    SELECT date_trunc('hour', a.last_click_ts) AS click_hour,
+           a.last_click_ts IS NOT NULL AS is_attributed,
+           COUNT(*) AS n_purchases,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS credited_value
+    FROM attributed a JOIN events e ON e.event_id = a.purchase_id
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "purchase_attribution",
+    oracle=_attribution_oracle(),
+    doc="Last-touch attribution report: each purchase's value is "
+    "credited to the HOUR of the click the as-of join attributes it to "
+    "(asof_purchase_click composed verbatim on both engines); "
+    "purchases with no preceding click land in the is_attributed=false "
+    "bucket. Credited values are DECIMAL-exact sums. One shuffle on "
+    "user_id (inside the as-of) + one on the hour — the standard "
+    "marketing-attribution rollup at any scale.",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = q_asof_purchase_click(spark, sf_dir)
+    e = load_table(spark, "events", sf_dir).select(
+        F.col("event_id").alias("purchase_id"), "value"
+    )
+    return (
+        asof.join(e, "purchase_id")
+        .groupBy(
+            F.date_trunc("hour", "last_click_ts").alias("click_hour"),
+            F.col("last_click_ts").isNotNull().alias("is_attributed"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("credited_value"),
+        )
+    )
