@@ -67,7 +67,13 @@ DRIVER_SAMPLE_SIZE = 50
 #      few by construction, so they lead even a large add wave of new
 #      operators and can never be pushed past the sample cut);
 #   2. keys with NO driver row in any recorded round (first-time
-#      certification), in registration order;
+#      certification), SENIORITY first — ordered by the round each key
+#      first appeared in the committed ledger
+#      (registry_first_seen.json, maintained by
+#      tools/update_first_seen.py and enforced complete by
+#      tests/test_registry_invariants.py), then registration order.
+#      Without the ledger, an operator appended to an early module
+#      would jump ahead of keys that have been waiting for rounds;
 #   3. backfill to DRIVER_SAMPLE_SIZE with previously-certified keys,
 #      LEAST-RECENTLY-sampled first — every round re-verifies the
 #      oldest certifications, so the sample stays representative and a
@@ -100,6 +106,21 @@ def _correctness_history() -> list[tuple[int, dict]]:
     return out
 
 
+def _first_seen() -> dict[str, int]:
+    """Committed key → first-round-present ledger (seniority for the
+    never-sampled bucket). Missing file / key ⇒ newest (sorts last)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "registry_first_seen.json")
+    try:
+        with open(path) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def _compute_driver_priority(registration_order: list[str]) -> list[str]:
     """Apply the rotation policy documented above ``_DRIVER_PRIORITY``."""
     last_round: dict[str, int] = {}
@@ -116,7 +137,14 @@ def _compute_driver_priority(registration_order: list[str]) -> list[str]:
             and row.get("hash_match")
         ) or row.get("err") is not None
 
-    never = [k for k in registration_order if k not in last_round]
+    seniority = _first_seen()
+    never = sorted(
+        (k for k in registration_order if k not in last_round),
+        key=lambda k: (
+            seniority.get(k, 10**9),
+            registration_order.index(k),
+        ),
+    )
     red = [
         k
         for k in registration_order

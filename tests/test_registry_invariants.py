@@ -92,3 +92,16 @@ def test_persisted_index_isolated_per_corpus(spark):
     # second call is a cache hit on the same persisted table
     a2 = S.bucket_index(spark, "/root/testdata/sf0.001")
     assert set(a.inputFiles()) == set(a2.inputFiles())
+
+
+def test_first_seen_ledger_is_complete():
+    """Every registered key must carry a seniority entry (and none may be
+    stale) — the rotation's never-sampled ordering depends on it. Run
+    tools/update_first_seen.py after adding/removing operators."""
+    from collect_mobile_devices_datalake_spark.registry import _first_seen
+
+    ledger = _first_seen()
+    missing = [k for k in REGISTRY if k not in ledger]
+    stale = [k for k in ledger if k not in REGISTRY]
+    assert not missing, f"run tools/update_first_seen.py: missing {missing}"
+    assert not stale, f"run tools/update_first_seen.py: stale {stale}"
