@@ -1,0 +1,51 @@
+"""Time every registered query and flag stragglers.
+
+Usage: ``python tools/perf_sweep.py [sf_dir] [threshold_sec]``
+(defaults: /root/testdata/sf0.01, 3.0). Prints one JSON line per query
+(sorted slowest-first) and a straggler summary. Wall time includes plan
+build + execution (count()), the same shape the driver measures.
+
+This is the perf feedback loop for the LONG TAIL — bench.py covers the
+headline queries; this sweep catches a new operator that silently ships
+an anti-scale plan.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from collect_mobile_devices_datalake_spark import registry  # noqa: E402
+from collect_mobile_devices_datalake_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
+    registry._ensure_loaded()
+    spark = get_spark("perf-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[str, float] = {}
+    for name, spec in registry.REGISTRY.items():
+        t0 = time.time()
+        try:
+            spec.spark(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover - diagnostic path
+            times[name] = -1.0
+            print(f"ERROR {name}: {e}", file=sys.stderr)
+    ranked = sorted(times.items(), key=lambda kv: -kv[1])
+    print(json.dumps({"sf_dir": sf_dir, "total_sec": round(sum(max(v, 0) for v in times.values()), 1),
+                      "slowest": ranked[:20]}))
+    stragglers = [(n, t) for n, t in ranked if t >= threshold]
+    if stragglers:
+        print(f"{len(stragglers)} stragglers >= {threshold}s:", file=sys.stderr)
+        for n, t in stragglers:
+            print(f"  {t:7.2f}s  {n}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
