@@ -422,19 +422,54 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
     Returns ``doc_id, cluster_id`` (lowest member id) for every node that
     appears in a pair; singleton docs are absent (callers coalesce).
     """
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # Materialize the edge list ONCE: `pairs` usually carries the whole
+    # candidate pipeline (LSH probe + exact verify) in its lineage, and
+    # without a barrier every propagation round would re-derive it.
+    # The edge list is the CC algorithm's working set — at any scale it
+    # is materialized exactly once per run.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    # min-label propagation to fixpoint; components from banded LSH are
-    # small-diameter, so this converges in a handful of rounds. The cap is
-    # a runaway guard only — returning non-converged labels would silently
-    # diverge from the recursive-CTE oracle on chain-shaped clusters whose
-    # diameter exceeds the cap, so hitting it is an error, not a result.
+    # Right-size the iteration's shuffle width: per-round cost on a small
+    # graph is dominated by task overhead across the session's default 32
+    # shuffle partitions. One partition per ~50k nodes (floor 1) keeps
+    # small graphs on a few tasks while a 1e9-node graph still spreads.
+    n_nodes = labels.count()
+    parts = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism * 4,
+        n_nodes // 50_000 + 1,
+    ))
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _propagate_min_labels(edges, labels)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    # min-label propagation to fixpoint, ACCELERATED by pointer doubling:
+    # each round first takes the min over graph neighbors, then jumps
+    # label <- label(label) (every label is itself a node id, so the
+    # self-join always resolves). The jump halves the remaining distance
+    # to the component min, turning O(diameter) rounds into O(log d) —
+    # chain-shaped components (low-threshold similarity graphs percolate
+    # into long paths) converge in a handful of rounds instead of
+    # hundreds. Fixpoint is still certified on the NEIGHBOR step: at
+    # neighbor-fixpoint, adjacent labels are equal, so labels are
+    # component-constant and equal to the min — identical to the
+    # recursive-CTE oracle. The cap is a runaway guard only; hitting it
+    # is an error, not a result.
     converged = False
     for _ in range(64):
         neigh = (
@@ -442,11 +477,23 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, labels.node == F.col("node2"), "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        parent = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == F.col("pnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
