@@ -40,11 +40,21 @@ BFS_DEPTH = 6
     "driver-side loop of distributed set ops); node graph derived from orders.",
 )
 def q_frontier_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import scoped_shuffle_width
+
     orders = load_table(spark, "orders", sf_dir)
     m = orders.count()  # orderkeys are 0..m-1 contiguous
     seed = spark.createDataFrame([(1, 0)], "node bigint, depth int")
     visited = seed
     frontier = seed
+    # the frontier doubles per level: |visited| <= 2^(depth+1) rows —
+    # per-round shuffles sized to that bound, not the session default
+    with scoped_shuffle_width(spark, 2 ** (BFS_DEPTH + 1)):
+        visited = _bfs_rounds(spark, visited, frontier, m)
+    return visited
+
+
+def _bfs_rounds(spark: SparkSession, visited: DataFrame, frontier: DataFrame, m: int) -> DataFrame:
     for depth in range(1, BFS_DEPTH + 1):
         nxt = (
             frontier.select(((2 * F.col("node") + 1) % m).alias("node"))

@@ -439,22 +439,13 @@ def cluster_labels(pairs: DataFrame) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    # Right-size the iteration's shuffle width: per-round cost on a small
-    # graph is dominated by task overhead across the session's default 32
-    # shuffle partitions. One partition per ~50k nodes (floor 1) keeps
-    # small graphs on a few tasks while a 1e9-node graph still spreads.
-    n_nodes = labels.count()
-    parts = max(1, min(
-        edges.sparkSession.sparkContext.defaultParallelism * 4,
-        n_nodes // 50_000 + 1,
-    ))
-    spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    # Right-size the iteration's shuffle width to the working set
+    # (session.scoped_shuffle_width): per-round cost on a small graph is
+    # otherwise dominated by task overhead on the session default width.
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(edges.sparkSession, max(edges.count(), 1)):
         return _propagate_min_labels(edges, labels)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _propagate_min_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:

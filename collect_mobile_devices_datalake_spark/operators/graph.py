@@ -94,6 +94,16 @@ def pagerank(edges: DataFrame, iters: int = ITERS, damping: float = DAMPING) -> 
     n_total = deg.count()
     base = (1.0 - damping) / n_total
     pr = deg.select("node", (F.lit(1.0) / n_total).alias("pr"))
+    # size the per-iteration shuffles to the edge list, not the session
+    # default — round overhead dominates small graphs otherwise
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(edges.sparkSession, max(edges_w.count(), 1)):
+        pr = _pagerank_rounds(edges_w, deg, pr, iters, damping, base)
+    return pr.select("node", F.round("pr", 12).alias("pagerank"))
+
+
+def _pagerank_rounds(edges_w, deg, pr, iters, damping, base):
     for _ in range(iters):
         contrib = (
             edges_w.join(pr.withColumnRenamed("node", "src"), "src")
@@ -113,7 +123,7 @@ def pagerank(edges: DataFrame, iters: int = ITERS, damping: float = DAMPING) -> 
             )
             .localCheckpoint(eager=True)
         )
-    return pr.select("node", F.round("pr", 12).alias("pagerank"))
+    return pr
 
 
 @register(

@@ -116,3 +116,34 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 50_000):
+    """Temporarily size ``spark.sql.shuffle.partitions`` to the data.
+
+    Iterative algorithms (connected components, PageRank, BFS) pay the
+    per-round cost of every shuffle task even when the working set is a
+    few thousand rows — on the session default width, task overhead
+    dominates each round. One partition per ~50k rows (floor 1, ceiling
+    4x the executor parallelism) keeps small graphs on a few tasks while
+    a billion-row working set still spreads across the cluster. Restores
+    the previous width on exit; only the enclosed query plans are
+    affected.
+    """
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism * 4,
+            int(n_rows) // rows_per_partition + 1,
+        ),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
