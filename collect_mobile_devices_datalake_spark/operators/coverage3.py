@@ -354,7 +354,17 @@ def q_string_similarity_levenshtein(spark: SparkSession, sf_dir: str) -> DataFra
     a, b = p.alias("a"), p.alias("b")
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            # cheap length-difference bound: |len(a)-len(b)| > 4 already
+            # implies edit distance > 4, so the O(len^2) levenshtein DP
+            # only runs on pairs that can survive. Result-identical.
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 4
+            ),
+        )
         .filter((F.col("a.p_partkey") % 10 == 0) & (lev <= 4))
         .select(
             F.col("a.p_partkey").alias("part_a"),
