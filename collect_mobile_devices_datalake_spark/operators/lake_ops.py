@@ -381,3 +381,109 @@ def q_part_table_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         "p_retailprice",
     )
+
+
+@register(
+    "ivm_status_totals",
+    oracle="""
+    WITH old AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    contributions AS (
+      SELECT o.o_orderstatus AS st, -1 AS dc,
+             -CAST(o.o_totalprice AS DECIMAL(18,4)) AS dv
+      FROM old o LEFT JOIN new n ON n.o_orderkey = o.o_orderkey
+      WHERE n.o_orderkey IS NULL OR n.o_totalprice <> o.o_totalprice
+      UNION ALL
+      SELECT n.o_orderstatus, 1, CAST(n.o_totalprice AS DECIMAL(18,4))
+      FROM new n LEFT JOIN old o ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice
+    ),
+    delta_n AS (
+      SELECT st AS o_orderstatus, COUNT(*) AS delta_rows
+      FROM contributions GROUP BY st
+    )
+    SELECT a.o_orderstatus,
+           CAST(a.n_orders AS BIGINT) AS n_orders,
+           CAST(CAST(a.total AS VARCHAR) AS DOUBLE) AS total_price,
+           CAST(COALESCE(d.delta_rows, 0) AS BIGINT) AS delta_rows
+    FROM (
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM new GROUP BY o_orderstatus
+    ) a LEFT JOIN delta_n d USING (o_orderstatus)
+    """,
+    doc="Incremental view maintenance (Materialize/DBSP-style): the "
+    "per-status count/total view over the NEW snapshot is produced by "
+    "MERGING the old snapshot's materialized aggregate with signed "
+    "delta contributions (-1/-price for deleted or pre-update rows, "
+    "+1/+price for inserted or post-update rows) — the base table is "
+    "never re-aggregated. The oracle recomputes the view directly from "
+    "the new snapshot, so value parity IS the algebraic proof that the "
+    "incremental merge is exact (decimal arithmetic end-to-end; "
+    "counts are signed integers). delta_rows surfaces how much work "
+    "the refresh actually touched. At 100 TB the contributions come "
+    "straight off the upstream CDC feed (cdc_snapshot_diff / "
+    "cdc_apply_changes) instead of a snapshot comparison.",
+)
+def q_ivm_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = _new_snapshot(orders)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    # the standing materialized view: aggregated ONCE from the old
+    # snapshot (in production this is a lake table, not a recompute)
+    old_agg = (
+        old.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(dec).alias("total"))
+        .localCheckpoint(eager=True)
+    )
+    o = old.select("o_orderkey", F.col("o_orderstatus").alias("st_o"), F.col("o_totalprice").alias("p_o"))
+    n = new.select("o_orderkey", F.col("o_orderstatus").alias("st_n"), F.col("o_totalprice").alias("p_n"))
+    joined = o.join(n, "o_orderkey", "full_outer")
+    minus = joined.filter(F.col("p_n").isNull() | (F.col("p_n") != F.col("p_o"))).filter(
+        F.col("p_o").isNotNull()
+    ).select(
+        F.col("st_o").alias("o_orderstatus"),
+        F.lit(-1).alias("dc"),
+        (-F.col("p_o").cast("decimal(18,4)")).alias("dv"),
+    )
+    plus = joined.filter(F.col("p_o").isNull() | (F.col("p_o") != F.col("p_n"))).filter(
+        F.col("p_n").isNotNull()
+    ).select(
+        F.col("st_n").alias("o_orderstatus"),
+        F.lit(1).alias("dc"),
+        F.col("p_n").cast("decimal(18,4)").alias("dv"),
+    )
+    delta = (
+        minus.unionAll(plus)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("dc").alias("d_n"),
+            F.sum("dv").alias("d_total"),
+            F.count("*").alias("delta_rows"),
+        )
+    )
+    return (
+        old_agg.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("d_total"), F.lit(0).cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("total_price"),
+            F.coalesce("delta_rows", F.lit(0)).cast("long").alias("delta_rows"),
+        )
+    )

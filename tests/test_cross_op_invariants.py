@@ -234,3 +234,26 @@ def test_ks_statistic_bounds_and_spine_agreement(spark):
         assert (r.n, r.n_rest) == (mw[et].n, mw[et].n_rest)
         assert 0 <= r.ks_num <= r.n * r.n_rest
         assert 0.0 <= r.ks <= 1.0
+
+
+def test_ivm_view_equals_aggregate_of_applied_changes(spark):
+    """Three independent routes to the same view must agree: the IVM merge
+    (old aggregate ⊕ signed deltas), the direct oracle recompute (parity
+    gate), and aggregating the table cdc_apply_changes materializes."""
+    ivm = {
+        r.o_orderstatus: (r.n_orders, round(r.total_price, 2))
+        for r in _q(spark, "ivm_status_totals").collect()
+    }
+    applied = {
+        r.o_orderstatus: (r.n_orders, round(r.total_price, 2))
+        for r in _q(spark, "cdc_apply_changes")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .collect()
+    }
+    assert ivm == applied and len(ivm) > 0
