@@ -487,3 +487,121 @@ def q_ivm_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("delta_rows", F.lit(0)).cast("long").alias("delta_rows"),
         )
     )
+
+
+@register(
+    "ivm_nation_revenue",
+    oracle="""
+    WITH new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 1
+    ),
+    old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    contributions AS (
+      SELECT o.o_custkey, -1 AS dc,
+             -CAST(o.o_totalprice AS DECIMAL(18,4)) AS dv
+      FROM old o LEFT JOIN new n ON n.o_orderkey = o.o_orderkey
+      WHERE n.o_orderkey IS NULL OR n.o_totalprice <> o.o_totalprice
+      UNION ALL
+      SELECT n.o_custkey, 1, CAST(n.o_totalprice AS DECIMAL(18,4))
+      FROM new n LEFT JOIN old o ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice
+    ),
+    delta_n AS (
+      SELECT c.c_nationkey, COUNT(*) AS delta_rows
+      FROM contributions x JOIN customer c ON c.c_custkey = x.o_custkey
+      GROUP BY 1
+    )
+    SELECT nt.n_name,
+           CAST(a.n_orders AS BIGINT) AS n_orders,
+           CAST(CAST(a.revenue AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(COALESCE(d.delta_rows, 0) AS BIGINT) AS delta_rows
+    FROM (
+      SELECT c.c_nationkey, COUNT(*) AS n_orders,
+             SUM(CAST(n.o_totalprice AS DECIMAL(18,4))) AS revenue
+      FROM new n JOIN customer c ON c.c_custkey = n.o_custkey
+      GROUP BY c.c_nationkey
+    ) a
+    LEFT JOIN delta_n d ON d.c_nationkey = a.c_nationkey
+    JOIN nation nt ON nt.n_nationkey = a.c_nationkey
+    """,
+    doc="Join-view IVM: the per-nation order count/revenue view "
+    "(orders ⋈ customer ⋈ nation) is maintained from the fact table's "
+    "signed delta alone — the bilinear delta rule Δ(A⋈B) = "
+    "ΔA⋈B + A⋈ΔB − ΔA⋈ΔB collapses to ΔA⋈B when the dimension side is "
+    "static, so the refresh joins ONLY the changed orders to the "
+    "(broadcast) customer dim and merges into the standing aggregate. "
+    "The oracle recomputes the view from the new snapshot — parity is "
+    "the algebraic proof. Companion of ivm_status_totals (group-by IVM).",
+)
+def q_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = _new_snapshot(orders)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    # standing view: aggregated once from the old snapshot
+    old_view = (
+        old.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"), F.sum(dec).alias("revenue"))
+        .localCheckpoint(eager=True)
+    )
+    o = old.select("o_orderkey", F.col("o_custkey").alias("ck_o"), F.col("o_totalprice").alias("p_o"))
+    n = new.select("o_orderkey", F.col("o_custkey").alias("ck_n"), F.col("o_totalprice").alias("p_n"))
+    joined = o.join(n, "o_orderkey", "full_outer")
+    minus = (
+        joined.filter(F.col("p_o").isNotNull())
+        .filter(F.col("p_n").isNull() | (F.col("p_n") != F.col("p_o")))
+        .select(
+            F.col("ck_o").alias("o_custkey"),
+            F.lit(-1).alias("dc"),
+            (-F.col("p_o").cast("decimal(18,4)")).alias("dv"),
+        )
+    )
+    plus = (
+        joined.filter(F.col("p_n").isNotNull())
+        .filter(F.col("p_o").isNull() | (F.col("p_o") != F.col("p_n")))
+        .select(
+            F.col("ck_n").alias("o_custkey"),
+            F.lit(1).alias("dc"),
+            F.col("p_n").cast("decimal(18,4)").alias("dv"),
+        )
+    )
+    # ΔA ⋈ B: only the changed rows touch the dimension
+    delta = (
+        minus.unionAll(plus)
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("dc").alias("d_n"),
+            F.sum("dv").alias("d_rev"),
+            F.count("*").alias("delta_rows"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        old_view.join(delta, "c_nationkey", "full_outer")
+        .join(F.broadcast(nation), "c_nationkey")
+        .select(
+            "n_name",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.coalesce(F.col("revenue"), zero) + F.coalesce(F.col("d_rev"), zero))
+            .cast("double")
+            .alias("revenue"),
+            F.coalesce("delta_rows", F.lit(0)).cast("long").alias("delta_rows"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
