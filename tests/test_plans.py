@@ -356,3 +356,13 @@ def test_semantic_clusters_final_plan_joins_materialized_labels(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_ivm_broadcasts_the_dimension(spark):
+    # the refresh path joins only delta rows to the dim, and the dim side
+    # must move as a broadcast — shuffling customer against a delta would
+    # invert the asymmetry the bilinear rule exists to exploit
+    q = REGISTRY["ivm_nation_revenue"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
