@@ -13,7 +13,7 @@ HEADLINE = [
     "resume_bloom_prefilter", "dsir_importance_score", "dup_substring_spans",
     "knn_self_join", "decontam_bloom_report",
     "hybrid_search_rrf", "rollup_reuse_hierarchy", "order_overlap_stats",
-    "source_token_drift", "event_rate_anomalies",
+    "source_token_drift", "event_rate_anomalies", "ivm_nation_revenue",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
