@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..session import load_table
@@ -253,3 +254,148 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select("c"))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+ASSOC_MIN_SUPPORT = 3
+ASSOC_TOPK = 50
+
+
+@register(
+    "copurchase_association_rules",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    n_baskets AS (SELECT COUNT(DISTINCT basket) AS n FROM baskets),
+    supp AS (SELECT item, COUNT(*) AS s FROM baskets GROUP BY item),
+    pair_supp AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS s_ab
+      FROM baskets a JOIN baskets b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}
+    )
+    SELECT item_a, item_b, s_ab,
+           sa.s AS s_a, sb.s AS s_b,
+           round(s_ab / CAST(sa.s AS DOUBLE), 6) AS confidence_ab,
+           round((s_ab * nb.n) / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift,
+           rk
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY (s_ab * (SELECT n FROM n_baskets))
+                 / (CAST((SELECT s FROM supp WHERE item = p.item_a) AS DOUBLE)
+                    * (SELECT s FROM supp WHERE item = p.item_b)) DESC,
+                 item_a, item_b) AS rk
+      FROM pair_supp p
+    ) ranked
+    JOIN supp sa ON sa.item = ranked.item_a
+    JOIN supp sb ON sb.item = ranked.item_b
+    CROSS JOIN n_baskets nb
+    WHERE rk <= {ASSOC_TOPK}
+    """,
+    doc=f"Market-basket association rules over order baskets: pair "
+    f"support (min {ASSOC_MIN_SUPPORT}), confidence and lift per "
+    f"co-purchased part pair, top-{ASSOC_TOPK} by lift with a "
+    "deterministic tiebreak. Counts are integers; confidence/lift are "
+    "single IEEE divisions of integers — engine-exact. The pair join "
+    "is basket-keyed (bounded fan-out per order, the same shape as "
+    "copurchase_triangles); supports broadcast back onto the ranked "
+    "pairs. The FP-growth-lite primitive behind 'customers who bought "
+    "X also bought Y'.",
+)
+def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = baskets.select("basket").distinct().count()
+    supp = baskets.groupBy("item").agg(F.count("*").alias("s"))
+    a = baskets.select("basket", F.col("item").alias("item_a"))
+    b = baskets.select("basket", F.col("item").alias("item_b"))
+    pair_supp = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= ASSOC_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("s_b"))
+    scored = (
+        pair_supp.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            ((F.col("s_ab") * n_baskets) / (F.col("s_a").cast("double") * F.col("s_b"))).alias("lift_raw"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift_raw"), "item_a", "item_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ASSOC_TOPK)
+        .select(
+            "item_a",
+            "item_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.round(F.col("s_ab") / F.col("s_a").cast("double"), 6).alias("confidence_ab"),
+            F.round("lift_raw", 6).alias("lift"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outs AS (SELECT from_type, SUM(n) AS n_out FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(o.n_out AS BIGINT) AS n_out,
+           round(t.n / CAST(o.n_out AS DOUBLE), 6) AS p
+    FROM trans t JOIN outs o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc="First-order Markov transition matrix of user behavior: for each "
+    "(event_type -> next event_type) bigram in every user's time-ordered "
+    "stream, the transition count and conditional probability. One "
+    "window over the user partition (the sessionization shuffle), one "
+    "aggregate over |types|^2 cells. Integer counts, single exact "
+    "division — the behavioral-analytics primitive under next-action "
+    "prediction and funnel-leak diagnosis.",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    outs = trans.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return (
+        trans.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.col("n_out").cast("long").alias("n_out"),
+            F.round(F.col("n") / F.col("n_out").cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -612,3 +612,83 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("n").isNull().alias("is_filled"),
     )
+
+
+@register(
+    "funnel_windowed_7d",
+    oracle="""
+    WITH u0 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      FROM events GROUP BY user_id
+    ),
+    u1 AS (
+      SELECT u0.user_id, u0.t0, MIN(e.ts) AS t1
+      FROM u0 LEFT JOIN events e
+        ON e.user_id = u0.user_id AND e.event_type = 'click'
+       AND e.ts >= u0.t0 AND e.ts <= u0.t0 + INTERVAL 7 DAY
+      GROUP BY u0.user_id, u0.t0
+    ),
+    u2 AS (
+      SELECT u1.user_id, u1.t0, u1.t1, MIN(e.ts) AS t2
+      FROM u1 LEFT JOIN events e
+        ON e.user_id = u1.user_id AND e.event_type = 'purchase'
+       AND e.ts >= u1.t1 AND e.ts <= u1.t1 + INTERVAL 7 DAY
+      GROUP BY u1.user_id, u1.t0, u1.t1
+    )
+    SELECT CAST(COUNT(t0) AS BIGINT) AS n_signup,
+           CAST(COUNT(t1) AS BIGINT) AS n_click_7d,
+           CAST(COUNT(t2) AS BIGINT) AS n_purchase_7d,
+           round(COUNT(t1) / CAST(COUNT(t0) AS DOUBLE), 6) AS rate_click,
+           round(COUNT(t2) / CAST(COUNT(t1) AS DOUBLE), 6) AS rate_purchase,
+           round(COUNT(t2) / CAST(COUNT(t0) AS DOUBLE), 6) AS rate_overall
+    FROM u2
+    """,
+    doc="Time-windowed conversion funnel: first signup → first click "
+    "within 7 days of it → first purchase within 7 days of that click, "
+    "per user, surfaced as stage counts and conversion rates. Each "
+    "stage is one user-keyed equi-join with a residual time-range "
+    "predicate plus a MIN aggregate — the bounded form of funnel "
+    "analysis (event_funnel is the unwindowed ordering variant). "
+    "Counts are integers; rates are single exact divisions.",
+)
+def q_funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    u0 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t0")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid_c"), F.col("ts").alias("ts_c")
+    )
+    u1 = (
+        u0.join(
+            clicks,
+            (F.col("uid_c") == F.col("user_id"))
+            & (F.col("ts_c") >= F.col("t0"))
+            & (F.col("ts_c") <= F.col("t0") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts_c").alias("t1"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid_p"), F.col("ts").alias("ts_p")
+    )
+    u2 = (
+        u1.join(
+            purchases,
+            (F.col("uid_p") == F.col("user_id"))
+            & (F.col("ts_p") >= F.col("t1"))
+            & (F.col("ts_p") <= F.col("t1") + F.expr("INTERVAL 7 DAY")),
+            "left",
+        )
+        .groupBy("user_id", "t0", "t1")
+        .agg(F.min("ts_p").alias("t2"))
+    )
+    return u2.agg(
+        F.count("t0").cast("long").alias("n_signup"),
+        F.count("t1").cast("long").alias("n_click_7d"),
+        F.count("t2").cast("long").alias("n_purchase_7d"),
+        F.round(F.count("t1") / F.count("t0").cast("double"), 6).alias("rate_click"),
+        F.round(F.count("t2") / F.count("t1").cast("double"), 6).alias("rate_purchase"),
+        F.round(F.count("t2") / F.count("t0").cast("double"), 6).alias("rate_overall"),
+    )
