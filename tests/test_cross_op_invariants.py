@@ -257,3 +257,36 @@ def test_ivm_view_equals_aggregate_of_applied_changes(spark):
         .collect()
     }
     assert ivm == applied and len(ivm) > 0
+
+
+def test_markov_rows_are_conditional_distributions(spark):
+    rows = _q(spark, "events_markov_transitions").collect()
+    assert rows
+    from collections import defaultdict
+
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r)
+    for ft, rs in by_from.items():
+        n_out = rs[0].n_out
+        assert all(r.n_out == n_out for r in rs)
+        assert sum(r.n for r in rs) == n_out, ft
+        assert abs(sum(r.p for r in rs) - 1.0) < 5e-6 * len(rs) + 1e-9, ft
+
+
+def test_windowed_funnel_is_monotone(spark):
+    r = _q(spark, "funnel_windowed_7d").collect()[0]
+    assert r.n_signup >= r.n_click_7d >= r.n_purchase_7d >= 0
+    if r.n_signup:
+        assert abs(r.rate_overall - round(r.n_purchase_7d / r.n_signup, 6)) < 1e-9
+
+
+def test_association_rules_are_bounded(spark):
+    rows = _q(spark, "copurchase_association_rules").collect()
+    assert rows
+    ranks = sorted(r.rk for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.s_ab <= min(r.s_a, r.s_b)
+        assert 0.0 < r.confidence_ab <= 1.0
+        assert r.lift > 0.0
