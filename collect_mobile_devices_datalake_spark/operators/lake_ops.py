@@ -605,3 +605,108 @@ def q_ivm_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+# pruning probe bands: (label, custkey range, epoch-day range); None = no
+# constraint on that dimension. Chosen to exercise one-dim, other-dim,
+# and both-dim pruning against the z-order boxes.
+_PRUNE_BANDS = [
+    ("custkey_low_256", 0, 255, None, None),
+    ("custkey_mid_256", 4096, 4351, None, None),
+    ("days_one_year", None, None, 9500, 9865),
+    ("both_tight", 0, 1023, 9500, 9865),
+]
+
+
+def _skipping_oracle() -> str:
+    """Compose the z-order manifest oracle verbatim, then evaluate each
+    probe band against every file's min/max box."""
+    from ..registry import REGISTRY
+
+    manifest = REGISTRY["zorder_manifest"].oracle
+    bands = " UNION ALL ".join(
+        "SELECT '{}' AS band, {} AS lo_x, {} AS hi_x, {} AS lo_y, {} AS hi_y".format(
+            name,
+            "NULL" if lo_x is None else lo_x,
+            "NULL" if hi_x is None else hi_x,
+            "NULL" if lo_y is None else lo_y,
+            "NULL" if hi_y is None else hi_y,
+        )
+        for name, lo_x, hi_x, lo_y, hi_y in _PRUNE_BANDS
+    )
+    return f"""
+    WITH manifest AS ({manifest}),
+    bands AS ({bands}),
+    hits AS (
+      SELECT b.band, m.file_id, m.n_rows,
+             CASE WHEN (b.lo_x IS NULL OR m.max_custkey >= b.lo_x)
+                   AND (b.hi_x IS NULL OR m.min_custkey <= b.hi_x)
+                   AND (b.lo_y IS NULL OR m.max_day >= b.lo_y)
+                   AND (b.hi_y IS NULL OR m.min_day <= b.hi_y)
+                  THEN 1 ELSE 0 END AS must_scan
+      FROM bands b CROSS JOIN manifest m
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(must_scan) AS BIGINT) AS n_scanned,
+           CAST(SUM(CASE WHEN must_scan = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           round(1.0 - SUM(must_scan) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS file_skip_rate
+    FROM hits GROUP BY band ORDER BY band
+    """
+
+
+@register(
+    "zorder_skipping_report",
+    oracle=_skipping_oracle(),
+    doc="Data-skipping effectiveness report: four representative "
+    "predicate bands (low/mid custkey ranges, a one-year day range, a "
+    "tight box on both dims) evaluated against the z-order manifest's "
+    "per-file min/max boxes — files whose box misses the band are "
+    "provably skippable without opening. The number that justifies the "
+    "clustering choice: z-order prunes on EITHER dimension (a "
+    "single-column sort gives one tight dim and one full-range dim). "
+    "Composes zorder_manifest verbatim on both engines; the band list "
+    "is a broadcast literal grid, the evaluation is |files x bands|.",
+)
+def q_zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = q_zorder_manifest(spark, sf_dir)
+    bands = manifest.sparkSession.createDataFrame(
+        [
+            (
+                name,
+                lo_x,
+                hi_x,
+                lo_y,
+                hi_y,
+            )
+            for name, lo_x, hi_x, lo_y, hi_y in _PRUNE_BANDS
+        ],
+        "band string, lo_x bigint, hi_x bigint, lo_y bigint, hi_y bigint",
+    )
+    must_scan = (
+        (F.col("lo_x").isNull() | (F.col("max_custkey") >= F.col("lo_x")))
+        & (F.col("hi_x").isNull() | (F.col("min_custkey") <= F.col("hi_x")))
+        & (F.col("lo_y").isNull() | (F.col("max_day") >= F.col("lo_y")))
+        & (F.col("hi_y").isNull() | (F.col("min_day") <= F.col("hi_y")))
+    )
+    hits = F.broadcast(bands).crossJoin(manifest).select(
+        "band",
+        "n_rows",
+        must_scan.cast("int").alias("must_scan"),
+    )
+    return (
+        hits.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("must_scan").cast("long").alias("n_scanned"),
+            F.sum(F.when(F.col("must_scan") == 1, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.round(
+                F.lit(1.0) - F.sum("must_scan") / F.count("*").cast("double"), 6
+            ).alias("file_skip_rate"),
+        )
+        .orderBy("band")
+    )
