@@ -558,3 +558,70 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credited_value"),
         )
     )
+
+
+@register(
+    "price_discount_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_discount AS DECIMAL(18,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             SUM(CAST(l_discount AS DECIMAL(18,4))
+                 * CAST(l_discount AS DECIMAL(18,4))) AS sxx,
+             SUM(CAST(l_discount AS DECIMAL(18,4))
+                 * CAST(l_extendedprice AS DECIMAL(18,4))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                    - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                      * CAST(CAST(sx AS VARCHAR) AS DOUBLE)), 6) AS slope,
+           round((CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                  - ((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                     / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+                    * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n, 6)
+             AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="In-engine simple linear regression (price vs discount per "
+    "return flag): every moment (Σx, Σy, Σx², Σxy) is an EXACT decimal "
+    "sum — order-independent, partial-aggregation-safe — and the OLS "
+    "slope/intercept are closed-form IEEE expressions over those exact "
+    "moments, so both engines compute bit-identical coefficients. The "
+    "built-in regr_slope/regr_intercept aggregates accumulate in "
+    "floating point (order-dependent at scale); this is the "
+    "shuffle-stable form a 100 TB fit actually needs.",
+)
+def q_price_discount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    dx = F.col("l_discount").cast("decimal(18,4)")
+    dy = F.col("l_extendedprice").cast("decimal(18,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("l_returnflag")
