@@ -512,3 +512,79 @@ def q_order_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_overlap_days",
         )
     )
+
+
+@register(
+    "customer_revenue_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    binned AS (
+      SELECT o_custkey, s, ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+      FROM spend
+    ),
+    tot AS (SELECT SUM(s) AS t FROM spend)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE) AS revenue,
+           round(CAST(CAST(SUM(s) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST((SELECT t FROM tot) AS VARCHAR) AS DOUBLE), 6)
+             AS revenue_share
+    FROM binned GROUP BY decile ORDER BY decile
+    """,
+    doc="Revenue-concentration (Pareto) report: customers deciled by "
+    "total spend (decile 1 = biggest spenders), with each decile's "
+    "exact decimal revenue and share — the 80/20 diagnostic. Exact "
+    "ranking without a global sort of customers: the same "
+    "rank-from-cumulative-counts construction as curriculum_bins, with "
+    "the only global-order window running over the per-distinct-spend "
+    "aggregate (bounded for a 2-decimal currency metric; the "
+    "curriculum_bins / value_distribution_shift spine shape). Spend "
+    "sums and decile revenues are DECIMAL-exact; shares are single "
+    "IEEE divisions.",
+)
+def q_customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s")
+    )
+    by_s = spend.groupBy("s").agg(F.count("*").alias("cnt"))
+    w_cum = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = by_s.select(
+        "s", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("offset")
+    )
+    total_n = by_s.agg(F.sum("cnt").alias("n_total"))
+    w_in = Window.partitionBy("s").orderBy("o_custkey")
+    ranked = (
+        spend.select("o_custkey", "s", F.row_number().over(w_in).alias("rn_in"))
+        .join(F.broadcast(offsets), "s")
+        .crossJoin(F.broadcast(total_n))
+        .withColumn("r", F.col("offset") + F.col("rn_in"))
+    )
+    q, rem, r = (
+        F.floor(F.col("n_total") / 10),
+        F.col("n_total") % 10,
+        F.col("r"),
+    )
+    big_span = (q + 1) * rem
+    decile = F.when(r <= big_span, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - big_span) / F.greatest(q, F.lit(1)))
+    )
+    binned = ranked.select("s", decile.cast("int").alias("decile"))
+    tot = spend.agg(F.sum("s").alias("t"))
+    return (
+        binned.groupBy("decile")
+        .agg(F.count("*").cast("long").alias("n_customers"), F.sum("s").alias("rev"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(F.col("rev").cast("double") / F.col("t").cast("double"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )
