@@ -1066,3 +1066,68 @@ def q_dup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chars_removed"),
     )
+
+
+@register(
+    "simhash_estimate_quality",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    sim AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(range(0, 32),
+                 j -> CASE WHEN len(list_filter(h, x -> ((x * (2*j + 3) + j*5 + 1) % 1000000007) % 2 = 1)) * 2 > len(h)
+                           THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
+               (acc, x) -> acc + x) AS simhash
+      FROM (SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+            WHERE len({_SHINGLES_SQL}) > 0)
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+             AS exact_jaccard
+    FROM pairs p
+    JOIN sim a ON a.doc_id = p.doc_a
+    JOIN sim b ON b.doc_id = p.doc_b
+    JOIN sh x ON x.doc_id = p.doc_a
+    JOIN sh y ON y.doc_id = p.doc_b
+    """,
+    doc="Sketch-quality QA for SimHash: for every LSH candidate pair, "
+    "the 32-bit SimHash Hamming distance (bit_count of XOR — an exact "
+    "integer) next to the exact shingle-set Jaccard — the report that "
+    "calibrates a Hamming threshold before simhash-only dedup is "
+    "trusted, completing the QA trio (minhash_estimate_quality, "
+    "ann_recall_report). Integer Hamming + one exact division: "
+    "engine-identical by construction.",
+)
+def q_simhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sim = q_dedup_simhash(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(d))
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    sh = shingled_docs(d).select("doc_id", "sh")
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+            F.round(
+                shared.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - shared).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
