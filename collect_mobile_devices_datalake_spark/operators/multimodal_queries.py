@@ -194,3 +194,79 @@ def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return resize_images(media_table(d))
+
+
+@register(
+    "media_dedup_report",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_transform(range(1, length(text) + 1),
+                                   i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
+      FROM documents
+    ),
+    -- deterministic double-ingestion: every 10th asset re-lands under the
+    -- OPPOSITE modality pipeline with a new media_id (the bug under audit)
+    m AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT media_id + 1000000,
+             CASE WHEN kind = 'image' THEN 'audio' ELSE 'image' END,
+             fp
+      FROM base WHERE media_id % 10 = 0
+    )
+    SELECT fp AS payload_fp,
+           MIN(media_id) AS keeper_media_id,
+           COUNT(*) AS n_copies,
+           CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_image,
+           CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_audio,
+           SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) > 0
+             AND SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) > 0
+             AS is_cross_modal
+    FROM m GROUP BY fp
+    """,
+    doc="Multimodal asset dedup: media payloads grouped by content "
+    "fingerprint (the 31-poly rolling hash of the payload bytes — the "
+    "8-byte shuffle key, never the blob), keeping the lowest media_id "
+    "and reporting per-modality copy counts. is_cross_modal flags the "
+    "same bytes ingested under BOTH pipelines (image and audio) — the "
+    "double-ingestion bug a multimodal lake audits for (a deterministic "
+    "re-ingestion of every 10th asset under the flipped modality plants "
+    "the fault the audit must catch). The payload "
+    "column itself never moves through the shuffle.",
+)
+def q_media_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rolling_hash
+    from ..multimodal import media_table
+
+    d = load_table(spark, "documents", sf_dir)
+    base = media_table(d).select(
+        "media_id",
+        "kind",
+        # fingerprint computed on the DECODED payload text (ascii-safe
+        # corpus: utf-8 bytes == character codes), so the oracle can
+        # reproduce it engine-side from the same source column
+        rolling_hash(F.decode("payload", "utf-8")).alias("fp"),
+    )
+    # deterministic double-ingestion twin (see oracle comment)
+    reingested = base.filter(F.col("media_id") % 10 == 0).select(
+        (F.col("media_id") + 1000000).alias("media_id"),
+        F.when(F.col("kind") == "image", "audio").otherwise("image").alias("kind"),
+        "fp",
+    )
+    m = base.unionAll(reingested)
+    n_image = F.sum(F.when(F.col("kind") == "image", 1).otherwise(0))
+    n_audio = F.sum(F.when(F.col("kind") == "audio", 1).otherwise(0))
+    return m.groupBy(F.col("fp").alias("payload_fp")).agg(
+        F.min("media_id").alias("keeper_media_id"),
+        F.count("*").alias("n_copies"),
+        n_image.cast("long").alias("n_image"),
+        n_audio.cast("long").alias("n_audio"),
+        ((n_image > 0) & (n_audio > 0)).alias("is_cross_modal"),
+    )
