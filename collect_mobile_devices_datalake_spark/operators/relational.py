@@ -588,3 +588,61 @@ def q_customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "orders_backlog_timeline",
+    oracle="""
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS opened,
+             CAST(MAX(l.l_shipdate) AS DATE) AS closed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT opened AS day, 1 AS d FROM iv
+      UNION ALL
+      SELECT closed + INTERVAL 1 DAY, -1 FROM iv
+    ),
+    by_day AS (
+      SELECT CAST(day AS DATE) AS day,
+             CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS opened,
+             CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS closed
+      FROM deltas GROUP BY 1
+    )
+    SELECT day, opened, closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open
+    FROM by_day
+    """,
+    doc="Sweep-line backlog timeline: each order is open over "
+    "[o_orderdate, max l_shipdate]; +1/-1 boundary deltas aggregated "
+    "per day and cumulated give the exact number of concurrently open "
+    "orders on every active day — interval COUNTING (the complement of "
+    "order_overlap_stats' interval pairing) without ever joining "
+    "intervals. The only ordered window runs over the per-day "
+    "aggregate — bounded by the calendar, not the order count. All "
+    "integers; engine-exact by construction.",
+)
+def q_orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("opened"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("closed"))
+    )
+    deltas = iv.select(F.col("opened").alias("day"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.date_add("closed", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    by_day = deltas.groupBy("day").agg(
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("long").alias("opened"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).cast("long").alias("closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return by_day.select(
+        "day",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("long").alias("n_open"),
+    )

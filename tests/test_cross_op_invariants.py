@@ -290,3 +290,21 @@ def test_association_rules_are_bounded(spark):
         assert r.s_ab <= min(r.s_a, r.s_b)
         assert 0.0 < r.confidence_ab <= 1.0
         assert r.lift > 0.0
+
+
+def test_backlog_timeline_conserves_orders(spark):
+    """Sweep-line algebra: total opened == total closed == order count
+    (every order closes), and the running balance never goes negative
+    and ends at zero."""
+    rows = sorted(_q(spark, "orders_backlog_timeline").collect(), key=lambda r: r.day)
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    # population = orders WITH lineitems (an order with no lines has no
+    # close date and is correctly absent from the timeline)
+    o = load_table(spark, "orders", SF)
+    li = load_table(spark, "lineitem", SF).select("l_orderkey").distinct()
+    total = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").count()
+    assert sum(r.opened for r in rows) == total
+    assert sum(r.closed for r in rows) == total
+    assert all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0
