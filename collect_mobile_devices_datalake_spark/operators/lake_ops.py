@@ -486,6 +486,11 @@ def q_ivm_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
             F.coalesce("delta_rows", F.lit(0)).cast("long").alias("delta_rows"),
         )
+        # a status whose rows were ALL deleted nets to n_orders == 0;
+        # the view (like the oracle, which groups the new snapshot) must
+        # drop the group, not surface a spurious zero row — same guard
+        # ivm_nation_revenue applies after its merge.
+        .filter(F.col("n_orders") > 0)
     )
 
 

@@ -35,6 +35,15 @@ from ..functions.vectors import dot_product, l2_norm
 from ..registry import register
 from ..session import fan_out, load_table
 
+# The composed-oracle helpers below (_knn_class_oracle,
+# _semantic_cluster_oracle) read REGISTRY["knn_bruteforce"] /
+# ["embedding_near_dup_pairs"] at decoration time, so the module that
+# registers them must already be imported — make that explicit instead
+# of relying on registry._ensure_loaded()'s import order, so
+# ``import ...operators.retrieval`` works standalone (e.g. a test file
+# collected in isolation).
+from . import similarity as _similarity  # noqa: F401  (registers knn_* + near-dup keys)
+
 QUERY_MOD = 25  # doc_id % 25 == 0 → 20 query docs over the 500-row table
 RRF_K = 60  # the standard RRF damping constant
 RRF_SCALE = 1_000_000_000_000  # integer contribution = SCALE div (K + rank)
@@ -63,19 +72,27 @@ lex AS (
     FROM lex_scored
   ) WHERE rk <= {LEG_TOPN}
 ),
-vec_scored AS (
+vec_parts AS (
+  -- num/den split so the zero-norm guard below matches the Spark
+  -- implementation's ``WHEN qnrm*nrm == 0 THEN 0.0`` exactly (a
+  -- zero-norm embedding must score 0, not NaN/Inf).
   SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
          list_reduce(list_transform(range(1, len(q.embedding) + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
-                     (a, b) -> a + b)
-         / (sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
+                     (a, b) -> a + b) AS num,
+         sqrt(list_reduce(list_transform(range(1, len(q.embedding) + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
                      (a, b) -> a + b))
-          * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
-                     (a, b) -> a + b))) AS cos
+                     (a, b) -> a + b)) AS den
   FROM embeddings q CROSS JOIN embeddings e
   WHERE q.vec_id % {QUERY_MOD} = 0 AND e.vec_id <> q.vec_id
+),
+vec_scored AS (
+  SELECT query_id, doc_id,
+         CASE WHEN den = 0 THEN 0.0 ELSE num / den END AS cos
+  FROM vec_parts
 ),
 vec AS (
   SELECT query_id, doc_id, rk AS vec_rk FROM (
@@ -196,19 +213,27 @@ TRUNC_TOPK = 10
 
 _TRUNC_ORACLE = f"""
 WITH dims AS (SELECT unnest([{", ".join(str(d) for d in TRUNC_DIMS)}]) AS dim),
-scored AS (
+scored_parts AS (
+  -- num/den split so the zero-norm guard matches the Spark
+  -- implementation's ``WHEN den == 0 THEN 0.0`` (an all-zero
+  -- truncated prefix must score 0, not NaN/Inf).
   SELECT dm.dim, q.vec_id AS query_id, e.vec_id AS neighbor_id,
          list_reduce(list_transform(range(1, dm.dim + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
-                     (a, b) -> a + b)
-         / (sqrt(list_reduce(list_transform(range(1, dm.dim + 1),
+                     (a, b) -> a + b) AS num,
+         sqrt(list_reduce(list_transform(range(1, dm.dim + 1),
                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
                      (a, b) -> a + b))
-          * sqrt(list_reduce(list_transform(range(1, dm.dim + 1),
+         * sqrt(list_reduce(list_transform(range(1, dm.dim + 1),
                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
-                     (a, b) -> a + b))) AS cos
+                     (a, b) -> a + b)) AS den
   FROM embeddings q CROSS JOIN embeddings e CROSS JOIN dims dm
   WHERE q.vec_id % {QUERY_MOD} = 0 AND e.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT dim, query_id, neighbor_id,
+         CASE WHEN den = 0 THEN 0.0 ELSE num / den END AS cos
+  FROM scored_parts
 ),
 topk AS (
   SELECT dim, query_id, neighbor_id FROM (

@@ -271,19 +271,26 @@ DRIFT_SCALE = 1_000_000  # fixed-point scale for chi-square contributions
     ct AS (SELECT word, SUM(c) AS c_t FROM cst GROUP BY 1),
     tot AS (SELECT SUM(c) AS n FROM cst),
     grid AS (SELECT ns.source, ns.n_s, ct.word, ct.c_t FROM ns CROSS JOIN ct),
-    terms AS (
+    parts AS (
       SELECT g.source, g.n_s,
-             -- exact integer chi-square contribution, fixed-point 1e6:
-             -- SCALE * (c_st*N - n_s*c_t)^2 // (N * n_s * c_t)
-             CAST({DRIFT_SCALE} AS HUGEINT)
-               * (CAST(COALESCE(c.c, 0) AS HUGEINT) * t.n
-                  - CAST(g.n_s AS HUGEINT) * g.c_t)
-               * (CAST(COALESCE(c.c, 0) AS HUGEINT) * t.n
-                  - CAST(g.n_s AS HUGEINT) * g.c_t)
-               // (CAST(t.n AS HUGEINT) * g.n_s * g.c_t) AS term
+             (CAST(COALESCE(c.c, 0) AS HUGEINT) * t.n
+              - CAST(g.n_s AS HUGEINT) * g.c_t)
+             * (CAST(COALESCE(c.c, 0) AS HUGEINT) * t.n
+                - CAST(g.n_s AS HUGEINT) * g.c_t) AS dd,
+             CAST(t.n AS HUGEINT) * g.n_s * g.c_t AS den
       FROM grid g
       LEFT JOIN cst c ON c.source = g.source AND c.word = g.word
       CROSS JOIN tot t
+    ),
+    terms AS (
+      -- exact fixed-point 1e6 chi-square contribution via the two-step
+      -- decomposition floor(S*dd/den) = S*(dd//den) + (S*(dd%den))//den,
+      -- so the widest intermediate is dd (= d^2), not S*d^2 — exact
+      -- while d^2 <= 1.7e38, i.e. total token count N <~ 3.6e9.
+      SELECT source, n_s,
+             CAST({DRIFT_SCALE} AS HUGEINT) * (dd // den)
+             + (CAST({DRIFT_SCALE} AS HUGEINT) * (dd % den)) // den AS term
+      FROM parts
     )
     SELECT source,
            CAST(MIN(n_s) AS BIGINT) AS n_tokens,
@@ -295,12 +302,21 @@ DRIFT_SCALE = 1_000_000  # fixed-point scale for chi-square contributions
     "of each source's token histogram against the corpus-wide "
     "expectation — the QA gate that flags a source whose language "
     "suddenly shifts before it poisons the training mix. Every "
-    "contribution is computed in EXACT integer arithmetic "
-    "(SCALE*(c_st*N - n_s*c_t)^2 // (N*n_s*c_t), decimal(38) on Spark, "
-    "HUGEINT on DuckDB), so the per-source sum is an order-independent "
-    "BIGINT — no floating-point accumulation anywhere. The "
-    "source x token grid is dimension-sized (|sources| x |vocab|) and "
-    "broadcast; the only fact-table pass is the token count.",
+    "contribution is computed in EXACT integer arithmetic via the "
+    "two-step decomposition floor(S*d^2/D) = S*(d^2 div D) + "
+    "(S*(d^2 mod D)) div D with d = c_st*N - n_s*c_t, D = N*n_s*c_t "
+    "(decimal(38,0) on Spark, HUGEINT on DuckDB), so the per-source sum "
+    "is an order-independent BIGINT — no floating-point accumulation "
+    "anywhere. Exactness bound: the widest intermediate is d^2 <= N^4, "
+    "which fits 38 digits while the total token count N <~ 3.1e9; "
+    "beyond that (true 100 TB corpora) pre-reduce each term by "
+    "g = gcd(d, D) (d/g squared stays in range whenever d/g <~ 1e19) "
+    "or accept double-precision terms — the documented trade, not a "
+    "silent overflow: with ANSI off Spark would NULL an overflowing "
+    "term out of the SUM, so the bound is asserted in the unit test. "
+    "The source x token grid is dimension-sized "
+    "(|sources| x |vocab|) and broadcast; the only fact-table pass is "
+    "the token count.",
 )
 def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as tok
@@ -316,17 +332,28 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cst.agg(F.sum("c").alias("n"))
     grid = F.broadcast(ns).crossJoin(F.broadcast(ct))
     d38 = "decimal(38,0)"
+    # Two-step exact decomposition (see doc): the widest intermediate is
+    # dd = d^2 (<= N^4, 38 digits while N <~ 3.1e9) instead of SCALE*d^2
+    # (which would already overflow — silently NULL with ANSI off — near
+    # N ~ 1e8). Both quotients fit BIGINT: dd div den <= N, and the
+    # remainder quotient < DRIFT_SCALE.
     terms = (
         grid.join(cst, ["source", "word"], "left")
         .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dd",
+            F.expr(
+                f"(CAST(COALESCE(c, 0) AS {d38}) * n - CAST(n_s AS {d38}) * c_t)"
+                f" * (CAST(COALESCE(c, 0) AS {d38}) * n - CAST(n_s AS {d38}) * c_t)"
+            ),
+        )
+        .withColumn("den", F.expr(f"CAST(n AS {d38}) * n_s * c_t"))
         .select(
             "source",
             "n_s",
             F.expr(
-                f"CAST({DRIFT_SCALE} AS {d38})"
-                f" * (CAST(COALESCE(c, 0) AS {d38}) * n - CAST(n_s AS {d38}) * c_t)"
-                f" * (CAST(COALESCE(c, 0) AS {d38}) * n - CAST(n_s AS {d38}) * c_t)"
-                f" div (CAST(n AS {d38}) * n_s * c_t)"
+                f"CAST({DRIFT_SCALE} AS {d38}) * (dd div den)"
+                f" + (CAST({DRIFT_SCALE} AS {d38}) * (dd % den)) div den"
             ).alias("term"),
         )
     )
