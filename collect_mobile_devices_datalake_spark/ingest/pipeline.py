@@ -10,14 +10,18 @@ Reproduces the reference's EP2/EP3 write path (SURVEY §3) Spark-first:
   append of the wide record; the open-ended payload is a
   ``specs map<string,string>`` column (SURVEY §1.2), so there is no
   ALTER-TABLE path and no 150-column sharding to emulate
-- ``saved_list`` checkpoint append (app.js:449) → parquet append after a
-  successful data write; delivery is at-least-once exactly like the
-  reference, upgraded to effectively-once by ``device_specs_view``'s
-  keep-first dedup on ``src_url`` (idempotent re-crawl)
+- ``saved_list`` checkpoint append (app.js:449) → committed in the SAME
+  manifest transaction as the data files (ingest/manifest.py), so the
+  reference's crash window — data visible without its checkpoint, or a
+  reader racing a half-written file set — cannot occur; delivery is
+  thereby exactly-once per committed transaction, and the keep-first
+  dedup in ``device_specs_view`` additionally repairs any replay of an
+  UNcommitted batch (crash before publish → re-ingest under a new txn)
 
 Scale notes: appends are partitioned by ``source`` so per-source scans
 prune; the resume anti-join shuffles on the url key only (no payload);
-re-runs are incremental by construction.
+re-runs are incremental by construction; snapshot reads list data files
+from committed manifests only (orphans from crashed writers invisible).
 """
 
 from __future__ import annotations
@@ -59,10 +63,6 @@ def normalize_records(parsed: DataFrame, source: str) -> DataFrame:
     )
 
 
-def _saved_list_path(lake_dir: str, source: str) -> str:
-    return os.path.join(lake_dir, "saved_list", source)
-
-
 def _log(spark: SparkSession, lake_dir: str, source: str, event: str, n: int) -> None:
     """Append-only structured log (the reference's timestamped log file,
     app.js:6, 37-41 — as a queryable lake table instead of text lines)."""
@@ -78,11 +78,11 @@ def read_logs(spark: SparkSession, lake_dir: str) -> DataFrame:
 
 
 def _read_saved(spark: SparkSession, lake_dir: str, source: str) -> DataFrame:
-    path = _saved_list_path(lake_dir, source)
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], "url string")
+    from . import manifest
+
+    return manifest.read_committed(
+        spark, lake_dir, f"saved_list/{source}", schema="url string"
+    )
 
 
 def ingest_source(
@@ -119,20 +119,29 @@ def ingest_source(
         try:
             n = records.count()
             _log(spark, lake_dir, source, "ingest_batch", n)
+            # ONE manifest transaction covers the data files, the
+            # saved_list checkpoint, and the dead-letter probe: either a
+            # reader sees all of this batch (data + checkpoint) or none
+            # of it — the atomicity the reference's two-phase
+            # insert-then-checkpoint (app.js:441-453) lacks. The data
+            # layout is unchanged: one subdirectory per source (records
+            # carry their own `source` column, so this is plain layout
+            # partitioning and per-source scans touch one directory).
+            tables: list[tuple[str, DataFrame]] = []
             if n:
-                # one subdirectory per source (the records carry their own
-                # `source` column, so this is plain layout partitioning:
-                # per-source scans touch one directory)
-                records.write.mode("append").parquet(
-                    os.path.join(lake_dir, "device_specs", source)
+                tables.append((f"device_specs/{source}", records))
+                tables.append(
+                    (
+                        f"saved_list/{source}",
+                        records.select(F.col("src_url").alias("url")),
+                    )
                 )
-                records.select("src_url").withColumnRenamed(
-                    "src_url", "url"
-                ).write.mode("append").parquet(_saved_list_path(lake_dir, source))
             if bad.limit(1).count():
-                bad.write.mode("append").parquet(
-                    os.path.join(lake_dir, "dead_letter", source)
-                )
+                tables.append((f"dead_letter/{source}", bad))
+            if tables:
+                from . import manifest
+
+                manifest.commit_tables(lake_dir, tables)
         finally:
             records.unpersist()
     finally:
@@ -143,12 +152,16 @@ def ingest_source(
 def device_specs_view(spark: SparkSession, lake_dir: str) -> DataFrame:
     """Logical table over the lake with at-least-once dupes collapsed.
 
-    Keep-first on ``src_url`` (earliest crawled_at) — the idempotency
-    layer that upgrades the reference's at-least-once delivery.
+    Reads the COMMITTED snapshot (manifest-listed files only — a crashed
+    writer's orphans are invisible), then keep-first on ``src_url``
+    (earliest crawled_at) — the idempotency layer that repairs replay of
+    any batch that crashed before its manifest published.
     """
     from pyspark.sql.window import Window
 
-    df = spark.read.parquet(os.path.join(lake_dir, "device_specs", "*"))
+    from . import manifest
+
+    df = manifest.read_committed(spark, lake_dir, "device_specs")
     w = Window.partitionBy("src_url").orderBy("crawled_at")
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -44,22 +44,34 @@ def _upsert_batch(lake_dir: str, source: str) -> Callable[[DataFrame, int], None
     from ..sources.parse import PARSERS
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        from ..ingest import manifest
+
+        # deterministic txn id per (source, batch id): a batch that crashed
+        # AFTER its manifest published replays as a committed no-op —
+        # exactly-once without even reading the lake.
+        txn = f"stream-{source}-{batch_id}"
+        if manifest.committed(lake_dir, txn):
+            return
         ok = batch.filter(F.col("status") == 200)
         parsed = PARSERS[source](ok).filter(F.col("entries").isNotNull())
         records = normalize_records(parsed, source)
-        target = os.path.join(lake_dir, "device_specs_stream", source)
-        # append-only MERGE emulation: anti-join makes re-delivered batches a
-        # no-op, so checkpoint replay cannot duplicate rows. Only a genuinely
-        # absent target (first batch) skips the anti-join; transient read
-        # failures (corrupt footer, IO error) must fail the batch so the
-        # checkpoint retries it — a swallowed error here would silently
-        # downgrade effectively-once to at-least-once with visible dupes.
-        if _parquet_exists(target):
-            existing = batch.sparkSession.read.parquet(target).select("src_url")
+        table = f"device_specs_stream/{source}"
+        # append-only MERGE emulation: anti-join against the COMMITTED
+        # snapshot makes overlapping batches a no-op, and the manifest
+        # publish makes the write itself atomic (a batch that crashed
+        # between staging and publish left only invisible orphans).
+        # Transient read failures (corrupt footer, IO error) must fail the
+        # batch so the checkpoint retries it — a swallowed error here would
+        # silently downgrade effectively-once to at-least-once.
+        files = manifest.committed_files(lake_dir, table)
+        if files:
+            existing = batch.sparkSession.read.parquet(*files).select("src_url")
             fresh = records.join(existing, "src_url", "left_anti")
         else:
             fresh = records
-        fresh.write.mode("append").parquet(target)
+        names = manifest.stage_write(fresh, lake_dir, table, txn)
+        if names:
+            manifest.publish(lake_dir, txn, {table: names})
 
     return fn
 

@@ -1,0 +1,161 @@
+"""Atomic manifest-commit protocol (ingest/manifest.py).
+
+The reference writes data, then the saved_list checkpoint, as two
+separate inserts (app.js:441-453) — a crash between them leaves data
+visible without its checkpoint. These tests pin the closed version:
+stage files → publish ONE manifest by atomic rename; committed readers
+see a transaction entirely or not at all, and a crash at ANY point
+between the data write and the manifest publish leaves the previous
+snapshot intact, with replay repairing the lake to exactly-once content.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.ingest import manifest
+from collect_mobile_devices_datalake_spark.ingest.pipeline import (
+    device_specs_view,
+    ingest_source,
+)
+from collect_mobile_devices_datalake_spark.session import load_table
+from collect_mobile_devices_datalake_spark.sources.fixtures import spec_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def lake():
+    d = tempfile.mkdtemp(prefix="lake_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_publish_is_idempotent_and_ordered(spark, lake):
+    df = spark.range(5).select(F.col("id").cast("string").alias("url"))
+    names = manifest.stage_write(df, lake, "t1", "aaaa")
+    assert names and all(n.endswith(".parquet") for n in names)
+    first = manifest.publish(lake, "aaaa", {"t1": names})
+    assert first is not None and os.path.exists(first)
+    # replaying the SAME txn publishes nothing
+    assert manifest.publish(lake, "aaaa", {"t1": names}) is None
+    assert manifest.committed(lake, "aaaa")
+    assert not manifest.committed(lake, "bbbb")
+    # a second txn sequences after the first
+    names2 = manifest.stage_write(df, lake, "t1", "bbbb")
+    second = manifest.publish(lake, "bbbb", {"t1": names2})
+    assert sorted([first, second]) == [first, second]
+    got = manifest.read_committed(spark, lake, "t1")
+    assert got.count() == 10
+
+
+def test_crash_before_publish_is_invisible(spark, lake):
+    """Kill between the file write and the manifest publish: a committed
+    reader sees the OLD snapshot; the staged files are orphans."""
+    df = spark.range(7).select(F.col("id").cast("string").alias("url"))
+    manifest.commit_tables(lake, [("t", df)], txn_id="live")
+    assert manifest.read_committed(spark, lake, "t").count() == 7
+
+    # the crash: files staged into the table dir, no manifest written
+    manifest.stage_write(df, lake, "t", "dead")
+    # the files physically exist in the same directory...
+    on_disk = [n for n in os.listdir(os.path.join(lake, "t")) if n.endswith(".parquet")]
+    assert len(on_disk) > manifest_file_count(lake, "t")
+    # ...but the committed snapshot is unchanged (no orphan reads)
+    assert manifest.read_committed(spark, lake, "t").count() == 7
+
+    # vacuum identifies exactly the dead txn's files, then reclaims them
+    orphans = manifest.vacuum_orphans(lake, "t")
+    assert orphans and all("dead" in n for n in orphans)
+    manifest.vacuum_orphans(lake, "t", remove=True)
+    assert manifest.vacuum_orphans(lake, "t") == []
+    assert manifest.read_committed(spark, lake, "t").count() == 7
+
+
+def manifest_file_count(lake: str, table: str) -> int:
+    return len(manifest.committed_files(lake, table))
+
+
+def test_ingest_crash_then_replay_repairs(spark, lake, monkeypatch):
+    """ingest_source dies between staging and publish → nothing is
+    committed (data NOR saved_list, atomically), so the re-run re-ingests
+    the whole batch and the lake converges to exactly-once content."""
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "gsmarena")
+    n_ok = pages.filter(F.col("status") == 200).count()
+
+    real_publish = manifest.publish
+
+    def exploding_publish(lake_dir, txn_id, tables):
+        raise OSError("injected crash before manifest publish")
+
+    monkeypatch.setattr(manifest, "publish", exploding_publish)
+    with pytest.raises(OSError, match="injected crash"):
+        ingest_source(spark, pages, lake, "gsmarena")
+
+    # atomicity: neither the data nor the checkpoint became visible
+    assert manifest.committed_files(lake, "device_specs") == []
+    assert manifest.committed_files(lake, "saved_list") == []
+    with pytest.raises(FileNotFoundError):
+        device_specs_view(spark, lake)
+    # the staged data files exist on disk as orphans
+    assert manifest.vacuum_orphans(lake, "device_specs/gsmarena")
+
+    # replay: resume anti-join sees an EMPTY committed saved_list, so the
+    # full batch re-ingests under a fresh txn
+    monkeypatch.setattr(manifest, "publish", real_publish)
+    n2 = ingest_source(spark, pages, lake, "gsmarena")
+    assert n2 == n_ok
+    view = device_specs_view(spark, lake)
+    assert view.count() == n_ok
+    assert view.select("src_url").distinct().count() == n_ok
+
+    # third run: checkpoint committed → no-op
+    assert ingest_source(spark, pages, lake, "gsmarena") == 0
+
+    # the crashed txn's orphans are reclaimable without touching live data
+    manifest.vacuum_orphans(lake, "device_specs/gsmarena", remove=True)
+    manifest.vacuum_orphans(lake, "saved_list/gsmarena", remove=True)
+    assert device_specs_view(spark, lake).count() == n_ok
+
+
+def test_ingest_data_and_checkpoint_commit_together(spark, lake):
+    """One manifest lists BOTH the data files and the saved_list files —
+    the two-phase window of the reference is structurally gone."""
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "gsmarena")
+    ingest_source(spark, pages, lake, "gsmarena")
+    paths = manifest.manifest_paths(lake)
+    assert len(paths) == 1
+    import json
+
+    body = json.load(open(paths[0]))
+    tables = set(body["tables"])
+    assert "device_specs/gsmarena" in tables
+    assert "saved_list/gsmarena" in tables
+
+
+def test_streaming_replay_of_committed_batch_is_noop(spark, lake):
+    """foreachBatch re-delivery of an already-COMMITTED batch id returns
+    before reading anything — exactly-once via the txn gate."""
+    from collect_mobile_devices_datalake_spark.streaming.pipeline import (
+        _upsert_batch,
+    )
+
+    part = load_table(spark, "part", SF)
+    pages = spec_pages(part, "productz").filter(F.col("p_partkey") < 100)
+    fn = _upsert_batch(lake, "productz")
+    fn(pages, 7)
+    table = "device_specs_stream/productz"
+    n1 = len(manifest.committed_files(lake, table))
+    assert n1 > 0
+    fn(pages, 7)  # replay: committed txn → immediate no-op
+    assert len(manifest.committed_files(lake, table)) == n1
+    got = manifest.read_committed(spark, lake, table)
+    assert got.count() == pages.count()
+    assert got.select("src_url").distinct().count() == pages.count()
