@@ -33,6 +33,15 @@ HEADLINE = [
     "asof_purchase_click",
     "knn_lsh_probe",
     "join_salted_skew",
+    # post-r1 heavy families (self-baseline first recorded in round 7 —
+    # see BASELINE.md "r7 additions"): the driver bench now guards the
+    # exact-substring, graph-ANN, tokenizer-induction, decontamination,
+    # and hybrid-retrieval paths instead of leaving them to perf_sweep.
+    "dup_substring_profile",
+    "knn_nsw_probe",
+    "bpe_learn_merges",
+    "decontam_bloom_report",
+    "hybrid_search_rrf",
 ]
 
 

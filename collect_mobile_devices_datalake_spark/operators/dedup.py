@@ -178,6 +178,105 @@ def q_dedup_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppjoin_ordered_arrays(spark: SparkSession, shingled: DataFrame) -> DataFrame:
+    """(doc_id, n, hs) with each doc's shingle hashes in the GLOBAL prefix
+    order — the order every PPJoin prefix slices from.
+
+    The order is a corpus-stats switch (``spark.graft.ppjoin.prefixOrder``,
+    default ``auto``):
+
+    - ``hash``: plain ascending hash. Uniform by construction, so no
+      candidate bucket exceeds the corpus's max shingle df regardless of
+      raw-text key skew; zero extra jobs. MEASURED at sf0.1 (this corpus,
+      max df 25/5000 docs): df order cuts candidates 227k -> 137k but its
+      extra df aggregation + join + regroup nets SLOWER end-to-end (3.6 s
+      vs 3.0 s warm) — the candidate mass is mid-frequency shingles
+      (df 8-24), which demotion cannot prune.
+    - ``df``: rarest-first (document frequency asc, hash asc) — the
+      classic PPJoin order. On a Zipfian corpus with a stopword head a
+      hot shingle lands in ~half of all hash-order prefixes and its
+      bucket alone yields O(n_hot^2) candidates; df order sorts it LAST
+      so it falls out of every prefix long enough to have one. Costs one
+      df aggregation (8-byte keys, map-side combine) + posting join +
+      per-doc regroup.
+    - ``auto`` (default): flip to df order when max_df >= n_docs *
+      ``spark.graft.ppjoin.dfHeadThreshold`` (default 0.02) — i.e. some
+      shingle sits in >= 2% of documents. The stats probe is one
+      aggregation over the checkpointed hash arrays; at 100 TB the same
+      number comes free from the shingle-df table the pipeline already
+      maintains for TF-IDF. Pinned by the planted-stopword-head test
+      (tests/test_dedup.py): hash-order candidates blow up quadratically,
+      df-order stays bounded, results identical.
+
+    Any GLOBAL total order preserves PPJoin's exact recall (a pair with
+    J >= tau must share an element in both prefixes under the same
+    order); the switch is purely a candidate-count knob.
+    """
+    hashed = shingled.select(
+        "doc_id",
+        "n",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("hv"),
+    ).localCheckpoint(eager=True)
+    mode = spark.conf.get("spark.graft.ppjoin.prefixOrder", "auto")
+    if mode == "auto":
+        thr = float(spark.conf.get("spark.graft.ppjoin.dfHeadThreshold", "0.02"))
+        n_docs = hashed.count()
+        post = hashed.select(F.explode("hv").alias("h"))
+        max_df = post.groupBy("h").count().agg(F.max("count")).collect()[0][0] or 0
+        mode = "df" if n_docs and max_df >= thr * n_docs else "hash"
+    if mode == "hash":
+        return hashed.select("doc_id", "n", F.array_sort("hv").alias("hs"))
+    # df order: rank = (df, h) struct sort per doc
+    post = hashed.select("doc_id", "n", F.explode("hv").alias("h"))
+    df_tbl = post.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        post.join(df_tbl, "h")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "h"))), lambda s: s["h"]
+            ).alias("hs")
+        )
+    )
+
+
+def ppjoin_candidates(ordered: DataFrame, tau: float) -> DataFrame:
+    """Prefix-filtered candidate pairs (doc_a < doc_b) from the globally
+    ordered hash arrays — prefix + length + positional filters, exact
+    integer threshold math (assumes tau = 0.5: alpha test 3*x >= na+nb)."""
+    assert tau == 0.5, "integer alpha test below is specialized to tau=0.5"
+    # PPJoin prefix: a pair with J >= tau must share one of the first
+    # n - ceil(tau*n) + 1 elements of BOTH docs' ordered sets
+    pref_len = (F.col("n") - F.ceil(F.col("n") * tau) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", "n", F.posexplode(F.slice("hs", F.lit(1), pref_len)).alias("pos", "h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # J >= tau needs overlap alpha = ceil(tau/(1+tau)*(na+nb)); for tau=0.5
+    # that's ceil((na+nb)/3), and "x >= alpha" is the exact integer test
+    # 3*x >= na+nb (NO float division — a double rounding up at an integer
+    # boundary would over-prune and silently drop true pairs).
+    # length filter: overlap can't exceed min(na, nb);
+    # positional filter: overlap can't exceed elements at/after the match,
+    # min(na-pa, nb-pb)+1 with 0-based pos
+    s_total = F.col("a.n") + F.col("b.n")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(F.col("a.n"), F.col("b.n")) * 3 >= s_total)
+            & (
+                (F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1) * 3
+                >= s_total
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -216,57 +315,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = 0.5
     # join on the shingle's 64-bit hash, not the string: candidate and df
     # shuffles move 8-byte keys instead of n-gram text (the 100 TB
-    # shuffle-bytes rule); xxhash64 collisions would fail the oracle gate
-    # One materialization: sorted hash arrays feed the prefix explode AND
-    # both verify sides. The global prefix order is plain hash order.
-    # MEASURED at sf0.1: full document-frequency (rarest-first) order cuts
-    # candidates 227k -> 137k but costs an extra df aggregation + join +
-    # array regroup, netting SLOWER end-to-end (3.6 s vs 3.0 s warm) —
-    # this corpus's candidate mass comes from mid-frequency shingles
-    # (df ~ 8-24), which df-demotion cannot prune, not from a hot head.
-    # On a real web corpus with a Zipfian stopword head, df-demoted order
-    # is the knob to flip: hot shingles sort last and fall out of every
-    # prefix, bounding the worst bucket. Hash order is itself uniform-
-    # hashing, so no single bucket exceeds max-df regardless of key skew
-    # in the raw text.
-    ordered = (
-        shingled_docs(d)
-        .select(
-            "doc_id",
-            "n",
-            F.array_sort(F.transform("sh", lambda s: F.xxhash64(s))).alias("hs"),
-        )
-        .localCheckpoint(eager=True)
+    # shuffle-bytes rule); xxhash64 collisions would fail the oracle gate.
+    # One materialization: the ordered hash arrays feed the prefix explode
+    # AND both verify sides. Global prefix order: corpus-stats switch, see
+    # ppjoin_ordered_arrays.
+    ordered = ppjoin_ordered_arrays(spark, shingled_docs(d)).localCheckpoint(
+        eager=True
     )
-    # PPJoin prefix: a pair with J >= tau must share one of the first
-    # n - ceil(tau*n) + 1 elements of BOTH docs' ordered sets
-    pref_len = (F.col("n") - F.ceil(F.col("n") * tau) + 1).cast("int")
-    pref = ordered.select(
-        "doc_id", "n", F.posexplode(F.slice("hs", F.lit(1), pref_len)).alias("pos", "h")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    # J >= tau needs overlap alpha = ceil(tau/(1+tau)*(na+nb)); for tau=0.5
-    # that's ceil((na+nb)/3), and "x >= alpha" is the exact integer test
-    # 3*x >= na+nb (NO float division — a double rounding up at an integer
-    # boundary would over-prune and silently drop true pairs).
-    # length filter: overlap can't exceed min(na, nb);
-    # positional filter: overlap can't exceed elements at/after the match,
-    # min(na-pa, nb-pb)+1 with 0-based pos
-    s_total = F.col("a.n") + F.col("b.n")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.least(F.col("a.n"), F.col("b.n")) * 3 >= s_total)
-            & (
-                (F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1) * 3
-                >= s_total
-            ),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = ppjoin_candidates(ordered, tau)
     # Verify joins: localCheckpoint relations report unknown size, so AQE
     # never discovers they're broadcastable — hint it when the doc count
     # says so (count is free on the checkpointed frame). ~1 s at sf0.1:

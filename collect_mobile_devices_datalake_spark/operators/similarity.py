@@ -118,7 +118,43 @@ def lsh_bucket(vec: Column) -> Column:
 
 
 N_TABLES = 8
-PLANES_PER_TABLE = 8
+PLANES_PER_TABLE = 8  # FLOOR; the effective count adapts to corpus size
+PLANES_MAX = 20  # cap: 2^20 buckets/table is plenty at any realistic shard
+BUCKET_TARGET_OCCUPANCY = 32  # expected vectors per bucket before widening
+
+
+def planes_for_count(n: int) -> int:
+    """Corpus-size-adaptive hyperplane count per LSH table.
+
+    With a FIXED plane count, expected bucket occupancy is n / 2^p — it
+    grows linearly with the corpus, so every co-bucket join (near-dup
+    pairs, kNN self-join, NSW build) degrades to O(n^2 / 2^p): measured
+    as a 2.13 log-log wall-time slope on the 3x->10x leg of
+    tools/scale_slopes.py before this fix. Widening p with the corpus
+    (p = ceil(log2(n / target_occupancy)), floored at 8, capped at 20)
+    pins expected occupancy near the target, making co-bucket joins
+    O(n * occupancy) = O(n). The SAME formula runs in the DuckDB oracles
+    (LEAST/GREATEST/CEIL/LOG2 over COUNT(*)), so parity holds at every
+    size; at the driver scale factors (<= 2000 vectors) it evaluates to
+    the floor 8 and every previously certified value is bit-unchanged.
+    """
+    import math
+
+    if n <= 0:
+        return PLANES_PER_TABLE
+    return min(
+        PLANES_MAX,
+        max(PLANES_PER_TABLE, math.ceil(math.log2(n / BUCKET_TARGET_OCCUPANCY))),
+    )
+
+
+# the same formula as a DuckDB scalar — every LSH oracle CTE list starts
+# with `pl AS ({_PLANES_SQL})` and reads pl.p
+_PLANES_SQL = (
+    f"SELECT LEAST({PLANES_MAX}, GREATEST({PLANES_PER_TABLE}, "
+    f"CAST(CEIL(LOG2(COUNT(*) / {BUCKET_TARGET_OCCUPANCY}.0)) AS INT))) AS p "
+    "FROM embeddings"
+)
 
 
 _BUCKET_SQL = """
@@ -152,34 +188,50 @@ def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# multi-table bucket fragment: table t, bits jj in [0,8), global plane index
-# t*8+jj — mirrors _multitable_buckets below term for term (same fold order)
-_MT_BUCKET_SQL = """
-    list_reduce(list_transform(range(0, 8),
+# multi-table bucket fragment: table t, bits jj in [0, pl.p), global plane
+# index t*8+jj for the first 8 bits (bit-compatible with every pre-adaptive
+# bucket value) and 64 + t*(PLANES_MAX-8) + (jj-8) for widened bits (a
+# disjoint plane-id region, so growing p never perturbs the low bits) —
+# mirrors _multitable_buckets below term for term (same fold order)
+_PLANE_J_SQL = f"(CASE WHEN jj < 8 THEN t*8+jj ELSE 64 + t*{PLANES_MAX - 8} + (jj-8) END)"
+
+_MT_BUCKET_SQL = f"""
+    list_reduce(list_transform(range(0, pl.p),
       jj -> CASE WHEN list_reduce(
                   list_transform(range(1, len(embedding) + 1),
                     i -> CAST(embedding[i] AS DOUBLE)
-                       * CAST((((t*8+jj)*131 + i*37 + ((t*8+jj)+3)*(i+5) % 11) % 21 - 10) AS DOUBLE)),
+                       * CAST((({_PLANE_J_SQL}*131 + i*37 + ({_PLANE_J_SQL}+3)*(i+5) % 11) % 21 - 10) AS DOUBLE)),
                   (x, y) -> x + y) > 0
            THEN CAST(power(2, jj) AS BIGINT) ELSE 0 END),
       (x, y) -> x + y)
 """
 
 
-def _multitable_buckets(vec: Column) -> Column:
-    """Array of N_TABLES bucket ids for ``vec`` — one 8-bit random-hyperplane
-    signature per table, global plane index t*8+jj. Every dot product is a
-    SEQUENTIAL in-order fold (F.aggregate), bit-identical to the oracle's
-    list_reduce — a groupBy-sum would fold in partition order and a near-zero
-    dot could flip sign between engines. (An explode + groupBy-sum bucket
-    build was measured comparable here — 64 planes x 64 dims stays inside
-    whole-stage codegen — and the sequential fold is what makes the DuckDB
-    oracle value-exact, so it wins.)"""
+def _plane_j(t: Column, jj: Column) -> Column:
+    """Global plane id for table ``t``, bit ``jj``: t*8+jj for the first
+    8 bits (bit-compatible with every pre-adaptive bucket value), then a
+    disjoint region for widened bits — growing the plane count never
+    perturbs an existing bit. Mirrors ``_PLANE_J_SQL``."""
+    return F.when(jj < 8, t * 8 + jj).otherwise(
+        F.lit(64) + t * (PLANES_MAX - 8) + (jj - F.lit(8))
+    )
+
+
+def _multitable_buckets(vec: Column, planes: int = PLANES_PER_TABLE) -> Column:
+    """Array of N_TABLES bucket ids for ``vec`` — one ``planes``-bit
+    random-hyperplane signature per table (see planes_for_count for how
+    the count adapts to corpus size). Every dot product is a SEQUENTIAL
+    in-order fold (F.aggregate), bit-identical to the oracle's
+    list_reduce — a groupBy-sum would fold in partition order and a
+    near-zero dot could flip sign between engines. (An explode +
+    groupBy-sum bucket build was measured comparable here — the planes x
+    64 dims fold stays inside whole-stage codegen — and the sequential
+    fold is what makes the DuckDB oracle value-exact, so it wins.)"""
     dim = F.size(vec)
 
     def table_bucket(t: Column) -> Column:
         def bit(jj: Column) -> Column:
-            j = t * 8 + jj
+            j = _plane_j(t, jj)
             dot = F.aggregate(
                 F.sequence(F.lit(1), dim),
                 F.lit(0.0),
@@ -192,7 +244,7 @@ def _multitable_buckets(vec: Column) -> Column:
             )
 
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+            F.sequence(F.lit(0), F.lit(planes - 1)),
             F.lit(0).cast("bigint"),
             lambda acc, jj: acc + bit(jj),
         )
@@ -200,16 +252,17 @@ def _multitable_buckets(vec: Column) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
 
 
-def _multiprobe(bucket: Column) -> Column:
+def _multiprobe(bucket: Column, planes: int = PLANES_PER_TABLE) -> Column:
     """Hamming-1 multiprobe expansion: the bucket itself plus every
-    single-bit flip (PLANES_PER_TABLE + 1 probe keys per table). The ONE
+    single-bit flip (``planes`` + 1 probe keys per table). The ONE
     definition of the probe scheme — shared by the LSH probe, near-dup
     pairs, and every graph build / maintenance path, and mirrored by the
-    xor(bucket, 2^(f-1)) CASE in the SQL oracles."""
+    xor(bucket, 2^(f-1)) CASE in the SQL oracles. ``planes`` must match
+    the count the index was bucketed with (corpus_planes)."""
     return F.concat(
         F.array(bucket),
         F.transform(
-            F.sequence(F.lit(0), F.lit(PLANES_PER_TABLE - 1)),
+            F.sequence(F.lit(0), F.lit(planes - 1)),
             lambda b: bucket.bitwiseXOR(
                 F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
             ),
@@ -225,6 +278,7 @@ _INDEX_CACHE: dict[str, str] = {}
 def clear_index_cache() -> None:
     """Invalidation hook: drop every cached index path (next probe rebuilds)."""
     _INDEX_CACHE.clear()
+    _PLANES_CACHE.clear()
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
@@ -279,21 +333,41 @@ def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, b
     return spark.read.parquet(path)
 
 
+# planes per corpus, cached by the same fingerprint the index cache uses
+_PLANES_CACHE: dict[str, int] = {}
+
+
+def corpus_planes(spark: SparkSession, sf_dir: str) -> int:
+    """Effective hyperplane count for this corpus (planes_for_count of
+    the embeddings row count), cached per corpus fingerprint — one count
+    job per corpus per process; at 100 TB the row count comes from the
+    table's catalog statistics for free."""
+    key = f"{sf_dir}:{_corpus_fingerprint(sf_dir)}"
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        n = load_table(spark, "embeddings", sf_dir).count()
+        p = planes_for_count(n)
+        _PLANES_CACHE[key] = p
+    return p
+
+
 def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH index: (vec_id, t, bucket), one map-only pass over
     embeddings, 8 rows of 8-byte (t, bucket) keys per vector. At scale:
-    partitioned by ``t``, z-ordered on ``bucket``."""
+    partitioned by ``t``, z-ordered on ``bucket``. Plane count adapts to
+    corpus size (planes_for_count) and is part of the cache key."""
+    p = corpus_planes(spark, sf_dir)
 
     def build() -> DataFrame:
         emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
         return emb.select(
             "vec_id",
-            F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket"),
+            F.posexplode(_multitable_buckets(F.col("embedding"), p)).alias(
+                "t", "bucket"
+            ),
         )
 
-    return _persisted_index(
-        spark, "lsh", sf_dir, f"t{N_TABLES}p{PLANES_PER_TABLE}", build
-    )
+    return _persisted_index(spark, "lsh", sf_dir, f"t{N_TABLES}p{p}", build)
 
 
 def _cos_sql_pair(a: str, b: str) -> str:
@@ -312,15 +386,16 @@ def _cos_sql_pair(a: str, b: str) -> str:
 @register(
     "knn_lsh_probe",
     oracle=f"""
-    WITH bk AS (
+    WITH pl AS ({_PLANES_SQL}),
+    bk AS (
       SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
-      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
     ),
     probes AS (
       SELECT bk.vec_id AS query_id, bk.t,
              CASE WHEN f.f = 0 THEN bucket
                   ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
-      FROM bk CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
       WHERE bk.vec_id % {QUERY_MOD} = 0
     ),
     cand AS (
@@ -357,7 +432,7 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "t",
             F.explode(
-                _multiprobe(F.col("bucket"))
+                _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
             ).alias("probe"),
         )
     )
@@ -446,15 +521,16 @@ _COS_SQL = _cos_sql_pair("a.embedding", "b.embedding")
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-    WITH b AS (
+    WITH pl AS ({_PLANES_SQL}),
+    b AS (
       SELECT e.vec_id, e.embedding, t.t, {_MT_BUCKET_SQL} AS bucket
-      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
     ),
     probes AS (
       SELECT vec_id, t,
              CASE WHEN f.f = 0 THEN bucket
                   ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
-      FROM b CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      FROM b CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -488,7 +564,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "t",
         F.explode(
-            _multiprobe(F.col("bucket"))
+            _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
         ).alias("probe"),
     )
     x = probes.alias("x")
@@ -1145,15 +1221,16 @@ NSW_M = 16  # out-degree kept per node (measured: recall@10 0.845 at 2 hops
 # (ties by dst). Multiprobe at BUILD time is what makes the graph good:
 # exact-bucket-only edges gave recall 0.25 at the same probe budget.
 _NSW_GRAPH_CTES = f"""
+    pl AS ({_PLANES_SQL}),
     bk AS (
       SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
-      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
     ),
     gprobes AS (
       SELECT bk.vec_id AS src, bk.t,
              CASE WHEN f.f = 0 THEN bucket
                   ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
-      FROM bk CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
     ),
     gpairs AS (
       SELECT DISTINCT p.src, y.vec_id AS dst
@@ -1192,7 +1269,7 @@ def nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("src"),
             "t",
             F.explode(
-                _multiprobe(F.col("bucket"))
+                _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
             ).alias("probe"),
         )
         pairs = (
@@ -1412,15 +1489,16 @@ DELTA_MOD, DELTA_REM = 7, 3
 @register(
     "nsw_graph_delta",
     oracle=f"""
-    WITH bk AS (
+    WITH pl AS ({_PLANES_SQL}),
+    bk AS (
       SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
-      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
     ),
     dprobes AS (
       SELECT bk.vec_id AS src, bk.t,
              CASE WHEN f.f = 0 THEN bucket
                   ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
-      FROM bk CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
       WHERE bk.vec_id % {DELTA_MOD} = {DELTA_REM}
     ),
     dpairs AS (
@@ -1479,13 +1557,13 @@ def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> D
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     bk = batch.select(
         F.col("vec_id").alias("src"),
-        F.posexplode(_multitable_buckets(F.col("embedding"))).alias("t", "bucket"),
+        F.posexplode(_multitable_buckets(F.col("embedding"), corpus_planes(spark, sf_dir))).alias("t", "bucket"),
     )
     probes = bk.select(
         "src",
         "t",
         F.explode(
-            _multiprobe(F.col("bucket"))
+            _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
         ).alias("probe"),
     )
     pairs = (
@@ -1693,15 +1771,16 @@ SELF_JOIN_K = 5
 @register(
     "knn_self_join",
     oracle=f"""
-    WITH b AS (
+    WITH pl AS ({_PLANES_SQL}),
+    b AS (
       SELECT e.vec_id, e.embedding, t.t, {_MT_BUCKET_SQL} AS bucket
-      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
     ),
     probes AS (
       SELECT vec_id, t,
              CASE WHEN f.f = 0 THEN bucket
                   ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
-      FROM b CROSS JOIN (SELECT unnest(range(0, {PLANES_PER_TABLE + 1})) AS f) f
+      FROM b CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
@@ -1732,7 +1811,7 @@ def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     buckets = bucket_index(spark, sf_dir)
     probes = buckets.select(
-        "vec_id", "t", F.explode(_multiprobe(F.col("bucket"))).alias("probe")
+        "vec_id", "t", F.explode(_multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))).alias("probe")
     )
     x = probes.alias("x")
     y = buckets.alias("y")

@@ -1,0 +1,117 @@
+"""PPJoin prefix-order corpus-stats switch (operators/dedup.py).
+
+Pins the measured claim behind ``spark.graft.ppjoin.prefixOrder``: on a
+corpus with a Zipfian stopword HEAD (a shingle shared by every doc),
+hash-order prefixes keep the hot shingle in ~half of all prefixes and
+its bucket alone yields O(n_hot^2) candidates, while df-demoted order
+sorts it LAST so it falls out of every prefix — candidates stay bounded.
+Both orders are exact (any global total order preserves PPJoin recall),
+so the verified pair set must be identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from collect_mobile_devices_datalake_spark.operators.dedup import (
+    ppjoin_candidates,
+    ppjoin_ordered_arrays,
+    shingled_docs,
+)
+
+N_DOCS = 120
+HOT_HEAD = "the quick brown fox jumps over"  # 6 words -> 4 hot shingles
+
+
+@pytest.fixture()
+def corpus(spark):
+    """Every doc shares a 6-word stopword head; the tail is unique per
+    doc except docs 0/1, which are identical (the one true dup pair)."""
+    rows = []
+    for d in range(N_DOCS):
+        tail_id = 0 if d == 1 else d  # docs 0 and 1 share their tail
+        tail = " ".join(f"u{tail_id}w{j}" for j in range(18))
+        rows.append((d, f"{HOT_HEAD} {tail}"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _cands(spark, corpus, mode: str) -> set[tuple[int, int]]:
+    spark.conf.set("spark.graft.ppjoin.prefixOrder", mode)
+    try:
+        ordered = ppjoin_ordered_arrays(spark, shingled_docs(corpus))
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in ppjoin_candidates(ordered.localCheckpoint(eager=True), 0.5).collect()
+        }
+    finally:
+        spark.conf.set("spark.graft.ppjoin.prefixOrder", "auto")
+
+
+def test_df_order_bounds_hot_head_candidates(spark, corpus):
+    hash_c = _cands(spark, corpus, "hash")
+    df_c = _cands(spark, corpus, "df")
+    # hash order: the hot shingles' buckets explode quadratically
+    assert len(hash_c) > 20 * max(len(df_c), 1), (len(hash_c), len(df_c))
+    # df order: bounded near the true pair set
+    assert len(df_c) <= 10
+    # exact recall under BOTH orders: the planted dup pair survives both
+    assert (0, 1) in hash_c and (0, 1) in df_c
+
+
+def test_auto_flips_to_df_on_hot_head(spark, corpus):
+    """max_df = n_docs here (every doc holds the head shingles), far above
+    the 2% default threshold -> auto must resolve to df order."""
+    auto_c = _cands(spark, corpus, "auto")
+    df_c = _cands(spark, corpus, "df")
+    assert auto_c == df_c
+
+
+def test_auto_stays_hash_on_flat_corpus(spark):
+    """No shingle above the df head threshold -> auto == hash order
+    (the measured-faster plan on flat corpora)."""
+    rows = [
+        (d, " ".join(f"d{d}w{j}" for j in range(12))) for d in range(60)
+    ]
+    flat = spark.createDataFrame(rows, "doc_id bigint, text string")
+    auto_c = _cands(spark, flat, "auto")
+    hash_c = _cands(spark, flat, "hash")
+    assert auto_c == hash_c
+
+
+def test_orders_verify_to_identical_pairs(spark, corpus):
+    """End-to-end: exact verification on top of either candidate set
+    yields the same J >= 0.5 pairs (the switch is candidate-count only)."""
+    results = {}
+    for mode in ("hash", "df"):
+        spark.conf.set("spark.graft.ppjoin.prefixOrder", mode)
+        try:
+            ordered = ppjoin_ordered_arrays(spark, shingled_docs(corpus)).localCheckpoint(
+                eager=True
+            )
+            cand = ppjoin_candidates(ordered, 0.5)
+            left = ordered.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hs").alias("ha")
+            )
+            right = ordered.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("hs").alias("hb")
+            )
+            shared = (
+                cand.join(left, "doc_a")
+                .join(right, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.size(F.array_intersect("ha", "hb")).alias("x"),
+                    "na",
+                    "nb",
+                )
+            )
+            jac = F.col("x") / (F.col("na") + F.col("nb") - F.col("x"))
+            results[mode] = {
+                (r["doc_a"], r["doc_b"])
+                for r in shared.filter(jac >= 0.5).collect()
+            }
+        finally:
+            spark.conf.set("spark.graft.ppjoin.prefixOrder", "auto")
+    assert results["hash"] == results["df"] == {(0, 1)}

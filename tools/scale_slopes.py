@@ -1,0 +1,163 @@
+"""Measure the scaling SLOPE of the quadratic-risk kernels.
+
+The 100 TB claims elsewhere in this repo are plan-grounded (banded LSH,
+prefix-filtered PPJoin, windowed island reassembly, batched NSW build);
+this tool turns them into measured evidence: it deterministically
+expands the sf0.1 documents/embeddings tables by configurable
+multipliers and records each kernel's wall time, then reports the
+log-log slope between successive sizes. A kernel whose candidate
+generation secretly degrades to all-pairs shows slope → 2; the healthy
+shapes stay near 1 (plus the output's own growth).
+
+Expansion design — replicas must NOT be near-duplicates of each other,
+or the pair-output itself grows quadratically in the multiplier and the
+measurement can't separate algorithm cost from output size:
+
+- documents: replica k rewrites every word at position i with
+  i % 3 == k % 3 to a replica-unique token. Every 3-gram shingle then
+  contains at least one rewritten word, so cross-replica Jaccard ~ 0,
+  while WITHIN a replica the original near-dup structure is preserved
+  (near-dup docs are rewritten in lockstep). Corpus-level length and
+  frequency shape survive; pair counts grow ~linearly in m.
+- embeddings: replica k adds a deterministic hash-derived offset of
+  magnitude ~0.5 per element — far beyond the near-dup cosine band, so
+  cross-replica vectors are not mutual neighbors by construction.
+
+Run: python tools/scale_slopes.py [sf_dir] [mults] [out_json]
+Defaults: /root/testdata/sf0.1  1,3,10  docs/SCALE_SLOPES.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KERNELS = [
+    # (registry key, which tables it scales with)
+    ("dedup_ngram_jaccard", "documents"),
+    ("dedup_minhash_lsh_pairs", "documents"),
+    ("dup_substring_spans", "documents"),
+    ("winnowing_overlap_pairs", "documents"),
+    ("nsw_graph_edges", "embeddings"),
+]
+
+
+def expand_documents(spark: SparkSession, src: str, m: int, dst: str) -> None:
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    top = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    rep = docs.select(
+        "*", F.explode(F.array(*[F.lit(k) for k in range(m)])).alias("k")
+    )
+    # rewrite every word at position i % 3 == k % 3 (k > 0 only: replica 0
+    # is the original corpus byte-for-byte)
+    rewritten = F.expr(
+        "array_join(zip_with(split(text, ' '), sequence(0, size(split(text, ' ')) - 1),"
+        " (w, i) -> IF(k > 0 AND i % 3 = k % 3,"
+        "             concat('zq', k, 'x', abs(xxhash64(w, k)) % 100000), w)), ' ')"
+    )
+    out = rep.select(
+        (F.col("doc_id") + F.col("k") * top).alias("doc_id"),
+        rewritten.alias("text"),
+        "lang",
+        "source",
+        F.length(rewritten).cast("long").alias("n_chars"),
+    )
+    out.coalesce(max(1, m)).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+
+
+def expand_embeddings(spark: SparkSession, src: str, m: int, dst: str) -> None:
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    top = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    rep = emb.select(
+        "*", F.explode(F.array(*[F.lit(k) for k in range(m)])).alias("k")
+    )
+    shifted = F.expr(
+        "zip_with(embedding, sequence(1, size(embedding)), (v, i) -> IF(k = 0, v,"
+        " CAST(v + ((abs(xxhash64(vec_id, k, i)) % 1000) / 1000.0 - 0.5) AS FLOAT)))"
+    )
+    out = rep.select(
+        (F.col("vec_id") + F.col("k") * top).alias("vec_id"),
+        shifted.alias("embedding"),
+        "label",
+    )
+    out.coalesce(max(1, m)).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mults = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "1,3,10").split(",")]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "docs/SCALE_SLOPES.json"
+
+    from collect_mobile_devices_datalake_spark import registry
+    from collect_mobile_devices_datalake_spark.session import get_spark
+
+    registry._ensure_loaded()
+    spark = get_spark("scale-slopes")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="scale_slopes_")
+    dirs: dict[int, str] = {}
+    try:
+        for m in mults:
+            d = os.path.join(root, f"m{m}")
+            os.makedirs(d, exist_ok=True)
+            expand_documents(spark, src, m, d)
+            expand_embeddings(spark, src, m, d)
+            dirs[m] = d
+            nd = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            ne = spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+            print(f"built m={m}: {nd} docs, {ne} vectors", flush=True)
+
+        report: dict[str, dict] = {"src": src, "mults": mults, "kernels": {}}
+        for key, _tables in KERNELS:
+            q = registry.REGISTRY[key]
+            times: list[float] = []
+            rows: list[int] = []
+            for m in mults:
+                t0 = time.monotonic()
+                n = q.spark(spark, dirs[m]).count()
+                dt = time.monotonic() - t0
+                times.append(round(dt, 2))
+                rows.append(n)
+                print(f"{key}  m={m}: {dt:.2f}s  rows={n}", flush=True)
+            slopes = []
+            import math
+
+            for a, b in zip(range(len(mults) - 1), range(1, len(mults))):
+                if times[a] > 0 and mults[b] > mults[a]:
+                    slopes.append(
+                        round(
+                            math.log(max(times[b], 1e-9) / times[a])
+                            / math.log(mults[b] / mults[a]),
+                            2,
+                        )
+                    )
+            report["kernels"][key] = {
+                "sec": dict(zip(map(str, mults), times)),
+                "rows": dict(zip(map(str, mults), rows)),
+                "loglog_slopes": slopes,
+            }
+            print(f"{key}  slopes={slopes}", flush=True)
+
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print("wrote", out_path)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
