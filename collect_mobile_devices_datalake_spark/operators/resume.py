@@ -29,6 +29,16 @@ def resume_anti_join(source: DataFrame, saved: DataFrame, key: str = "url") -> D
     large (saved ≈ 60% of source, too big to broadcast) the single
     shuffle on ``key`` is the cheapest possible plan, and Catalyst does
     not perform this rewrite itself (measured ~40% faster at sf0.1).
+
+    Skew-hardness falls out of the same shape: a HOT key (one url
+    re-enqueued millions of times — retry storms, a crawler loop) is
+    collapsed by the MAP-SIDE partial aggregation before the exchange,
+    so the reducer for that key receives at most one row per map
+    partition regardless of how many duplicates exist. The anti-join
+    expressed as a join would need AQE skew-join splitting or manual
+    salting to survive the same input; the groupBy form needs neither —
+    pinned by the planted-hot-key plan test
+    (tests/test_plans.py::test_resume_hot_key_collapses_map_side).
     """
     u = source.select(key).withColumn("_saved", F.lit(0)).unionAll(
         saved.select(key).withColumn("_saved", F.lit(1))

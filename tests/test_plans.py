@@ -58,6 +58,33 @@ def test_resume_is_single_shuffle(spark):
     assert count_exchanges(q) == 1, formatted_plan(q)
 
 
+def test_resume_hot_key_collapses_map_side(spark):
+    """Planted hot key: one url re-enqueued 100_000x (a retry storm) vs
+    2_000 distinct cold urls. The groupBy form of the anti-join must
+    collapse the hot key in the MAP-SIDE partial aggregate, so the
+    reducer for that key receives <= one row per map partition — the
+    property that makes AQE skew-join splitting / manual salting
+    unnecessary on this path (a join-shaped anti-join would need them).
+    """
+    hot = spark.range(100_000).select(F.lit("https://h.example/hot").alias("url"))
+    cold = spark.range(2_000).select(
+        F.concat(F.lit("https://c.example/"), F.col("id")).alias("url")
+    )
+    frontier = hot.unionAll(cold)  # spark.range is already multi-partition
+    saved = spark.range(1_000).select(
+        F.concat(F.lit("https://c.example/"), F.col("id")).alias("url")
+    )
+    q = resume_anti_join(frontier, saved)
+    plan = formatted_plan(q)
+    # partial_max BEFORE the exchange = map-side combine on the url key
+    assert "partial_max" in plan, plan
+    assert count_exchanges(q) == 1, plan
+    # and the answer is exact under the skew: hot + the unsaved cold half
+    rows = {r["url"] for r in q.collect()}
+    assert "https://h.example/hot" in rows
+    assert len(rows) == 1 + 1_000
+
+
 def test_knn_broadcasts_queries_not_corpus(spark):
     q = REGISTRY["knn_bruteforce"].spark(spark, SF)
     plan = formatted_plan(q)
