@@ -58,15 +58,112 @@ def finalized_hourly_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _write_finalized(rollup_dir: str):
+DERIVED_SCHEMA = (
+    "bucket_start timestamp, event_type string, n_events bigint, total_value double"
+)
+
+
+def _maintain_derived_grains(spark: SparkSession, rollup_dir: str, derived_dir: str, batch_id: int) -> None:
+    """Extend the continuous-aggregate chain to streaming: day and month
+    grains derived from the streaming hourly sink's FINALIZED partials —
+    the batch ``rollup_reuse_hierarchy`` reuse rule, run incrementally.
+
+    Closure rule (conservative, provably safe): an emitted hourly row at
+    bucket F implies the watermark passed F + 1h, so every bucket whose
+    LAST hour is <= the sink's max emitted hour ("frontier") can no
+    longer change. A closed day aggregates hourly partials; a closed
+    month aggregates the committed day partials — the fact stream is
+    never rescanned, and each coarser row is computed from finalized
+    inputs exactly once. Liveness note: closure advances only when a
+    LATER hour finalizes (absence of data is indistinguishable from
+    lateness); under continuous arrivals this is the standard
+    high-watermark-from-data lag of one bucket.
+
+    Exactly-once per window row: new rows anti-join against the
+    committed table and publish through the atomic manifest protocol
+    (ingest/manifest.py) with a per-(grain, batch) txn id — a checkpoint
+    replay is a committed no-op, a crash between stage and publish
+    leaves the previous snapshot, and a reader never sees a partial set.
+    """
+    from ..ingest import manifest
+
+    hourly = spark.read.parquet(rollup_dir)
+    frontier = hourly.agg(F.max("bucket_start")).collect()[0][0]
+    if frontier is None:
+        return
+
+    # closed days: D + 23h <= frontier  ==>  watermark >= D + 24h
+    day_rows = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            # re-aggregate as decimal like the batch operator (hourly sink
+            # doubles are exact decimal(18,4) multiples below 2^53/1e4)
+            F.sum(F.col("total_value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .filter(F.col("bucket_start") + F.expr("INTERVAL 23 HOURS") <= F.lit(frontier))
+    )
+    have_day = manifest.read_committed(spark, derived_dir, "day", schema=DERIVED_SCHEMA)
+    new_day = day_rows.join(
+        have_day.select("bucket_start", "event_type"),
+        ["bucket_start", "event_type"],
+        "left_anti",
+    )
+    manifest.commit_tables(derived_dir, [("day", new_day)], txn_id=f"day-{batch_id}")
+
+    # closed months: last hour of M <= frontier; aggregate committed day
+    # partials (all of a closed month's days are closed by the same rule)
+    days = manifest.read_committed(spark, derived_dir, "day", schema=DERIVED_SCHEMA)
+    month_rows = (
+        days.groupBy(
+            F.date_trunc("month", "bucket_start").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .filter(
+            F.add_months(F.col("bucket_start"), 1) - F.expr("INTERVAL 1 HOUR")
+            <= F.lit(frontier)
+        )
+    )
+    have_month = manifest.read_committed(spark, derived_dir, "month", schema=DERIVED_SCHEMA)
+    new_month = month_rows.join(
+        have_month.select("bucket_start", "event_type"),
+        ["bucket_start", "event_type"],
+        "left_anti",
+    )
+    manifest.commit_tables(derived_dir, [("month", new_month)], txn_id=f"month-{batch_id}")
+
+
+def _write_finalized(rollup_dir: str, derived_dir: str | None = None):
     def fn(batch: DataFrame, batch_id: int) -> None:
         # append-mode rows are final; the per-batch partition + overwrite
         # makes checkpoint replays repair partial commits
         batch.write.mode("overwrite").parquet(
             os.path.join(rollup_dir, f"batch={batch_id}")
         )
+        if derived_dir is not None:
+            _maintain_derived_grains(batch.sparkSession, rollup_dir, derived_dir, batch_id)
 
     return fn
+
+
+def read_grain(spark: SparkSession, rollup_dir: str, derived_dir: str, grain: str) -> DataFrame:
+    """Snapshot of one grain of the streaming hierarchy: hourly rows come
+    from the append-once stream sink; day/month from the committed
+    derived tables (closed buckets only)."""
+    from ..ingest import manifest
+
+    if grain == "hour":
+        return spark.read.parquet(rollup_dir)
+    return manifest.read_committed(spark, derived_dir, grain, schema=DERIVED_SCHEMA)
 
 
 def start_rollup_maintenance_stream(
@@ -76,6 +173,7 @@ def start_rollup_maintenance_stream(
     checkpoint_dir: str,
     schema: str,
     max_files_per_trigger: int = 10,
+    derived_dir: str | None = None,
 ) -> StreamingQuery:
     stream = (
         spark.readStream.schema(schema)
@@ -84,7 +182,7 @@ def start_rollup_maintenance_stream(
     )
     return (
         finalized_hourly_stream(stream)
-        .writeStream.foreachBatch(_write_finalized(rollup_dir))
+        .writeStream.foreachBatch(_write_finalized(rollup_dir, derived_dir))
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -829,3 +829,99 @@ def test_rollup_maintenance_finalizes_windows_exactly_once(spark, tmp):
         .collect()
     }
     assert again == want
+
+
+def test_rollup_hierarchy_stream_matches_batch_all_grains(spark, tmp):
+    """The streaming continuous-aggregate CHAIN: hourly (append-once
+    stream sink) -> day -> month, derived from finalized partials via the
+    manifest protocol. Across restarts (same checkpoint), every grain
+    must equal the batch re-aggregation of the raw events for CLOSED
+    buckets, and re-running with no new data must change nothing
+    (exactly-once per window row at every grain)."""
+    from collect_mobile_devices_datalake_spark.streaming.rollup_maintenance import (
+        read_grain,
+        start_rollup_maintenance_stream,
+    )
+
+    d, ev = _events_dir(spark, tmp)
+    rollup = os.path.join(tmp, "rollup_h")
+    derived = os.path.join(tmp, "rollup_dm")
+    ckpt = os.path.join(tmp, "rollup_h_ckpt")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+
+    def run():
+        q = start_rollup_maintenance_stream(
+            spark, d, rollup, ckpt, schema, derived_dir=derived
+        )
+        q.awaitTermination(180)
+
+    run()  # ingest the real chunks (kill: availableNow stops the query)
+
+    # sentinel #1: 40 days past the end — finalizes every REAL hour, and
+    # (once ITS hour finalizes) closes every real day and month
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    s1 = spark.createDataFrame([(10**9, max_ts, 0, "sentinel", 0.0, "{}")], schema)
+    s1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 960 HOURS")).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    run()  # restart with the same checkpoint
+    # sentinel #2 finalizes sentinel #1's hour, advancing the derived
+    # frontier past every real bucket
+    s1.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1920 HOURS")).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+    run()  # second restart
+
+    def grain_rows(grain):
+        return {
+            (r["bucket_start"], r["event_type"]): (
+                r["n_events"],
+                round(r["total_value"], 4),
+            )
+            for r in read_grain(spark, rollup, derived, grain)
+            .filter(F.col("event_type") != "sentinel")
+            .collect()
+        }
+
+    dec = F.col("value").cast("decimal(18,4)")
+    hourly_batch = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count("*").alias("n_events"), F.sum(dec).alias("v"))
+
+    def batch_rows(df):
+        return {
+            (r["bucket_start"], r["event_type"]): (
+                r["n_events"],
+                round(r["total_value"], 4),
+            )
+            for r in df.select(
+                "bucket_start",
+                "event_type",
+                F.col("n_events").cast("long").alias("n_events"),
+                F.col("v").cast("double").alias("total_value"),
+            ).collect()
+        }
+
+    want_hour = batch_rows(hourly_batch)
+    daily_batch = hourly_batch.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+    want_day = batch_rows(daily_batch)
+    want_month = batch_rows(
+        daily_batch.groupBy(
+            F.date_trunc("month", "bucket_start").alias("bucket_start"), "event_type"
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("v").alias("v"))
+    )
+
+    assert grain_rows("hour") == want_hour and len(want_hour) > 0
+    assert grain_rows("day") == want_day and len(want_day) > 0
+    assert grain_rows("month") == want_month and len(want_month) > 0
+
+    # exactly-once: a further restart with NO new input changes no grain
+    run()
+    assert grain_rows("hour") == want_hour
+    assert grain_rows("day") == want_day
+    assert grain_rows("month") == want_month
