@@ -582,3 +582,88 @@ def q_quality_ensemble_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("score"),
         (score >= 6).alias("keep"),
     )
+
+
+@register(
+    "doc_bigram_surprise",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM uni),
+    c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+    scored AS (
+      SELECT bg.doc_id,
+             length(to_base((c1.c1 + vocab.v) // (c2.c2 + 1), 2)) - 1 AS bits
+      FROM bg
+      JOIN c2 USING (b)
+      JOIN c1 ON c1.w = bg.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(bits) AS BIGINT) AS total_bits,
+           round(SUM(bits) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_bits
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram-LM surprise scoring — the CCNet quality gate (Wenzek et "
+    "al. 2020 score documents by LM perplexity; KenLM's job here) as an "
+    "integer-bits surrogate, the same trick doc_rarity_bits uses at the "
+    "unigram level: each bigram occurrence contributes "
+    "flog2((c1(w1) + V) div (c2(w1 w2) + 1)) whole bits — the add-one-"
+    "smoothed conditional improbability rounded down to bits, so a doc "
+    "full of corpus-typical transitions scores low and one full of "
+    "never-seen transitions scores ~log2(V). flog2 is bit-length "
+    "arithmetic (length(bin(x)) - 1), division is integer: every term "
+    "is engine-exact, and the per-doc mean is the single final IEEE "
+    "division. Shape at 100 TB: unigram and bigram count tables are one "
+    "hash aggregation each (vocabulary-bounded, Zipf); the document "
+    "mass joins them back on 8-byte xxhash64 keys (the oracle keeps the "
+    "string-keyed form — a collision would fail the value gate); mean "
+    "per doc is one more keyed aggregation. No libm in any scored term.",
+)
+def q_doc_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    toks = d.select("doc_id", tokens("text").alias("t")).localCheckpoint(eager=True)
+    t = F.col("t")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)).alias("b"),
+        ),
+    )
+    bg = (
+        toks.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(pairs).alias("x"))
+        .select(
+            "doc_id",
+            F.xxhash64("x.w1").alias("h1"),
+            F.xxhash64("x.b").alias("h2"),
+        )
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy(F.xxhash64("w").alias("h1")).agg(F.count("*").alias("c1"))
+    v = uni.agg(F.countDistinct("w").alias("v"))
+    c2 = bg.groupBy("h2").agg(F.count("*").alias("c2"))
+    bits = F.length(F.bin(F.expr("(c1 + v) div (c2 + 1)"))) - 1
+    scored = (
+        bg.join(c2, "h2")
+        .join(c1, "h1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", bits.alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.round(F.sum("bits") / F.count("*").cast("double"), 6).alias("mean_bits"),
+    )

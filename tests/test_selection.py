@@ -134,3 +134,31 @@ def test_poly_hash_cross_engine_parity_on_adversarial_strings(spark):
 
     assert got == want
     assert all(0 <= h < 2_147_483_647 for h in got.values())
+
+
+def test_bigram_surprise_hand_computed(spark, tmp_path):
+    """Pin the add-one-smoothed bigram-bits semantics on a corpus small
+    enough to verify by hand. Unigrams: a=3 b=3 c=1 z=2, V=4. Bigrams:
+    'a b'=3 'b a'=1 'b c'=1 'z z'=1. Term = flog2((c1+V) div (c2+1))."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "z z"), (3, "solo")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["total_bits"], round(r["mean_bits"], 6))
+        for r in REGISTRY["doc_bigram_surprise"].spark(spark, d).collect()
+    }
+    # doc 0: (a b)=0 bits x2, (b a): (3+5)//2=4 -> 2 bits ... wait V
+    # includes 'solo': V=5. Recompute: (a b): (3+5)//4=2 -> 1 bit;
+    # (b a): (3+5)//2=4 -> 2; (b c): 4 -> 2; (z z): (2+5)//2=3 -> 1.
+    assert got == {
+        0: (3, 1 + 2 + 1, round((1 + 2 + 1) / 3, 6)),
+        1: (2, 1 + 2, 1.5),
+        2: (1, 1, 1.0),
+        # doc 3 has a single token -> no bigrams -> absent
+    }
