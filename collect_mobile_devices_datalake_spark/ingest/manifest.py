@@ -137,7 +137,10 @@ def committed_files(lake_dir: str, table_prefix: str) -> list[str]:
         for table, names in body.get("tables", {}).items():
             if table == table_prefix or table.startswith(table_prefix + "/"):
                 out.extend(os.path.join(lake_dir, table, n) for n in names)
-    return out
+    # dedupe: a reader racing `compact_manifests` can observe the merged
+    # manifest plus a not-yet-removed original listing the same files —
+    # snapshot correctness must not depend on the sweep having finished
+    return list(dict.fromkeys(out))
 
 
 def read_committed(
@@ -184,6 +187,33 @@ def vacuum_orphans(
             if n.startswith("_staging_"):
                 shutil.rmtree(os.path.join(table_dir, n), ignore_errors=True)
     return orphans
+
+
+def compact_manifests(lake_dir: str) -> str | None:
+    """Fold every committed manifest into ONE, then sweep the originals.
+
+    Snapshot resolution is O(manifest count); a long-lived lake accretes
+    one manifest per transaction, so maintenance folds them — the same
+    operation every log-structured lake format ships. Safety: the merged
+    manifest publishes FIRST (atomic rename), so each moment exposes a
+    superset of the committed files and `committed_files`'s dedupe keeps
+    the snapshot exact; a crash mid-sweep just leaves some originals for
+    the next compaction. Returns the merged manifest path (None if there
+    was nothing to fold)."""
+    originals = manifest_paths(lake_dir)
+    if len(originals) <= 1:
+        return None
+    merged: dict[str, list[str]] = {}
+    for mp in originals:
+        with open(mp) as f:
+            body = json.load(f)
+        for table, names in body.get("tables", {}).items():
+            bucket = merged.setdefault(table, [])
+            bucket.extend(n for n in names if n not in bucket)
+    new_path = publish(lake_dir, f"compact{new_txn_id()}", merged)
+    for mp in originals:
+        os.remove(mp)
+    return new_path
 
 
 def commit_tables(

@@ -159,3 +159,37 @@ def test_streaming_replay_of_committed_batch_is_noop(spark, lake):
     got = manifest.read_committed(spark, lake, table)
     assert got.count() == pages.count()
     assert got.select("src_url").distinct().count() == pages.count()
+
+
+def test_compaction_preserves_snapshot_and_survives_crash_mid_sweep(spark, lake):
+    df = spark.range(4).select(F.col("id").cast("string").alias("url"))
+    for i in range(5):
+        manifest.commit_tables(lake, [("t", df)], txn_id=f"tx{i}")
+    before = manifest.read_committed(spark, lake, "t").count()
+    assert before == 20 and len(manifest.manifest_paths(lake)) == 5
+
+    # simulate the race/crash: merged manifest published but only SOME
+    # originals swept — the dedupe in committed_files keeps the snapshot
+    # exact even while both generations are visible
+    originals = manifest.manifest_paths(lake)
+    merged = manifest.publish(
+        lake,
+        "compact-manual",
+        {
+            "t": [
+                os.path.basename(p)
+                for p in manifest.committed_files(lake, "t")
+            ]
+        },
+    )
+    assert merged is not None
+    os.remove(originals[0])  # partial sweep, then "crash"
+    assert manifest.read_committed(spark, lake, "t").count() == before
+
+    # the real compaction folds everything that remains into one manifest
+    manifest.compact_manifests(lake)
+    assert len(manifest.manifest_paths(lake)) == 1
+    assert manifest.read_committed(spark, lake, "t").count() == before
+    # and new transactions continue on top of the compacted log
+    manifest.commit_tables(lake, [("t", df)], txn_id="after")
+    assert manifest.read_committed(spark, lake, "t").count() == before + 4
