@@ -65,16 +65,28 @@ def normalize_records(parsed: DataFrame, source: str) -> DataFrame:
 
 def _log(spark: SparkSession, lake_dir: str, source: str, event: str, n: int) -> None:
     """Append-only structured log (the reference's timestamped log file,
-    app.js:6, 37-41 — as a queryable lake table instead of text lines)."""
-    spark.createDataFrame(
+    app.js:6, 37-41 — as a queryable lake table instead of text lines).
+    Committed through the manifest protocol so a reader can never open a
+    half-written part file; the log is telemetry, deliberately in its
+    OWN transaction (it records the attempt even when the data commit
+    later fails)."""
+    from . import manifest
+
+    df = spark.createDataFrame(
         [(source, event, n)], "source string, event string, n bigint"
-    ).withColumn("ts", F.current_timestamp()).write.mode("append").parquet(
-        os.path.join(lake_dir, "logs")
-    )
+    ).withColumn("ts", F.current_timestamp())
+    manifest.commit_tables(lake_dir, [("logs", df)])
 
 
 def read_logs(spark: SparkSession, lake_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(lake_dir, "logs"))
+    from . import manifest
+
+    return manifest.read_committed(
+        spark,
+        lake_dir,
+        "logs",
+        schema="source string, event string, n bigint, ts timestamp",
+    )
 
 
 def _read_saved(spark: SparkSession, lake_dir: str, source: str) -> DataFrame:
