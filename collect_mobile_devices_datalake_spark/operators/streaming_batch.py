@@ -692,3 +692,73 @@ def q_funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("t2") / F.count("t1").cast("double"), 6).alias("rate_purchase"),
         F.round(F.count("t2") / F.count("t0").cast("double"), 6).alias("rate_overall"),
     )
+
+
+@register(
+    "streaming_rollup_day_grain",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="The streaming continuous-aggregate CHAIN, driver-gated at value "
+    "level: events are fed through the ACTUAL watermark-finalized "
+    "hourly stream (dedup -> tumbling 1h window, append-once sink), the "
+    "day grain derives incrementally from the finalized hourly partials "
+    "inside foreachBatch (manifest-committed, append-once per closed "
+    "day), and far-future sentinel events drive the watermark past "
+    "every real bucket so all days close. The oracle is the plain batch "
+    "day aggregation — equality proves the stream's dedup, window "
+    "finalization, closure rule, and decimal re-aggregation compose to "
+    "the batch semantics. Runs a real Structured Streaming query with "
+    "three availableNow triggers against one checkpoint (i.e., two "
+    "restarts), so driver certification also exercises checkpoint "
+    "recovery.",
+)
+def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.rollup_maintenance import (
+        read_grain,
+        start_rollup_maintenance_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="roll_day_")
+    src = os.path.join(base, "in")
+    rollup = os.path.join(base, "hour")
+    derived = os.path.join(base, "dm")
+    ckpt = os.path.join(base, "ckpt")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.coalesce(4).write.mode("append").parquet(src)
+
+    def run() -> None:
+        q = start_rollup_maintenance_stream(
+            spark, src, rollup, ckpt, schema,
+            max_files_per_trigger=100, derived_dir=derived,
+        )
+        q.awaitTermination(300)
+
+    run()
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts, 0, "sentinel", 0.0, "{}")], schema
+    )
+    # sentinel #1 closes every real hour/day; #2 finalizes #1's own hour
+    # so the derived frontier passes every real bucket
+    for hours in (960, 1920):
+        sentinel.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+    return read_grain(spark, rollup, derived, "day").filter(
+        F.col("event_type") != "sentinel"
+    )
