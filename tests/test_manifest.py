@@ -92,7 +92,12 @@ def test_ingest_crash_then_replay_repairs(spark, lake, monkeypatch):
     real_publish = manifest.publish
 
     def exploding_publish(lake_dir, txn_id, tables):
-        raise OSError("injected crash before manifest publish")
+        # The telemetry log commits in its OWN txn by design (it records
+        # the attempt even when the data commit fails) — crash only the
+        # data transaction, after its files are staged.
+        if any(t.startswith("device_specs") for t in tables):
+            raise OSError("injected crash before manifest publish")
+        return real_publish(lake_dir, txn_id, tables)
 
     monkeypatch.setattr(manifest, "publish", exploding_publish)
     with pytest.raises(OSError, match="injected crash"):
@@ -130,12 +135,16 @@ def test_ingest_data_and_checkpoint_commit_together(spark, lake):
     part = load_table(spark, "part", SF)
     pages = spec_pages(part, "gsmarena")
     ingest_source(spark, pages, lake, "gsmarena")
-    paths = manifest.manifest_paths(lake)
-    assert len(paths) == 1
     import json
 
-    body = json.load(open(paths[0]))
-    tables = set(body["tables"])
+    # the telemetry log commits in its own txn; the DATA txn is the one
+    # whose manifest must list data + checkpoint together
+    bodies = [json.load(open(p)) for p in manifest.manifest_paths(lake)]
+    data_bodies = [
+        b for b in bodies if any(t.startswith("device_specs") for t in b["tables"])
+    ]
+    assert len(data_bodies) == 1
+    tables = set(data_bodies[0]["tables"])
     assert "device_specs/gsmarena" in tables
     assert "saved_list/gsmarena" in tables
 
