@@ -325,11 +325,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ppjoin_candidates(ordered, tau)
     # Verify joins: localCheckpoint relations report unknown size, so AQE
     # never discovers they're broadcastable — hint it when the doc count
-    # says so (count is free on the checkpointed frame). ~1 s at sf0.1:
-    # both verify joins collapse to broadcast hash joins instead of
-    # shuffling the candidate pairs twice. Past the row guard (corpus
-    # scale) the joins shuffle on doc id, which is the right plan there.
-    maybe_b = F.broadcast if ordered.count() <= 100_000 else (lambda df: df)
+    # says so (count is cheap on the checkpointed frame, but still one
+    # extra job). ~1 s at sf0.1: both verify joins collapse to broadcast
+    # hash joins instead of shuffling the candidate pairs twice. Past the
+    # row guard (corpus scale) the joins shuffle on doc id, which is the
+    # right plan there. `spark.graft.ppjoin.verifyBroadcast` = on|off
+    # skips the probe job entirely when the deployment already knows its
+    # corpus scale (the 100 TB setting is "off"); default "auto" keeps
+    # the count gate.
+    vb = spark.conf.get("spark.graft.ppjoin.verifyBroadcast", "auto")
+    if vb == "on":
+        small = True
+    elif vb == "off":
+        small = False
+    else:
+        small = ordered.count() <= 100_000
+    maybe_b = F.broadcast if small else (lambda df: df)
     left = ordered.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("hs").alias("ha"))
     right = ordered.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("hs").alias("hb"))
     shared = (
@@ -659,7 +670,16 @@ def ppjoin_best_match(
         .select(F.col("a.doc_id").alias("new_doc"), F.col("b.doc_id").alias("dup_of"))
         .distinct()
     )
-    small = (new_ordered.count() + corpus_ordered.count()) <= 100_000
+    # same conf knob as dedup_ngram_jaccard: on|off skips the probe jobs
+    vb = new_ordered.sparkSession.conf.get(
+        "spark.graft.ppjoin.verifyBroadcast", "auto"
+    )
+    if vb == "on":
+        small = True
+    elif vb == "off":
+        small = False
+    else:
+        small = (new_ordered.count() + corpus_ordered.count()) <= 100_000
     maybe_b = F.broadcast if small else (lambda df: df)
     left = new_ordered.select(
         F.col("doc_id").alias("new_doc"), F.col("n").alias("na"), F.col("hs").alias("ha")

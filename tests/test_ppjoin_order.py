@@ -115,3 +115,22 @@ def test_orders_verify_to_identical_pairs(spark, corpus):
         finally:
             spark.conf.set("spark.graft.ppjoin.prefixOrder", "auto")
     assert results["hash"] == results["df"] == {(0, 1)}
+
+
+def test_verify_broadcast_conf_is_result_invariant(spark):
+    """``spark.graft.ppjoin.verifyBroadcast`` only toggles the broadcast
+    hint (and, for on/off, skips the count-probe job) — the verified pair
+    set is identical under all three settings."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    fn = REGISTRY["dedup_ngram_jaccard"].spark
+    results = {}
+    for mode in ("auto", "on", "off"):
+        spark.conf.set("spark.graft.ppjoin.verifyBroadcast", mode)
+        try:
+            rows = fn(spark, "/root/testdata/sf0.001").collect()
+            results[mode] = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows}
+        finally:
+            spark.conf.unset("spark.graft.ppjoin.verifyBroadcast")
+    assert results["auto"] == results["on"] == results["off"]
+    assert results["auto"]  # the corpus plants true near-dups
