@@ -1,0 +1,267 @@
+"""KMV (k-minimum-values) distinct sketches over ``documents``.
+
+The missing piece between ``approx_count_distinct`` (HLL — mergeable but
+opaque and union-only) and exact ``COUNT(DISTINCT ...)`` (one shuffle of
+every distinct key): a KMV sketch keeps the k smallest hash values of a
+set. It is
+
+- **mergeable**: k-min of a union = k-min of the concatenated partial
+  k-mins, so each executor ships at most k values per group and the
+  reduce side touches ``n_partitions * k`` rows, never the vocabulary —
+  the 100 TB plan for per-source cardinality;
+- **intersectable**: unlike HLL, two KMV sketches estimate their sets'
+  Jaccard directly (Beyer et al., "On synopses for distinct-value
+  estimation", SIGMOD'07): J ≈ |topk(A ∪ B) ∩ A ∩ B| / k — which HLL
+  can only get via inclusion-exclusion with compounding error.
+
+Both queries double as sketch QA (like ``minhash_estimate_quality``):
+they carry the exact value next to the estimate so the driver oracle
+pins the estimator arithmetic bit-for-bit, and the error column is the
+calibration report.
+
+Hashes are the pure-arithmetic polynomial rolling hash
+(``functions.text.rolling_hash``) — reproducible in DuckDB, which is
+what makes a value-level oracle for a *sketch* possible at all.
+
+Reference lineage: the reference keeps per-source row counts only
+(app.js:700-714, COUNT(*) loops); these are the scale-path analogues a
+lake that large actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import rolling_hash
+from ..registry import register
+from ..session import fan_out, load_table
+
+P = 1_000_000_007
+K = 64
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+# one token's rolling hash (t bound by the enclosing scope)
+_TOKEN_HASH_SQL = (
+    "list_reduce(list_transform(range(1, length(t) + 1), "
+    "i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+# distinct (source, token-hash) pairs
+_SOURCE_HASHES_SQL = f"""
+  SELECT DISTINCT source, {_TOKEN_HASH_SQL} AS h
+  FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents
+  ) WHERE length(t) > 0
+"""
+
+# per-source ordered k-min list + exact distinct count
+_KMV_SKETCH_SQL = f"""
+  SELECT source,
+         list_sort(list(h ORDER BY h) FILTER (rk <= {K})) AS kmin,
+         max(n_exact) AS n_exact
+  FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS n_exact
+    FROM ({_SOURCE_HASHES_SQL})
+  ) GROUP BY source
+"""
+
+
+def _source_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, h): the distinct token-hash pairs of each source.
+
+    Hash FIRST, then distinct: the dedup shuffle moves (source, int64)
+    instead of (source, token-text) — the same 8-byte-key rule as the
+    PPJoin candidate shuffle (dedup.py).
+    """
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), "\\s+")).alias("t")
+    ).filter(F.length("t") > 0)
+    return toks.select("source", rolling_hash("t").alias("h")).distinct()
+
+
+def kmv_sketches(hashed: DataFrame, k: int = K) -> DataFrame:
+    """(source, kmin array, n_exact) via the two-level mergeable plan.
+
+    Level 1 groups by (source, physical partition) and keeps each
+    partial's k smallest — bounded at k values per group, independent of
+    vocabulary size. Level 2 merges the partials: k-min of a union is
+    the k-min of the concatenated partial k-mins, so the final shuffle
+    carries ``n_partitions * k`` longs per source. ANY partitioning
+    yields the same sketch (the merge is associative + commutative),
+    which is exactly the property the merge-invariance test pins and
+    the reason this runs on 1000 executors without moving a vocabulary.
+
+    ``n_exact`` (the QA column) is the one aggregate that still pays the
+    full distinct shuffle — at 100 TB you drop it and keep the sketch.
+    """
+    partial = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("source", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmin"))
+    )
+    merged = partial.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            k,
+        ).alias("kmin")
+    )
+    exact = hashed.groupBy("source").agg(F.countDistinct("h").alias("n_exact"))
+    return merged.join(F.broadcast(exact), "source")
+
+
+@register(
+    "kmv_vocab_distinct",
+    oracle=f"""
+    WITH sk AS ({_KMV_SKETCH_SQL})
+    SELECT source,
+           CAST({K} AS BIGINT) AS k,
+           kmin[LEAST({K}, CAST(n_exact AS INT))] AS kth_min,
+           CASE WHEN n_exact < {K} THEN n_exact
+                ELSE CAST(floor({(K - 1) * P}.0 / kmin[{K}]) AS BIGINT)
+           END AS est_distinct,
+           n_exact,
+           round(100.0 * abs(
+             (CASE WHEN n_exact < {K} THEN n_exact
+                   ELSE CAST(floor({(K - 1) * P}.0 / kmin[{K}]) AS BIGINT) END)
+             - n_exact) / n_exact, 6) AS err_pct
+    FROM sk ORDER BY source
+    """,
+    doc="Per-source distinct-vocabulary cardinality from a k-minimum-"
+    "values sketch (k=64), with the exact count alongside as the "
+    "calibration column. Estimator: (k-1) * HASH_SPACE / kth_min when "
+    "the sketch is full, else the sketch IS the set and the count is "
+    "exact. The build is the two-level mergeable plan (partial k-min "
+    "per partition, then a k-bounded merge) — per-source distincts at "
+    "100 TB without shuffling a vocabulary, and the same partials are "
+    "what a streaming sink would checkpoint.",
+)
+def q_kmv_vocab_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = kmv_sketches(_source_token_hashes(spark, sf_dir))
+    kth = F.element_at("kmin", F.least(F.lit(K), F.size("kmin")))
+    est = F.when(F.col("n_exact") < K, F.col("n_exact")).otherwise(
+        F.floor(F.lit(float((K - 1) * P)) / F.element_at("kmin", K)).cast("long")
+    )
+    return (
+        sk.select(
+            "source",
+            F.lit(K).cast("long").alias("k"),
+            kth.alias("kth_min"),
+            est.alias("est_distinct"),
+            "n_exact",
+            F.round(
+                100.0 * F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("err_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "kmv_vocab_jaccard",
+    oracle=f"""
+    WITH sk AS ({_KMV_SKETCH_SQL}),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             list_sort(list_distinct(list_concat(a.kmin, b.kmin)))[1:{K}] AS m,
+             a.kmin AS ka, b.kmin AS kb
+      FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             round(CAST(len(list_intersect(list_intersect(m, ka), kb)) AS DOUBLE)
+                   / len(m), 6) AS est_jaccard
+      FROM pairs
+    ),
+    g AS ({_SOURCE_HASHES_SQL}),
+    sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+    exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(CAST(COUNT(*) AS DOUBLE)
+                   / (max(sa.n) + max(sb.n) - COUNT(*)), 6) AS exact_jaccard
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      JOIN sizes sa ON sa.source = a.source
+      JOIN sizes sb ON sb.source = b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b, e.est_jaccard,
+           COALESCE(x.exact_jaccard, 0.0) AS exact_jaccard,
+           round(abs(e.est_jaccard - COALESCE(x.exact_jaccard, 0.0)), 6) AS err
+    FROM est e LEFT JOIN exact x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    ORDER BY e.source_a, e.source_b
+    """,
+    doc="Pairwise vocabulary Jaccard between sources estimated from KMV "
+    "sketches alone — the intersection HLL cannot give. Estimator "
+    "(Beyer et al. SIGMOD'07): among the k smallest of A ∪ B (a "
+    "uniform sample of the union), the fraction present in both "
+    "sketches. The exact Jaccard rides along as the QA column. At "
+    "100 TB the exact leg (`source_vocab_overlap`'s hash self-join) is "
+    "dropped and the report costs |sources|² * k longs — the mirrored-"
+    "source detector you can afford to run daily.",
+)
+def q_kmv_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = _source_token_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    sk = kmv_sketches(hashed)
+    a = sk.select(F.col("source").alias("source_a"), F.col("kmin").alias("ka"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("kmin").alias("kb"))
+    merged = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, K)
+    pairs = (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .withColumn("m", merged)
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.size(F.array_intersect(F.array_intersect("m", "ka"), "kb"))
+                / F.size("m").cast("double"),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("n"))
+    ga = hashed.select(F.col("source").alias("source_a"), "h")
+    gb = hashed.select(F.col("source").alias("source_b"), "h")
+    exact = (
+        ga.join(gb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        pairs.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))), 6
+            ).alias("err"),
+        )
+        .orderBy("source_a", "source_b")
+    )

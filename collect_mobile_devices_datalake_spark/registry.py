@@ -199,6 +199,7 @@ def _ensure_loaded() -> None:
         # 50-key sample — operators that have waited since earlier rounds
         # (the TPC-H tail) go before this session's brand-new family.
         retrieval,
+        sketches,
     )
 
     _DRIVER_PRIORITY.clear()
