@@ -126,12 +126,52 @@ def publish(lake_dir: str, txn_id: str, tables: dict[str, list[str]]) -> str | N
     return final
 
 
-def committed_files(lake_dir: str, table_prefix: str) -> list[str]:
+def snapshots(lake_dir: str) -> list[dict]:
+    """The commit history, oldest first: one row per published manifest
+    with its txn id and publish timestamp — what a ``DESCRIBE HISTORY``
+    reads. History reaches back to the last `compact_manifests` (folding
+    replaces the per-txn log with one merged manifest, the same horizon
+    a checkpoint-cleaned Delta log has)."""
+    out = []
+    for mp in manifest_paths(lake_dir):
+        with open(mp) as f:
+            body = json.load(f)
+        out.append(
+            {
+                "txn_id": body["txn_id"],
+                "published_at": body.get("published_at"),
+                "tables": sorted(body.get("tables", {})),
+            }
+        )
+    return out
+
+
+def committed_files(
+    lake_dir: str, table_prefix: str, as_of: str | None = None
+) -> list[str]:
     """Absolute paths of every committed data file whose table matches
     ``table_prefix`` exactly or as a directory prefix (so
-    ``device_specs`` covers ``device_specs/<every source>``)."""
+    ``device_specs`` covers ``device_specs/<every source>``).
+
+    ``as_of``: a txn id → the snapshot as of that commit (manifests up
+    to and including it in publish order) — time travel. Raises
+    ``KeyError`` if the txn is unknown, e.g. folded away by
+    `compact_manifests`, so a stale pin fails loudly instead of
+    silently reading the full table.
+    """
+    paths = manifest_paths(lake_dir)
+    if as_of is not None:
+        cut = next(
+            (i for i, p in enumerate(paths) if p.endswith(f"-{as_of}.json")), None
+        )
+        if cut is None:
+            raise KeyError(
+                f"txn {as_of!r} not in the manifest log of {lake_dir!r} "
+                "(never published, or folded by compact_manifests)"
+            )
+        paths = paths[: cut + 1]
     out: list[str] = []
-    for mp in manifest_paths(lake_dir):
+    for mp in paths:
         with open(mp) as f:
             body = json.load(f)
         for table, names in body.get("tables", {}).items():
@@ -144,14 +184,22 @@ def committed_files(lake_dir: str, table_prefix: str) -> list[str]:
 
 
 def read_committed(
-    spark: SparkSession, lake_dir: str, table_prefix: str, schema: str | None = None
+    spark: SparkSession,
+    lake_dir: str,
+    table_prefix: str,
+    schema: str | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the files listed by committed manifests.
 
     Orphans from crashed transactions are invisible even though they sit
     in the same directories. ``schema`` supplies the empty-lake result.
+    ``as_of=<txn_id>`` reads the historical snapshot as of that commit
+    (see `committed_files`) — a reproducibility pin: a training run that
+    records its txn id re-reads byte-identical inputs later even though
+    ingestion kept appending.
     """
-    files = committed_files(lake_dir, table_prefix)
+    files = committed_files(lake_dir, table_prefix, as_of=as_of)
     if not files:
         if schema is None:
             raise FileNotFoundError(

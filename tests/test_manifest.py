@@ -202,3 +202,44 @@ def test_compaction_preserves_snapshot_and_survives_crash_mid_sweep(spark, lake)
     # and new transactions continue on top of the compacted log
     manifest.commit_tables(lake, [("t", df)], txn_id="after")
     assert manifest.read_committed(spark, lake, "t").count() == before + 4
+
+
+def test_time_travel_reads_historical_snapshot(spark, lake):
+    """as_of=<txn> re-reads the lake exactly as of that commit while the
+    live snapshot keeps growing — the reproducibility pin a training run
+    records next to its outputs."""
+    df1 = spark.range(5).select(F.col("id").cast("string").alias("url"))
+    df2 = spark.range(5, 12).select(F.col("id").cast("string").alias("url"))
+    manifest.commit_tables(lake, [("t", df1)], txn_id="txn1")
+    manifest.commit_tables(lake, [("t", df2)], txn_id="txn2")
+
+    assert manifest.read_committed(spark, lake, "t").count() == 12
+    old = manifest.read_committed(spark, lake, "t", as_of="txn1")
+    assert old.count() == 5
+    assert {r["url"] for r in old.collect()} == {str(i) for i in range(5)}
+    assert manifest.read_committed(spark, lake, "t", as_of="txn2").count() == 12
+
+    hist = manifest.snapshots(lake)
+    assert [h["txn_id"] for h in hist] == ["txn1", "txn2"]
+    assert all(h["tables"] == ["t"] for h in hist)
+
+    # an unknown pin fails loudly, never silently reads the live table
+    with pytest.raises(KeyError, match="txn9"):
+        manifest.read_committed(spark, lake, "t", as_of="txn9")
+
+
+def test_compaction_folds_history_and_stale_pins_fail(spark, lake):
+    """compact_manifests trades history for O(1) snapshot resolution:
+    the live snapshot is unchanged, but a pre-compaction pin now raises
+    (same horizon semantics as a checkpoint-cleaned Delta log)."""
+    df = spark.range(3).select(F.col("id").cast("string").alias("url"))
+    manifest.commit_tables(lake, [("t", df)], txn_id="txn1")
+    manifest.commit_tables(lake, [("t", df)], txn_id="txn2")
+    assert manifest.compact_manifests(lake) is not None
+
+    assert manifest.read_committed(spark, lake, "t").count() == 6
+    with pytest.raises(KeyError, match="txn1"):
+        manifest.committed_files(lake, "t", as_of="txn1")
+    # the merged manifest itself is a valid pin
+    merged_txn = manifest.snapshots(lake)[-1]["txn_id"]
+    assert manifest.read_committed(spark, lake, "t", as_of=merged_txn).count() == 6
