@@ -543,3 +543,200 @@ def q_semantic_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+# --- MMR diversified rerank --------------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_MU = 0.3  # redundancy weight (spelled out, NOT 1-lambda: 1-0.7 != 0.3 in IEEE754)
+MMR_CAND = 20  # shortlist depth the selector sees
+MMR_K = 5  # diversified results returned per query
+
+# guarded cosine over two array expressions (same fold order as
+# functions.vectors.cosine_similarity; zero-norm -> 0.0 like the Spark side)
+def _guarded_cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    nrm = lambda v: (
+        f"sqrt(list_reduce(list_transform(range(1, len({v}) + 1), "
+        f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), (x, y) -> x + y))"
+    )
+    return (
+        f"CASE WHEN {nrm(a)} * {nrm(b)} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({nrm(a)} * {nrm(b)}) END"
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection (the BPE-oracle technique: one CTE pair per
+    iteration — greedy argmax is not expressible as a single SQL level)."""
+    from .similarity import QUERY_MOD as VEC_QUERY_MOD
+
+    cos_qe = _guarded_cos_sql("q.qv", "e.embedding")
+    cos_ab = _guarded_cos_sql("a.embedding", "b.embedding")
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % {VEC_QUERY_MOD} = 0),
+rel AS (
+  SELECT q.query_id, e.vec_id AS cid, {cos_qe} AS rel
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk
+    FROM rel
+  ) WHERE rk <= {MMR_CAND}
+),
+sims AS (
+  SELECT ca.query_id, ca.cid AS ca, cb.cid AS cb, {cos_ab} AS sim
+  FROM cand ca JOIN cand cb ON cb.query_id = ca.query_id AND cb.cid <> ca.cid
+  JOIN embeddings a ON a.vec_id = ca.cid
+  JOIN embeddings b ON b.vec_id = cb.cid
+),
+sel1 AS (
+  SELECT query_id, cid, 1 AS rank, rel AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+selu1 AS (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, MMR_K + 1):
+        parts.append(f""",
+pen{t} AS (
+  SELECT s.query_id, s.ca AS cid, max(s.sim) AS maxsim
+  FROM sims s JOIN selu{t - 1} u ON u.query_id = s.query_id AND u.cid = s.cb
+  GROUP BY s.query_id, s.ca
+),
+sc{t} AS (
+  SELECT r.query_id, r.cid,
+         {MMR_LAMBDA} * r.rel - {MMR_MU} * p.maxsim AS score
+  FROM cand r
+  JOIN pen{t} p ON p.query_id = r.query_id AND p.cid = r.cid
+  LEFT JOIN selu{t - 1} u ON u.query_id = r.query_id AND u.cid = r.cid
+  WHERE u.cid IS NULL
+),
+sel{t} AS (
+  SELECT query_id, cid, {t} AS rank, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn
+    FROM sc{t}
+  ) WHERE rn = 1
+),
+selu{t} AS (SELECT * FROM selu{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    parts.append(f"""
+SELECT query_id, rank, cid AS neighbor_id, round(score, 6) AS mmr_score
+FROM selu{MMR_K} ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
+@register(
+    "knn_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="Maximal-marginal-relevance rerank: greedy diversified top-5 from "
+    "a cosine top-20 shortlist, score = 0.7*relevance - 0.3*max-"
+    "similarity-to-already-selected (Carbonell & Goldstein '98). The "
+    "iterative argmax runs on the driver over k-bounded frames, but "
+    "every per-iteration frame is O(queries * shortlist): the candidate "
+    "shortlist and its pairwise-similarity matrix are computed ONCE and "
+    "the loop never touches the corpus again — MMR cost is independent "
+    "of corpus size, and the shortlist generator swaps for any ANN leg "
+    "(knn_lsh_probe / knn_nsw_probe) exactly like hybrid_search_rrf's "
+    "vector leg. Oracle: one unrolled CTE pair per greedy step (greedy "
+    "argmax is inherently sequential — same technique as the BPE "
+    "oracle).",
+)
+def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import QUERY_MOD as VEC_QUERY_MOD
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    corpus = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    q = corpus.filter(F.col("vec_id") % VEC_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    guarded = F.when(F.col("qnrm") * F.col("nrm") == 0, F.lit(0.0)).otherwise(
+        dot_product("qv", "embedding") / (F.col("qnrm") * F.col("nrm"))
+    )
+    rel = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cid"), guarded.alias("rel"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
+    cand = (
+        rel.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select("query_id", "cid", "rel")
+        .localCheckpoint(eager=True)
+    )
+    # pairwise similarity matrix of each query's shortlist: O(q * n_cand²)
+    # rows TOTAL, computed once — the loop below only re-joins it
+    ce = cand.join(corpus, cand.cid == corpus.vec_id).select(
+        "query_id", "cid", "embedding", "nrm"
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    pair_cos = F.when(
+        F.col("a.nrm") * F.col("b.nrm") == 0, F.lit(0.0)
+    ).otherwise(
+        dot_product(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            pair_cos.alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel_all = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cid", F.lit(1).alias("rank"), F.col("rel").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, MMR_K + 1):
+        pen = (
+            sims.join(
+                sel_all.select("query_id", F.col("cid").alias("cb")),
+                ["query_id", "cb"],
+                "left_semi",
+            )
+            .groupBy("query_id", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            cand.join(sel_all.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+            .join(pen, ["query_id", "cid"])
+            .select(
+                "query_id",
+                "cid",
+                (F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * F.col("maxsim")).alias(
+                    "score"
+                ),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(F.desc("score"), "cid")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cid", F.lit(t).alias("rank"), "score")
+        )
+        sel_all = sel_all.union(pick).localCheckpoint(eager=True)
+    return sel_all.select(
+        "query_id",
+        "rank",
+        F.col("cid").alias("neighbor_id"),
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "rank")

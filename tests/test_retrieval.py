@@ -64,3 +64,41 @@ def test_vocab_overlap_is_valid_jaccard(spark):
         assert 0.0 < r.jaccard <= 1.0
         denom = r.n_a + r.n_b - r.n_common
         assert abs(r.jaccard - r.n_common / denom) < 1e-6
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Structural MMR properties the oracle can't express: rank-1 is the
+    relevance argmax (= brute-force top-1), picks are distinct, penalized
+    scores are non-increasing, and the diversified set actually departs
+    from the plain top-5 somewhere (the corpus plants near-dup vectors,
+    so pure-relevance top-5 contains redundancy MMR must displace)."""
+    from collections import defaultdict
+
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        MMR_K,
+        q_knn_mmr_rerank,
+    )
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        q_knn_bruteforce,
+    )
+
+    mmr = q_knn_mmr_rerank(spark, SF_SMOKE).collect()
+    by_q = defaultdict(list)
+    for r in sorted(mmr, key=lambda r: (r.query_id, r.rank)):
+        by_q[r.query_id].append(r)
+
+    bf = q_knn_bruteforce(spark, SF_SMOKE).collect()
+    top1 = {r.query_id: r.neighbor_id for r in bf if r.rk == 1}
+    top5 = defaultdict(set)
+    for r in bf:
+        if r.rk <= MMR_K:
+            top5[r.query_id].add(r.neighbor_id)
+
+    assert set(by_q) == set(top1)
+    for qid, rows in by_q.items():
+        assert [r.rank for r in rows] == list(range(1, MMR_K + 1))
+        assert len({r.neighbor_id for r in rows}) == MMR_K
+        assert rows[0].neighbor_id == top1[qid]
+        penalized = [r.mmr_score for r in rows[1:]]
+        assert penalized == sorted(penalized, reverse=True)
+    assert any({r.neighbor_id for r in rows} != top5[qid] for qid, rows in by_q.items())
