@@ -72,18 +72,43 @@ _KMV_SKETCH_SQL = f"""
 """
 
 
-def _source_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_hashes(docs: DataFrame) -> DataFrame:
     """(source, h): the distinct token-hash pairs of each source.
 
     Hash FIRST, then distinct: the dedup shuffle moves (source, int64)
     instead of (source, token-text) — the same 8-byte-key rule as the
     PPJoin candidate shuffle (dedup.py).
     """
-    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
     toks = docs.select(
         "source", F.explode(F.split(F.trim("text"), "\\s+")).alias("t")
     ).filter(F.length("t") > 0)
     return toks.select("source", rolling_hash("t").alias("h")).distinct()
+
+
+def _source_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_hashes(fan_out(load_table(spark, "documents", sf_dir), "doc_id"))
+
+
+def kmv_merge_expr(k: int = K):
+    """The lattice join: k smallest of the concatenated partial k-mins.
+    Associative, commutative, AND idempotent (a G-set-with-bound CRDT):
+    re-merging a partial you already absorbed changes nothing — which is
+    what makes streaming maintenance replay/re-delivery-proof without
+    any anti-join."""
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))), 1, k
+    )
+
+
+def kmv_kmin(hashed: DataFrame, k: int = K) -> DataFrame:
+    """(source, kmin): the sketch alone, via the two-level mergeable plan
+    (see `kmv_sketches` for the full narrative)."""
+    partial = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("source", "pid")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmin"))
+    )
+    return partial.groupBy("source").agg(kmv_merge_expr(k).alias("kmin"))
 
 
 def kmv_sketches(hashed: DataFrame, k: int = K) -> DataFrame:
@@ -101,20 +126,8 @@ def kmv_sketches(hashed: DataFrame, k: int = K) -> DataFrame:
     ``n_exact`` (the QA column) is the one aggregate that still pays the
     full distinct shuffle — at 100 TB you drop it and keep the sketch.
     """
-    partial = (
-        hashed.withColumn("pid", F.spark_partition_id())
-        .groupBy("source", "pid")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmin"))
-    )
-    merged = partial.groupBy("source").agg(
-        F.slice(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
-            1,
-            k,
-        ).alias("kmin")
-    )
     exact = hashed.groupBy("source").agg(F.countDistinct("h").alias("n_exact"))
-    return merged.join(F.broadcast(exact), "source")
+    return kmv_kmin(hashed, k).join(F.broadcast(exact), "source")
 
 
 @register(

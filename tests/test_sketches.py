@@ -62,3 +62,83 @@ def test_estimator_quality_bounds(spark):
             assert r["est_distinct"] == r["n_exact"]
         else:
             assert r["err_pct"] < 65.0, (r["source"], r["err_pct"])
+
+
+# --- streaming maintenance ---------------------------------------------------
+
+
+def test_sketch_maintenance_stream_matches_batch(spark, tmp_path):
+    """Streamed chunked arrivals + restart + wholesale re-delivery all
+    converge to the batch sketch of the full corpus: the k-min merge is
+    an idempotent lattice join, so re-delivery needs NO anti-join."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        compact_kmv_state,
+        read_kmv_state,
+        start_sketch_maintenance_stream,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text", "source")
+    docs_dir = str(tmp_path / "docs_in")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_sketch_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    second.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_sketch_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    want = _sketch_map(kmv_sketches(_source_token_hashes(spark, SF_SMOKE)))
+    got = {
+        r["source"]: tuple(r["kmin"])
+        for r in read_kmv_state(spark, sketch_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # wholesale re-delivery of the first half under new file names: the
+    # idempotent merge absorbs it with zero state change
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_sketch_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+    assert {
+        r["source"]: tuple(r["kmin"])
+        for r in read_kmv_state(spark, sketch_dir).collect()
+    } == want
+    assert len([d for d in os.listdir(sketch_dir) if d.startswith("batch=")]) >= 3
+
+    # compaction folds the partials into one partition, state unchanged
+    compact_kmv_state(spark, sketch_dir)
+    assert [d for d in os.listdir(sketch_dir) if d.startswith("batch=")] == [
+        "batch=compacted"
+    ]
+    assert {
+        r["source"]: tuple(r["kmin"])
+        for r in read_kmv_state(spark, sketch_dir).collect()
+    } == want
+
+
+def test_sketch_maintenance_replay_repairs_partial_commit(spark, tmp_path):
+    """Checkpoint replay of a batch rewrites its partition wholesale —
+    a corrupted/partial batch partition heals on re-run."""
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _maintain_batch,
+        read_kmv_state,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text", "source")
+    sketch_dir = str(tmp_path / "sketch")
+    fn = _maintain_batch(sketch_dir)
+    fn(docs, 0)
+    want = {r["source"]: tuple(r["kmin"]) for r in read_kmv_state(spark, sketch_dir).collect()}
+
+    # simulate a partial commit: clobber batch 0 with a half-size batch
+    fn(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    # replay of batch 0 repairs it
+    fn(docs, 0)
+    got = {r["source"]: tuple(r["kmin"]) for r in read_kmv_state(spark, sketch_dir).collect()}
+    assert got == want
