@@ -72,17 +72,25 @@ _KMV_SKETCH_SQL = f"""
 """
 
 
+def token_hash_pairs(docs: DataFrame) -> DataFrame:
+    """(source, h) token-hash pairs, NOT deduplicated — the map-only
+    frame the sketch path consumes (KMV doesn't need set semantics on
+    its input; duplicates cost nothing past the prefilter)."""
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), "\\s+")).alias("t")
+    ).filter(F.length("t") > 0)
+    return toks.select("source", rolling_hash("t").alias("h"))
+
+
 def token_hashes(docs: DataFrame) -> DataFrame:
-    """(source, h): the distinct token-hash pairs of each source.
+    """(source, h): the DISTINCT token-hash pairs of each source — the
+    exact legs (n_exact, pairwise exact Jaccard) need set semantics.
 
     Hash FIRST, then distinct: the dedup shuffle moves (source, int64)
     instead of (source, token-text) — the same 8-byte-key rule as the
     PPJoin candidate shuffle (dedup.py).
     """
-    toks = docs.select(
-        "source", F.explode(F.split(F.trim("text"), "\\s+")).alias("t")
-    ).filter(F.length("t") > 0)
-    return toks.select("source", rolling_hash("t").alias("h")).distinct()
+    return token_hash_pairs(docs).distinct()
 
 
 def _source_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,31 +108,56 @@ def kmv_merge_expr(k: int = K):
     )
 
 
-def kmv_kmin(hashed: DataFrame, k: int = K) -> DataFrame:
-    """(source, kmin): the sketch alone, via the two-level mergeable plan
-    (see `kmv_sketches` for the full narrative)."""
-    partial = (
-        hashed.withColumn("pid", F.spark_partition_id())
-        .groupBy("source", "pid")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmin"))
+KMV_THRESHOLD_MARGIN = 8  # prefilter keeps ~margin*k smallest per source
+
+
+def kmv_kmin(pairs: DataFrame, k: int = K) -> DataFrame:
+    """(source, kmin): the exact k smallest distinct hashes per source,
+    via an HLL-threshold prefilter so no shuffle ever carries a
+    vocabulary.
+
+    The naive plans both move O(vocab) over the network: a distinct
+    shuffles every pair, and a per-partition collect_set partial ships
+    each partition's full distinct set (the slice only applies AFTER the
+    aggregate completes). Instead:
+
+    1. ``approx_count_distinct`` per source — HLL partials are the
+       bounded mergeable aggregate, so this shuffle is O(sources).
+    2. Broadcast the per-source cutoff ``P * k * margin / est`` and
+       filter map-side: uniform hashes put the true kth-min near
+       ``k*P/n``, so survivors are ~``margin * k`` rows per source.
+       With margin 8 and HLL error ±5%, the probability the cutoff
+       undershoots the true kth-min is the Binomial(n, 8k/n) lower tail
+       at k — astronomically small (and shrinking with n); the oracle
+       gate would catch it as a value mismatch, not silent drift.
+    3. Exact k-min on the survivor set — tiny by construction.
+
+    Cost shape at 100 TB: two map-only scans of the pairs + two bounded
+    shuffles, versus one vocabulary-wide shuffle — scans parallelize
+    linearly; the shuffle is the thing that doesn't.
+    """
+    est = pairs.groupBy("source").agg(F.approx_count_distinct("h").alias("est"))
+    thr = est.select(
+        "source",
+        F.least(
+            F.lit(float(P)), F.lit(float(P) * k * KMV_THRESHOLD_MARGIN) / F.col("est")
+        ).alias("thr"),
     )
-    return partial.groupBy("source").agg(kmv_merge_expr(k).alias("kmin"))
+    survivors = pairs.join(F.broadcast(thr), "source").filter(
+        F.col("h") < F.col("thr")
+    )
+    return survivors.groupBy("source").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmin")
+    )
 
 
 def kmv_sketches(hashed: DataFrame, k: int = K) -> DataFrame:
-    """(source, kmin array, n_exact) via the two-level mergeable plan.
+    """(source, kmin array, n_exact): sketch + exact calibration column.
 
-    Level 1 groups by (source, physical partition) and keeps each
-    partial's k smallest — bounded at k values per group, independent of
-    vocabulary size. Level 2 merges the partials: k-min of a union is
-    the k-min of the concatenated partial k-mins, so the final shuffle
-    carries ``n_partitions * k`` longs per source. ANY partitioning
-    yields the same sketch (the merge is associative + commutative),
-    which is exactly the property the merge-invariance test pins and
-    the reason this runs on 1000 executors without moving a vocabulary.
-
-    ``n_exact`` (the QA column) is the one aggregate that still pays the
-    full distinct shuffle — at 100 TB you drop it and keep the sketch.
+    The sketch leg is `kmv_kmin` (HLL-threshold prefilter, bounded
+    shuffles). ``n_exact`` is the one aggregate that still pays a full
+    distinct shuffle — at 100 TB you drop it and keep the sketch; here
+    it is what lets the oracle pin the estimator arithmetic.
     """
     exact = hashed.groupBy("source").agg(F.countDistinct("h").alias("n_exact"))
     return kmv_kmin(hashed, k).join(F.broadcast(exact), "source")

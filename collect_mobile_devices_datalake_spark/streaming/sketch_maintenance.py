@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.sketches import K, kmv_merge_expr, kmv_kmin, token_hashes
+from ..operators.sketches import K, kmv_merge_expr, kmv_kmin, token_hash_pairs
 from .pipeline import _parquet_exists
 
 DOCS_SCHEMA = "doc_id bigint, text string, source string"
@@ -34,7 +34,7 @@ def _maintain_batch(sketch_dir: str, k: int = K):
     """foreachBatch body, exposed for direct testing."""
 
     def fn(batch: DataFrame, batch_id: int) -> None:
-        partial = kmv_kmin(token_hashes(batch), k)
+        partial = kmv_kmin(token_hash_pairs(batch), k)
         partial.write.mode("overwrite").parquet(
             os.path.join(sketch_dir, f"batch={batch_id}")
         )
