@@ -220,8 +220,18 @@ def ppjoin_ordered_arrays(spark: SparkSession, shingled: DataFrame) -> DataFrame
     mode = spark.conf.get("spark.graft.ppjoin.prefixOrder", "auto")
     if mode == "auto":
         thr = float(spark.conf.get("spark.graft.ppjoin.dfHeadThreshold", "0.02"))
-        n_docs = hashed.count()
-        post = hashed.select(F.explode("hv").alias("h"))
+        # The probe only picks a PLAN (any global order is exact, so the
+        # choice cannot change results — pinned by the order-equivalence
+        # test); that licenses estimating the df head on a deterministic
+        # 1-in-8 doc sample instead of the full corpus. A head shingle
+        # by definition sits in >= thr of ALL docs, so its sample df
+        # tracks thr * sample size; the full-corpus probe was ~20% of
+        # the whole query's wall time at sf0.1.
+        probe = hashed.filter(F.col("doc_id") % 8 == 0)
+        n_docs = probe.count()
+        if n_docs == 0:
+            probe, n_docs = hashed, hashed.count()
+        post = probe.select(F.explode("hv").alias("h"))
         max_df = post.groupBy("h").count().agg(F.max("count")).collect()[0][0] or 0
         mode = "df" if n_docs and max_df >= thr * n_docs else "hash"
     if mode == "hash":
