@@ -249,3 +249,228 @@ def q_bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("word") / F.col("n_bpe_tokens").cast("double"), 6
         ).alias("chars_per_token"),
     )
+
+
+# --- unigram-LM segmentation -------------------------------------------------
+
+UNI_MAXW = 8  # words longer than this are excluded from the report
+UNI_SEG_MAX = 4  # candidate segment length cap
+UNI_TOP_V = 128  # multi-char vocab cut (all single chars always kept)
+
+_UNI_WT_SQL = f"""
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+  WHERE len(w) BETWEEN 1 AND {UNI_MAXW}
+  GROUP BY w
+"""
+
+_UNI_VOCAB_SQL = f"""
+  subs AS (
+    SELECT substring(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS sub,
+           CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM wt,
+         UNNEST(range(1, len(word) + 1)) s(i),
+         UNNEST(range(1, {UNI_SEG_MAX + 1})) t(l)
+    WHERE i + l <= len(word) + 1
+    GROUP BY sub
+  ),
+  vocab AS (
+    SELECT sub, cnt FROM subs WHERE len(sub) = 1
+    UNION ALL
+    SELECT sub, cnt FROM (
+      SELECT sub, cnt,
+             row_number() OVER (ORDER BY cnt DESC, sub ASC) AS rk
+      FROM subs WHERE len(sub) > 1
+    ) WHERE rk <= {UNI_TOP_V}
+  ),
+  tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS nv FROM vocab),
+  vc AS (
+    SELECT sub, cnt,
+           CAST(length(to_base((tot + nv) // (cnt + 1), 2)) - 1 AS BIGINT) AS cost
+    FROM vocab CROSS JOIN tot
+  )
+"""
+
+
+def _unigram_oracle() -> str:
+    """Unrolled Viterbi over word positions (the BPE-oracle technique:
+    greedy/DP sequentiality → one CTE pair per step)."""
+    ctes = [
+        f"wt AS ({_UNI_WT_SQL})",
+        _UNI_VOCAB_SQL.strip().lstrip(),  # subs/vocab/tot/vc
+        "b0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS bits, "
+        "CAST(0 AS BIGINT) AS nseg, '' AS path FROM wt)",
+    ]
+    for j in range(1, UNI_MAXW + 1):
+        legs = []
+        for l in range(1, min(UNI_SEG_MAX, j) + 1):
+            legs.append(f"""
+      SELECT b.word, b.freq, b.bits + v.cost AS bits, b.nseg + 1 AS nseg,
+             CASE WHEN b.path = '' THEN v.sub
+                  ELSE b.path || ' ' || v.sub END AS path
+      FROM b{j - l} b
+      JOIN vc v ON v.sub = substring(b.word, {j - l + 1}, {l})
+      WHERE len(b.word) >= {j}""")
+        union = "\n      UNION ALL".join(legs)
+        ctes.append(f"""cand{j} AS ({union}
+    )""")
+        ctes.append(f"""b{j} AS (
+      SELECT word, freq, bits, nseg, path FROM (
+        SELECT *, row_number() OVER (PARTITION BY word
+                                     ORDER BY bits, nseg, path) AS rn
+        FROM cand{j}
+      ) WHERE rn = 1
+    )""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT word, freq, CAST(len(word) AS BIGINT) AS n_chars, nseg AS n_segments, "
+        f"bits AS total_bits, path AS segmentation FROM b{j} WHERE len(word) = {j}"
+        for j in range(1, UNI_MAXW + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+def _unigram_vocab_frames(spark: SparkSession, sf_dir: str):
+    """(wt, vc): the length-capped word-type table and the costed vocab.
+
+    The vocab is every substring of length 1..SEG_MAX of the word types,
+    occurrence-weighted by corpus frequency; multi-char entries are cut
+    to the top ``UNI_TOP_V`` by weight (deterministic tiebreak) while
+    every single character survives so any word stays segmentable. The
+    segment cost is the add-one-smoothed improbability in WHOLE BITS —
+    ``flog2((TOT + |V|) div (cnt + 1))``, bit-length arithmetic with no
+    libm anywhere — which is what makes a value-level cross-engine
+    oracle for a Viterbi DP possible at all (float log-prob sums would
+    diverge in the last ulp and flip argmins).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    wt = (
+        _word_types(docs)
+        .filter(F.length("word") <= UNI_MAXW)
+        .localCheckpoint(eager=True)
+    )
+    subs = (
+        wt.select("word", "freq", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"))
+        .select("word", "freq", "i", F.explode(F.sequence(F.lit(1), F.lit(UNI_SEG_MAX))).alias("l"))
+        .filter(F.col("i") + F.col("l") <= F.length("word") + 1)
+        .select(F.col("word").substr(F.col("i"), F.col("l")).alias("sub"), "freq")
+        .groupBy("sub")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    chars = subs.filter(F.length("sub") == 1)
+    wm = Window.orderBy(F.desc("cnt"), F.asc("sub"))
+    multi = (
+        subs.filter(F.length("sub") > 1)
+        .withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= UNI_TOP_V)
+        .drop("rk")
+    )
+    vocab = chars.unionByName(multi)
+    tot = vocab.agg(
+        F.sum("cnt").cast("long").alias("tot"), F.count("*").cast("long").alias("nv")
+    )
+    vc = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "sub",
+            "cnt",
+            (F.length(F.bin(F.expr("(tot + nv) div (cnt + 1)"))) - 1)
+            .cast("long")
+            .alias("cost"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return wt, vc
+
+
+@register(
+    "unigram_lm_vocab",
+    oracle=f"""
+    WITH wt AS ({_UNI_WT_SQL}),
+    {_UNI_VOCAB_SQL.strip().lstrip()}
+    SELECT sub, cnt, cost FROM vc ORDER BY sub
+    """,
+    doc="The unigram-LM candidate vocabulary: every substring (length "
+    f"1..{UNI_SEG_MAX}) of the word-type table, occurrence-weighted by "
+    "corpus frequency, multi-char entries cut to the top "
+    f"{UNI_TOP_V} by weight, plus its integer-bits segment cost "
+    "(add-one-smoothed improbability via bit-length arithmetic — no "
+    "libm). Vocabulary-sized at any corpus scale: one hash aggregation "
+    "over the Zipf-bounded type table, the same shape as the BPE "
+    "pair-count step.",
+)
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, vc = _unigram_vocab_frames(spark, sf_dir)
+    return vc.orderBy("sub")
+
+
+@register(
+    "unigram_lm_segmentation",
+    oracle=_unigram_oracle(),
+    doc="Unigram-LM (SentencePiece-style, Kudo 2018) Viterbi "
+    "segmentation of every word type under the substring vocabulary — "
+    "the tokenizer family's second induction algorithm next to BPE. "
+    "Min-cost split where cost is integer improbability bits; exact DP "
+    "(not greedy), ties broken by (bits, segment count, lexicographic "
+    f"path). The DP unrolls over positions 1..{UNI_MAXW} as a driver "
+    "loop on the vocabulary-sized type table (scoped shuffle width, "
+    "same as the BPE loop); words longer than the cap are excluded and "
+    "the cap is the documented knob. Integer costs are what make the "
+    "unrolled DuckDB DP bit-identical — float log-probs would flip "
+    "argmins in the last ulp. At 100 TB the DP cost is O(types * "
+    "maxlen * seg_max) — corpus-size-independent, like every op on the "
+    "type table.",
+)
+def q_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wt, vc = _unigram_vocab_frames(spark, sf_dir)
+    b = {
+        0: wt.select(
+            "word",
+            "freq",
+            F.lit(0).cast("long").alias("bits"),
+            F.lit(0).cast("long").alias("nseg"),
+            F.lit("").alias("path"),
+        )
+    }
+    finals = []
+    with scoped_shuffle_width(spark, wt.count()):
+        for j in range(1, UNI_MAXW + 1):
+            legs = []
+            for l in range(1, min(UNI_SEG_MAX, j) + 1):
+                prev = b[j - l]
+                legs.append(
+                    prev.filter(F.length("word") >= j)
+                    .withColumn("sub", F.col("word").substr(F.lit(j - l + 1), F.lit(l)))
+                    .join(vc.select("sub", "cost"), "sub")
+                    .select(
+                        "word",
+                        "freq",
+                        (F.col("bits") + F.col("cost")).alias("bits"),
+                        (F.col("nseg") + 1).alias("nseg"),
+                        F.when(F.col("path") == "", F.col("sub"))
+                        .otherwise(F.concat("path", F.lit(" "), "sub"))
+                        .alias("path"),
+                    )
+                )
+            cand = legs[0]
+            for leg in legs[1:]:
+                cand = cand.unionByName(leg)
+            wv = Window.partitionBy("word").orderBy("bits", "nseg", "path")
+            b[j] = (
+                cand.withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .localCheckpoint(eager=True)
+            )
+            finals.append(b[j].filter(F.length("word") == j))
+    out = finals[0]
+    for f_ in finals[1:]:
+        out = out.unionByName(f_)
+    return out.select(
+        "word",
+        "freq",
+        F.length("word").cast("long").alias("n_chars"),
+        F.col("nseg").alias("n_segments"),
+        F.col("bits").alias("total_bits"),
+        F.col("path").alias("segmentation"),
+    ).orderBy("word")

@@ -105,3 +105,39 @@ def test_one_merge_matches_reference_python_on_random_words(spark):
     for r in nxt.orderBy("word", "pos").collect():
         got.setdefault(r.word, []).append(r.sym)
     assert got == expected
+
+
+def test_unigram_lm_dp_is_optimal_vs_bruteforce(spark):
+    """Independent check of the Viterbi DP: exhaustively enumerate every
+    segmentation of every word (<= 2^(len-1) splits, len <= 8) in Python
+    and verify the DP found the minimum (bits, n_segments, path) — a
+    different algorithm than both the Spark DP and the unrolled SQL DP."""
+    from itertools import combinations
+
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+        UNI_SEG_MAX,
+        _unigram_vocab_frames,
+        q_unigram_lm_segmentation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _, vc = _unigram_vocab_frames(spark, sf)
+    cost = {r["sub"]: r["cost"] for r in vc.collect()}
+
+    def best(word):
+        n = len(word)
+        cands = []
+        for k in range(n):  # choose split points among n-1 gaps
+            for cuts in combinations(range(1, n), k):
+                bounds = [0, *cuts, n]
+                segs = [word[a:b] for a, b in zip(bounds, bounds[1:])]
+                if any(len(s) > UNI_SEG_MAX or s not in cost for s in segs):
+                    continue
+                cands.append((sum(cost[s] for s in segs), len(segs), " ".join(segs)))
+        return min(cands)
+
+    rows = q_unigram_lm_segmentation(spark, sf).collect()
+    assert rows
+    for r in rows:
+        b, ns, path = best(r["word"])
+        assert (r["total_bits"], r["n_segments"], r["segmentation"]) == (b, ns, path), r["word"]
