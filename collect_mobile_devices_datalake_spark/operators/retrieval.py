@@ -740,3 +740,82 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("neighbor_id"),
         F.round("score", 6).alias("mmr_score"),
     ).orderBy("query_id", "rank")
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+HN_TOPK = 5  # hard negatives surfaced per anchor
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+             {_guarded_cos_sql("q.qv", "e.embedding")} AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    )
+    SELECT query_id, qlabel AS anchor_label, neighbor_id,
+           label AS negative_label, round(cos, 6) AS cosine, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {HN_TOPK}
+    """,
+    doc="Hard-negative mining for contrastive embedding training: per "
+    f"anchor, the top-{HN_TOPK} most-similar vectors with a DIFFERENT "
+    "label — the negatives that sit closest to the decision boundary "
+    "and carry the training signal (random negatives are trivially "
+    "easy). Same scoring shape as knn_bruteforce with the label "
+    "inequality pushed into the join predicate (filtered before the "
+    "top-k window, not after — at scale the per-anchor candidate heap "
+    "never fills with same-label rows). The exact scorer is the "
+    "evaluation baseline; at 100 TB the candidate generator swaps for "
+    "any ANN leg, as in hybrid_search_rrf/knn_mmr_rerank.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import QUERY_MOD as VEC_QUERY_MOD
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    corpus = emb.select("vec_id", "label", "embedding", l2_norm("embedding").alias("nrm"))
+    q = corpus.filter(F.col("vec_id") % VEC_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    guarded = F.when(F.col("qnrm") * F.col("nrm") == 0, F.lit(0.0)).otherwise(
+        dot_product("qv", "embedding") / (F.col("qnrm") * F.col("nrm"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            guarded.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HN_TOPK)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("anchor_label"),
+            "neighbor_id",
+            F.col("label").alias("negative_label"),
+            F.round("cos", 6).alias("cosine"),
+            "rk",
+        )
+    )

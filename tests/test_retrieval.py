@@ -102,3 +102,34 @@ def test_mmr_rerank_diversifies(spark):
         penalized = [r.mmr_score for r in rows[1:]]
         assert penalized == sorted(penalized, reverse=True)
     assert any({r.neighbor_id for r in rows} != top5[qid] for qid, rows in by_q.items())
+
+
+def test_hard_negatives_are_cross_label_and_harder_than_random(spark):
+    """Every mined negative has a different label than its anchor, and
+    the mined set's mean cosine strictly exceeds the all-cross-label
+    mean (the 'hard' in hard negatives)."""
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        HN_TOPK,
+        q_hard_negative_mining,
+    )
+
+    rows = q_hard_negative_mining(spark, SF_SMOKE).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.anchor_label != r.negative_label
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == HN_TOPK for v in per_q.values())
+
+    from collect_mobile_devices_datalake_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("label").alias("ql"),
+                   F.col("embedding").alias("qv")).filter(F.col("qid") % 25 == 0)
+    pairs = a.join(emb, (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("ql")))
+    mean_all = pairs.select(F.avg(cosine_similarity("qv", "embedding"))).first()[0]
+    mean_mined = sum(r.cosine for r in rows) / len(rows)
+    assert mean_mined > mean_all
