@@ -393,3 +393,28 @@ def test_join_ivm_broadcasts_the_dimension(spark):
     plan = formatted_plan(q)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_kmv_build_has_bounded_shuffles(spark):
+    """The KMV sketch build must never shuffle a vocabulary: the only
+    aggregation exchanges are the HLL estimate (mergeable partials —
+    partial_approx_count_distinct before its exchange) and the k-min of
+    the prefiltered survivors; the per-source cutoff reaches the pairs
+    via a broadcast join, never a shuffle join."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        kmv_kmin,
+        token_hash_pairs,
+    )
+    from collect_mobile_devices_datalake_spark.session import fan_out
+
+    q = kmv_kmin(
+        token_hash_pairs(fan_out(load_table(spark, "documents", SF), "doc_id"))
+    )
+    flags = plan_has(
+        q, "partial_approx_count_distinct", "BroadcastHashJoin", "SortMergeJoin"
+    )
+    assert flags["partial_approx_count_distinct"], formatted_plan(q)
+    assert flags["BroadcastHashJoin"], formatted_plan(q)
+    assert not flags["SortMergeJoin"], formatted_plan(q)
+    # 2 fan_out repartitions (test-SF scan widening) + HLL agg + k-min agg
+    assert count_exchanges(q) <= 4, formatted_plan(q)
