@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 from ..functions.text import tokens, word_ngrams
 from ..functions.vectors import dot_product, l2_norm
 from ..registry import register
-from ..session import fan_out, load_table
+from ..session import fan_out, load_table, scoped_shuffle_width
 
 # The composed-oracle helpers below (_knn_class_oracle,
 # _semantic_cluster_oracle) read REGISTRY["knn_bruteforce"] /
@@ -818,4 +818,114 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
             "rk",
         )
+    )
+
+
+# --- k-center coreset --------------------------------------------------------
+
+KCENTER_K = 8  # coreset size
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center (Gonzalez 1985): one CTE pair per round."""
+    dist = f"1.0 - ({_guarded_cos_sql('a.embedding', 'b.embedding')})"
+    parts = [
+        f"""
+WITH sel1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS radius
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+selu1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, KCENTER_K + 1):
+        parts.append(f""",
+mind{t} AS MATERIALIZED (
+  SELECT a.vec_id, min({dist}) AS mind
+  FROM embeddings a
+  JOIN selu{t - 1} s ON a.vec_id <> s.vec_id
+  JOIN embeddings b ON b.vec_id = s.vec_id
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM selu{t - 1})
+  GROUP BY a.vec_id
+),
+sel{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS rank, vec_id, mind AS radius
+  FROM mind{t} ORDER BY mind DESC, vec_id ASC LIMIT 1
+),
+selu{t} AS MATERIALIZED (SELECT * FROM selu{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    parts.append(f"""
+SELECT rank, vec_id, round(radius, 6) AS radius
+FROM selu{KCENTER_K} ORDER BY rank""")
+    return "".join(parts)
+
+
+@register(
+    "kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    doc=f"Greedy k-center coreset (Gonzalez 1985, 2-approximation): "
+    f"{KCENTER_K} maximally-diverse embeddings under cosine distance — "
+    "the diversity-sampling selector for labeling budgets and eval-set "
+    "construction, complementing per-query MMR with a GLOBAL selection. "
+    "Each round is one map-only pass (distance to ≤ k broadcast "
+    "centers) + a 1-row argmax kept as a broadcast DataFrame, so the "
+    "cost at 100 TB is k scans with no shuffle wider than the argmax — "
+    "the radius column is the classic non-increasing covering-radius "
+    "curve (each selected point's distance to its nearest prior "
+    "center). Oracle: unrolled greedy rounds (the BPE/MMR technique).",
+)
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    corpus = emb.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    ).localCheckpoint(eager=True)
+    first = (
+        corpus.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            F.lit(0.0).alias("radius"),
+            "embedding",
+            "nrm",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = first
+    dist = 1.0 - F.when(F.col("nrm") * F.col("cnrm") == 0, F.lit(0.0)).otherwise(
+        dot_product("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
+    )
+    # k-bounded rounds over a corpus-wide frame; the per-round shuffles
+    # (min-dist groupBy + 1-row argmax) are working-set-sized
+    with scoped_shuffle_width(spark, corpus.count()):
+        for t in range(2, KCENTER_K + 1):
+            centers = sel.select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"),
+                F.col("nrm").alias("cnrm"),
+            )
+            mind = (
+                corpus.join(
+                    sel.select(F.col("vec_id").alias("cid")),
+                    corpus.vec_id == F.col("cid"),
+                    "left_anti",
+                )
+                .crossJoin(F.broadcast(centers))
+                .groupBy("vec_id")
+                .agg(F.min(dist).alias("mind"))
+            )
+            pick = (
+                mind.orderBy(F.desc("mind"), F.asc("vec_id"))
+                .limit(1)
+                .join(corpus, "vec_id")
+                .select(
+                    F.lit(t).cast("long").alias("rank"),
+                    "vec_id",
+                    F.col("mind").alias("radius"),
+                    "embedding",
+                    "nrm",
+                )
+                .localCheckpoint(eager=True)
+            )
+            sel = sel.unionByName(pick)
+    return sel.select("rank", "vec_id", F.round("radius", 6).alias("radius")).orderBy(
+        "rank"
     )

@@ -133,3 +133,39 @@ def test_hard_negatives_are_cross_label_and_harder_than_random(spark):
     mean_all = pairs.select(F.avg(cosine_similarity("qv", "embedding"))).first()[0]
     mean_mined = sum(r.cosine for r in rows) / len(rows)
     assert mean_mined > mean_all
+
+
+def test_kcenter_radius_curve_and_diversity(spark):
+    """Gonzalez invariants: covering radii are non-increasing from round
+    2 on, centers are distinct, and each selected center is at least its
+    recorded radius away from every EARLIER center (it was the farthest
+    point when picked)."""
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        KCENTER_K,
+        q_kcenter_coreset,
+    )
+    from collect_mobile_devices_datalake_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    rows = sorted(q_kcenter_coreset(spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, KCENTER_K + 1))
+    assert len({r.vec_id for r in rows}) == KCENTER_K
+    radii = [r.radius for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert radii[-1] > 0
+
+    emb = {r["vec_id"]: r["embedding"] for r in load_table(spark, "embeddings", SF_SMOKE)
+           .filter(F.col("vec_id").isin([r.vec_id for r in rows])).collect()}
+
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return 0.0 if den == 0 else num / den
+
+    for i, r in enumerate(rows[1:], start=1):
+        d_near = min(1.0 - cos(emb[r.vec_id], emb[p.vec_id]) for p in rows[:i])
+        assert d_near >= r.radius - 1e-6
