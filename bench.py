@@ -42,6 +42,12 @@ HEADLINE = [
     "bpe_learn_merges",
     "decontam_bloom_report",
     "hybrid_search_rrf",
+    # late-r7 iterative families (self-baselines in BASELINE.md §C):
+    # the unigram-LM Viterbi DP and the greedy k-center loop are the
+    # two newest driver-loop algorithms — the shape most sensitive to
+    # per-job overhead regressions.
+    "unigram_lm_segmentation",
+    "kcenter_coreset",
 ]
 
 

@@ -48,6 +48,12 @@ KERNELS = [
     ("dup_substring_spans", "documents"),
     ("winnowing_overlap_pairs", "documents"),
     ("nsw_graph_edges", "embeddings"),
+    # linear-claim kernels added late in round 7: the KMV build (two
+    # bounded shuffles), the unigram-LM Viterbi DP (type-table-sized),
+    # and greedy k-center (k map-only passes) must all hold slope ~1
+    ("kmv_vocab_distinct", "documents"),
+    ("unigram_lm_segmentation", "documents"),
+    ("kcenter_coreset", "embeddings"),
 ]
 
 
@@ -100,6 +106,7 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "1,3,10").split(",")]
     out_path = sys.argv[3] if len(sys.argv) > 3 else "docs/SCALE_SLOPES.json"
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     from collect_mobile_devices_datalake_spark import registry
     from collect_mobile_devices_datalake_spark.session import get_spark
@@ -122,7 +129,14 @@ def main() -> None:
             print(f"built m={m}: {nd} docs, {ne} vectors", flush=True)
 
         report: dict[str, dict] = {"src": src, "mults": mults, "kernels": {}}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("src") == src and prior.get("mults") == mults:
+                report["kernels"].update(prior.get("kernels", {}))
         for key, _tables in KERNELS:
+            if only is not None and key not in only:
+                continue
             q = registry.REGISTRY[key]
             times: list[float] = []
             rows: list[int] = []
