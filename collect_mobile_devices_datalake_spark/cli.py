@@ -12,6 +12,15 @@
   scheduler, so ``parallel`` only widens shuffle partitions — there is
   no chunk-of-5 loop to port.
 - ``status`` — per-source progress (the reference's console counters).
+
+Lake-maintenance modes (source-independent; pass any source or ``all``):
+
+- ``history`` — the manifest commit log (txn id, timestamp, tables),
+  i.e. the time-travel pins `read_committed(as_of=...)` accepts.
+- ``vacuum``  — reclaim data files no committed manifest references
+  (debris of crashed transactions).
+- ``compact`` — fold the manifest log into one snapshot manifest
+  (O(1) snapshot resolution; trades away pre-compaction history).
 """
 
 from __future__ import annotations
@@ -25,10 +34,27 @@ from pyspark.sql import functions as F
 SOURCES = ["gsmarena", "geekbench", "productz", "versus", "phonearena"]
 
 
+def _lake_tables(lake_dir: str) -> list[str]:
+    """Data-table directories of a manifest lake (relative paths), i.e.
+    every directory that can hold committed part files — one walk, no
+    Spark session needed."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(lake_dir):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(root, lake_dir)
+            if rel != ".":
+                out.append(rel)
+    return sorted(out)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="collect-mobile-devices-datalake-spark")
     ap.add_argument("source", choices=SOURCES + ["all"])
-    ap.add_argument("mode", choices=["init", "crawl", "status"])
+    ap.add_argument(
+        "mode",
+        choices=["init", "crawl", "status", "history", "vacuum", "compact"],
+    )
     ap.add_argument("parallel", nargs="?", default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     ap.add_argument("--lake-dir", default=os.environ.get("SPARK_GRAFT_LAKE", "/tmp/cmd_lake"))
@@ -37,6 +63,27 @@ def main(argv: list[str] | None = None) -> int:
     from .ingest.pipeline import device_specs_view, ingest_source
     from .session import get_spark, load_table
     from .sources.fixtures import spec_pages
+
+    if args.mode in ("history", "vacuum", "compact"):
+        from .ingest import manifest
+
+        if args.mode == "history":
+            rows = manifest.snapshots(args.lake_dir)
+            for s in rows:
+                print(f"{s['txn_id']}  {s['published_at']}  {','.join(s['tables'])}")
+            print(f"{len(rows)} committed transaction(s)")
+        elif args.mode == "vacuum":
+            total = 0
+            for table in _lake_tables(args.lake_dir):
+                orphans = manifest.vacuum_orphans(args.lake_dir, table, remove=True)
+                if orphans:
+                    print(f"{table}: reclaimed {len(orphans)} orphan file(s)")
+                total += len(orphans)
+            print(f"vacuum reclaimed {total} file(s)")
+        else:
+            merged = manifest.compact_manifests(args.lake_dir)
+            print(f"compacted -> {merged}" if merged else "nothing to compact")
+        return 0
 
     shuffle = 64 if args.parallel == "parallel" else 32
     spark = get_spark("cli", shuffle_partitions=shuffle)

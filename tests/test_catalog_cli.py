@@ -60,3 +60,48 @@ def test_cli_init_crawl_status(spark, capsys):
         assert "productz: 200 records in lake" in out
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+def test_cli_lake_maintenance_modes(spark):
+    """history / vacuum / compact CLI modes drive the manifest protocol
+    end to end: crawl commits, history lists the txns, an injected
+    orphan is reclaimed, compaction folds the log with state intact."""
+    import io
+    import os
+    import tempfile, shutil
+    from contextlib import redirect_stdout
+
+    from collect_mobile_devices_datalake_spark.cli import main
+    from collect_mobile_devices_datalake_spark.ingest import manifest
+
+    lake = tempfile.mkdtemp(prefix="cli_lake_")
+    try:
+        assert main(["gsmarena", "crawl", "--sf-dir", SF, "--lake-dir", lake]) == 0
+        assert main(["geekbench", "crawl", "--sf-dir", SF, "--lake-dir", lake]) == 0
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["all", "history", "--lake-dir", lake]) == 0
+        hist = buf.getvalue()
+        assert "device_specs/gsmarena" in hist
+        n_txn = int(hist.strip().splitlines()[-1].split()[0])
+        assert n_txn >= 2
+
+        # plant an orphan (a crashed txn's staged file)
+        orphan = os.path.join(lake, "device_specs", "gsmarena", "part-dead-00000.parquet")
+        open(orphan, "wb").write(b"not a real parquet")
+        before = manifest.read_committed(spark, lake, "device_specs").count()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["all", "vacuum", "--lake-dir", lake]) == 0
+        assert "reclaimed" in buf.getvalue()
+        assert not os.path.exists(orphan)
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["all", "compact", "--lake-dir", lake]) == 0
+        assert "compacted" in buf.getvalue()
+        assert len(manifest.manifest_paths(lake)) == 1
+        assert manifest.read_committed(spark, lake, "device_specs").count() == before
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
