@@ -706,34 +706,40 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cid", F.lit(1).alias("rank"), F.col("rel").alias("score"))
         .localCheckpoint(eager=True)
     )
-    for t in range(2, MMR_K + 1):
-        pen = (
-            sims.join(
-                sel_all.select("query_id", F.col("cid").alias("cb")),
-                ["query_id", "cb"],
-                "left_semi",
+    # selection loop frames are O(queries * shortlist) — scoped width,
+    # same as the BPE/k-center loops
+    with scoped_shuffle_width(spark, MMR_CAND * MMR_CAND * 32):
+        for t in range(2, MMR_K + 1):
+            pen = (
+                sims.join(
+                    sel_all.select("query_id", F.col("cid").alias("cb")),
+                    ["query_id", "cb"],
+                    "left_semi",
+                )
+                .groupBy("query_id", F.col("ca").alias("cid"))
+                .agg(F.max("sim").alias("maxsim"))
             )
-            .groupBy("query_id", F.col("ca").alias("cid"))
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        scored = (
-            cand.join(sel_all.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
-            .join(pen, ["query_id", "cid"])
-            .select(
-                "query_id",
-                "cid",
-                (F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * F.col("maxsim")).alias(
-                    "score"
-                ),
+            scored = (
+                cand.join(
+                    sel_all.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+                )
+                .join(pen, ["query_id", "cid"])
+                .select(
+                    "query_id",
+                    "cid",
+                    (
+                        F.lit(MMR_LAMBDA) * F.col("rel")
+                        - F.lit(MMR_MU) * F.col("maxsim")
+                    ).alias("score"),
+                )
             )
-        )
-        ws = Window.partitionBy("query_id").orderBy(F.desc("score"), "cid")
-        pick = (
-            scored.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "cid", F.lit(t).alias("rank"), "score")
-        )
-        sel_all = sel_all.union(pick).localCheckpoint(eager=True)
+            ws = Window.partitionBy("query_id").orderBy(F.desc("score"), "cid")
+            pick = (
+                scored.withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") == 1)
+                .select("query_id", "cid", F.lit(t).alias("rank"), "score")
+            )
+            sel_all = sel_all.union(pick).localCheckpoint(eager=True)
     return sel_all.select(
         "query_id",
         "rank",
