@@ -1849,3 +1849,97 @@ def q_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SELF_JOIN_K)
         .select("src", "dst", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+def _pq_purity_oracle() -> str:
+    from ..registry import REGISTRY
+
+    pq = REGISTRY["embedding_pq_codes"].oracle
+    return f"""
+    WITH pq AS (
+      SELECT vec_id,
+             array_to_string((string_split(codes, ' '))[1:{SEMDEDUP_PREFIX}], ' ') AS key
+      FROM ({pq})
+    ),
+    labeled AS (
+      SELECT pq.key, e.label FROM pq JOIN embeddings e ON e.vec_id = pq.vec_id
+    ),
+    per_label AS (
+      SELECT key, label, COUNT(*) AS n_label FROM labeled GROUP BY key, label
+    ),
+    sized AS (
+      SELECT key, CAST(SUM(n_label) AS BIGINT) AS n_members FROM per_label GROUP BY key
+    )
+    SELECT s.key AS code_word, s.n_members,
+           p.label AS majority_label,
+           CAST(p.n_label AS BIGINT) AS n_majority,
+           round(p.n_label / CAST(s.n_members AS DOUBLE), 6) AS purity
+    FROM sized s
+    JOIN (
+      SELECT *, row_number() OVER (PARTITION BY key
+                                   ORDER BY n_label DESC, label ASC) AS rk
+      FROM per_label
+    ) p ON p.key = s.key AND p.rk = 1
+    WHERE s.n_members >= 2
+    """
+
+
+@register(
+    "pq_bucket_purity",
+    oracle=_pq_purity_oracle(),
+    doc="Label purity of the SemDeDup PQ-prefix buckets: for every "
+    "collision bucket (>= 2 members), its size, majority label, and "
+    "purity — the calibration report that says whether the cheap "
+    "code-prefix grouping actually tracks semantics before it is "
+    "trusted as a dedup prefilter (sketch-QA, like "
+    "minhash_estimate_quality for MinHash). Composes the persisted "
+    "PQ-code pipeline and its oracle verbatim; the aggregation shuffles "
+    "only (code-word, label) pairs.",
+)
+def q_pq_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training import PQ_SUBSPACES, pq_encode
+
+    emb_for_codes = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    codes = _persisted_index(
+        spark, "pq", sf_dir, f"s{PQ_SUBSPACES}",
+        lambda: pq_encode(emb_for_codes).select("vec_id", "s", "code"),
+    )
+    pq = (
+        codes.filter(F.col("s") < SEMDEDUP_PREFIX)
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x.getField("code").cast("string"),
+                ),
+                " ",
+            ).alias("key")
+        )
+    )
+    labels = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id").select(
+        "vec_id", "label"
+    )
+    per_label = (
+        pq.join(labels, "vec_id")
+        .groupBy("key", "label")
+        .agg(F.count("*").alias("n_label"))
+    )
+    sized = per_label.groupBy("key").agg(
+        F.sum("n_label").cast("long").alias("n_members")
+    )
+    wk = Window.partitionBy("key").orderBy(F.desc("n_label"), F.asc("label"))
+    top = per_label.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") == 1)
+    return (
+        sized.filter(F.col("n_members") >= 2)
+        .join(top, "key")
+        .select(
+            F.col("key").alias("code_word"),
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("n_label").cast("long").alias("n_majority"),
+            F.round(F.col("n_label") / F.col("n_members").cast("double"), 6).alias(
+                "purity"
+            ),
+        )
+    )
