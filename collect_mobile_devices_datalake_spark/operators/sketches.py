@@ -58,18 +58,24 @@ _SOURCE_HASHES_SQL = f"""
   ) WHERE length(t) > 0
 """
 
-# per-source ordered k-min list + exact distinct count
-_KMV_SKETCH_SQL = f"""
-  SELECT source,
+def kmv_sketch_sql(pairs_sql: str, key: str) -> str:
+    """DuckDB fragment: per-``key`` ordered k-min list + exact distinct
+    count over a (key, h) pairs relation."""
+    return f"""
+  SELECT {key},
          list_sort(list(h ORDER BY h) FILTER (rk <= {K})) AS kmin,
          max(n_exact) AS n_exact
   FROM (
-    SELECT source, h,
-           row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
-           COUNT(*) OVER (PARTITION BY source) AS n_exact
-    FROM ({_SOURCE_HASHES_SQL})
-  ) GROUP BY source
+    SELECT {key}, h,
+           row_number() OVER (PARTITION BY {key} ORDER BY h) AS rk,
+           COUNT(*) OVER (PARTITION BY {key}) AS n_exact
+    FROM ({pairs_sql})
+  ) GROUP BY {key}
 """
+
+
+# per-source ordered k-min list + exact distinct count
+_KMV_SKETCH_SQL = kmv_sketch_sql(_SOURCE_HASHES_SQL, "source")
 
 
 def token_hash_pairs(docs: DataFrame) -> DataFrame:
@@ -111,8 +117,8 @@ def kmv_merge_expr(k: int = K):
 KMV_THRESHOLD_MARGIN = 8  # prefilter keeps ~margin*k smallest per source
 
 
-def kmv_kmin(pairs: DataFrame, k: int = K) -> DataFrame:
-    """(source, kmin): the exact k smallest distinct hashes per source,
+def kmv_kmin(pairs: DataFrame, k: int = K, key: str = "source") -> DataFrame:
+    """(key, kmin): the exact k smallest distinct hashes per group,
     via an HLL-threshold prefilter so no shuffle ever carries a
     vocabulary.
 
@@ -136,31 +142,31 @@ def kmv_kmin(pairs: DataFrame, k: int = K) -> DataFrame:
     shuffles, versus one vocabulary-wide shuffle — scans parallelize
     linearly; the shuffle is the thing that doesn't.
     """
-    est = pairs.groupBy("source").agg(F.approx_count_distinct("h").alias("est"))
+    est = pairs.groupBy(key).agg(F.approx_count_distinct("h").alias("est"))
     thr = est.select(
-        "source",
+        key,
         F.least(
             F.lit(float(P)), F.lit(float(P) * k * KMV_THRESHOLD_MARGIN) / F.col("est")
         ).alias("thr"),
     )
-    survivors = pairs.join(F.broadcast(thr), "source").filter(
+    survivors = pairs.join(F.broadcast(thr), key).filter(
         F.col("h") < F.col("thr")
     )
-    return survivors.groupBy("source").agg(
+    return survivors.groupBy(key).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmin")
     )
 
 
-def kmv_sketches(hashed: DataFrame, k: int = K) -> DataFrame:
-    """(source, kmin array, n_exact): sketch + exact calibration column.
+def kmv_sketches(hashed: DataFrame, k: int = K, key: str = "source") -> DataFrame:
+    """(key, kmin array, n_exact): sketch + exact calibration column.
 
     The sketch leg is `kmv_kmin` (HLL-threshold prefilter, bounded
     shuffles). ``n_exact`` is the one aggregate that still pays a full
     distinct shuffle — at 100 TB you drop it and keep the sketch; here
     it is what lets the oracle pin the estimator arithmetic.
     """
-    exact = hashed.groupBy("source").agg(F.countDistinct("h").alias("n_exact"))
-    return kmv_kmin(hashed, k).join(F.broadcast(exact), "source")
+    exact = hashed.groupBy(key).agg(F.countDistinct("h").alias("n_exact"))
+    return kmv_kmin(hashed, k, key).join(F.broadcast(exact), key)
 
 
 @register(
@@ -310,4 +316,68 @@ def q_kmv_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# integer multiplicative hash for id columns (both engines: pure int64
+# arithmetic, no overflow: id * 2654435761 < 2^63 for id < 3.5e9)
+_ID_HASH_A = 2_654_435_761  # Knuth's multiplicative constant
+_ID_HASH_B = 104_729
+
+_DAU_PAIRS_SQL = f"""
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         (user_id * {_ID_HASH_A} + {_ID_HASH_B}) % {P} AS h
+  FROM events
+"""
+
+
+@register(
+    "kmv_daily_active_users",
+    oracle=f"""
+    WITH sk AS ({{sketch}})
+    SELECT day,
+           CAST({K} AS BIGINT) AS k,
+           kmin[LEAST({K}, CAST(n_exact AS INT))] AS kth_min,
+           CASE WHEN n_exact < {K} THEN n_exact
+                ELSE CAST(floor({(K - 1) * P}.0 / kmin[{K}]) AS BIGINT)
+           END AS est_dau,
+           n_exact,
+           round(100.0 * abs(
+             (CASE WHEN n_exact < {K} THEN n_exact
+                   ELSE CAST(floor({(K - 1) * P}.0 / kmin[{K}]) AS BIGINT) END)
+             - n_exact) / n_exact, 6) AS err_pct
+    FROM sk ORDER BY day
+    """.format(sketch=kmv_sketch_sql(_DAU_PAIRS_SQL, "day")),
+    doc="Daily active users from a KMV sketch over integer user-id "
+    "hashes (Knuth multiplicative — pure int64 arithmetic on both "
+    "engines), exact count alongside as calibration. The classic "
+    "streaming-analytics distinct: per-day sketches are mergeable "
+    "(weekly/monthly DAU = fold of the daily partials, the same "
+    "idempotent lattice join the streaming sketch sink uses) and the "
+    "build is the bounded-shuffle prefilter plan of kmv_kmin — at "
+    "100 TB of events nothing wider than sources x k ever shuffles.",
+)
+def q_kmv_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    pairs = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        ((F.col("user_id") * _ID_HASH_A + _ID_HASH_B) % P).alias("h"),
+    )
+    sk = kmv_sketches(pairs, key="day")
+    kth = F.element_at("kmin", F.least(F.lit(K), F.size("kmin")))
+    est = F.when(F.col("n_exact") < K, F.col("n_exact")).otherwise(
+        F.floor(F.lit(float((K - 1) * P)) / F.element_at("kmin", K)).cast("long")
+    )
+    return (
+        sk.select(
+            "day",
+            F.lit(K).cast("long").alias("k"),
+            kth.alias("kth_min"),
+            est.alias("est_dau"),
+            "n_exact",
+            F.round(
+                100.0 * F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("err_pct"),
+        )
+        .orderBy("day")
     )
