@@ -381,3 +381,71 @@ def q_kmv_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_WAU_PAIRS_SQL = f"""
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         (user_id * {_ID_HASH_A} + {_ID_HASH_B}) % {P} AS h
+  FROM events
+"""
+
+
+@register(
+    "kmv_weekly_from_daily",
+    oracle=f"""
+    WITH sk AS ({{sketch}})
+    SELECT week,
+           CAST({K} AS BIGINT) AS k,
+           CASE WHEN n_exact < {K} THEN n_exact
+                ELSE CAST(floor({(K - 1) * P}.0 / kmin[{K}]) AS BIGINT)
+           END AS est_wau,
+           n_exact,
+           round(100.0 * abs(
+             (CASE WHEN n_exact < {K} THEN n_exact
+                   ELSE CAST(floor({(K - 1) * P}.0 / kmin[{K}]) AS BIGINT) END)
+             - n_exact) / n_exact, 6) AS err_pct
+    FROM sk ORDER BY week
+    """.format(sketch=kmv_sketch_sql(_WAU_PAIRS_SQL, "week")),
+    doc="Weekly active users obtained by FOLDING the per-day KMV "
+    "sketches (k-min lattice join over each week's daily partials) — "
+    "the rollup never touches the event stream again. The oracle "
+    "computes the weekly k-min DIRECTLY from the events, so value "
+    "parity is an end-to-end proof of the merge identity "
+    "(k-min of a union == k-min of concatenated partial k-mins) on "
+    "real data, not just the unit-test property. This is how sketch "
+    "rollup hierarchies work at 100 TB: day → week → month each fold "
+    "the previous grain's O(k) state, exactly like "
+    "rollup_reuse_hierarchy folds numeric partials.",
+)
+def q_kmv_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    pairs = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        ((F.col("user_id") * _ID_HASH_A + _ID_HASH_B) % P).alias("h"),
+    ).localCheckpoint(eager=True)
+    daily = kmv_kmin(pairs.select("day", "h"), key="day")
+    weekly = (
+        daily.join(
+            F.broadcast(pairs.select("day", "week").distinct()), "day"
+        )
+        .groupBy("week")
+        .agg(kmv_merge_expr().alias("kmin"))
+    )
+    exact = pairs.groupBy("week").agg(F.countDistinct("h").alias("n_exact"))
+    sk = weekly.join(F.broadcast(exact), "week")
+    est = F.when(F.col("n_exact") < K, F.col("n_exact")).otherwise(
+        F.floor(F.lit(float((K - 1) * P)) / F.element_at("kmin", K)).cast("long")
+    )
+    return (
+        sk.select(
+            "week",
+            F.lit(K).cast("long").alias("k"),
+            est.alias("est_wau"),
+            "n_exact",
+            F.round(
+                100.0 * F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("err_pct"),
+        )
+        .orderBy("week")
+    )
