@@ -418,3 +418,28 @@ def test_kmv_build_has_bounded_shuffles(spark):
     assert not flags["SortMergeJoin"], formatted_plan(q)
     # 2 fan_out repartitions (test-SF scan widening) + HLL agg + k-min agg
     assert count_exchanges(q) <= 4, formatted_plan(q)
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registered query's physical plan must be free of the two
+    anti-patterns that kill 100 TB runs: row-at-a-time Python UDFs
+    (BatchEvalPython — Arrow paths are fine) and unbounded Cartesian
+    products (CartesianProduct; broadcast nested-loop joins are the
+    intended form for small-side non-equi joins). Allow-list only the
+    declared showcases."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    # udf_surface deliberately demonstrates the full UDF API surface,
+    # including the row-at-a-time form Spark still ships
+    ROW_UDF_OK = {"q_string_funcs"} | {
+        k for k in REGISTRY if k.startswith("udf_") or k.startswith("udtf_")
+    }
+    offenders: list[str] = []
+    for name, spec in sorted(REGISTRY.items()):
+        df = spec.spark(spark, SF)
+        plan = formatted_plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan and name not in ROW_UDF_OK:
+            offenders.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+    assert not offenders, offenders
