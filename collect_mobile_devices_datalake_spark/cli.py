@@ -21,6 +21,9 @@ Lake-maintenance modes (source-independent; pass any source or ``all``):
   (debris of crashed transactions).
 - ``compact`` — fold the manifest log into one snapshot manifest
   (O(1) snapshot resolution; trades away pre-compaction history).
+- ``optimize`` — rewrite each table's committed small files into one
+  (the OPTIMIZE executor for compaction_plan; replaced files become
+  vacuum-reclaimable debris).
 """
 
 from __future__ import annotations
@@ -53,7 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("source", choices=SOURCES + ["all"])
     ap.add_argument(
         "mode",
-        choices=["init", "crawl", "status", "history", "vacuum", "compact"],
+        choices=["init", "crawl", "status", "history", "vacuum", "compact", "optimize"],
     )
     ap.add_argument("parallel", nargs="?", default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
@@ -64,8 +67,19 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark, load_table
     from .sources.fixtures import spec_pages
 
-    if args.mode in ("history", "vacuum", "compact"):
+    if args.mode in ("history", "vacuum", "compact", "optimize"):
         from .ingest import manifest
+
+        if args.mode == "optimize":
+            spark = get_spark("cli")
+            spark.sparkContext.setLogLevel("ERROR")
+            n = 0
+            for table in _lake_tables(args.lake_dir):
+                if manifest.rewrite_table(spark, args.lake_dir, table) is not None:
+                    print(f"{table}: rewritten")
+                    n += 1
+            print(f"optimize rewrote {n} table(s)")
+            return 0
 
         if args.mode == "history":
             rows = manifest.snapshots(args.lake_dir)
@@ -94,8 +108,26 @@ def main(argv: list[str] | None = None) -> int:
     for source in sources:
         pages = spec_pages(part, source)
         if args.mode == "init":
-            pages.select("url").write.mode("overwrite").parquet(
-                os.path.join(args.lake_dir, "source_list", source)
+            # TRUNCATE semantics via a manifest rewrite-txn: the new
+            # frontier's files publish together with removes of every
+            # previously-committed frontier file — so `vacuum` treats
+            # the old frontier as reclaimable debris, never the live one
+            from .ingest import manifest
+
+            table = f"source_list/{source}"
+            olds = [
+                os.path.basename(p)
+                for p in manifest.committed_files(args.lake_dir, table)
+            ]
+            txn = manifest.new_txn_id()
+            names = manifest.stage_write(
+                pages.select("url"), args.lake_dir, table, txn
+            )
+            manifest.publish(
+                args.lake_dir,
+                txn,
+                {table: names},
+                removes={table: olds} if olds else None,
             )
             print(f"{source}: frontier initialized ({pages.count()} urls)")
         elif args.mode == "crawl":

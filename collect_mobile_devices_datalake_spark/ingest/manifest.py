@@ -98,13 +98,25 @@ def stage_write(df: DataFrame, lake_dir: str, table: str, txn_id: str) -> list[s
     return names
 
 
-def publish(lake_dir: str, txn_id: str, tables: dict[str, list[str]]) -> str | None:
+def publish(
+    lake_dir: str,
+    txn_id: str,
+    tables: dict[str, list[str]],
+    removes: dict[str, list[str]] | None = None,
+) -> str | None:
     """Atomically publish one transaction's files across all its tables.
 
     ``tables`` maps table-relative directory (e.g. ``device_specs/gsmarena``)
     to the file names `stage_write` returned. Idempotent: an already
     published txn id is a no-op (returns None), so checkpoint replay of a
     streaming batch cannot double-commit.
+
+    ``removes`` (same shape) lists files this transaction REPLACES —
+    the rewrite/OPTIMIZE form: snapshot resolution drops them from the
+    commit log at this point in publish order, while earlier ``as_of``
+    pins still resolve them (history is untouched until `vacuum_orphans`
+    physically reclaims the replaced files, which — as in every lake
+    format — is the moment pre-rewrite snapshots stop being readable).
     """
     if committed(lake_dir, txn_id):
         return None
@@ -116,6 +128,8 @@ def publish(lake_dir: str, txn_id: str, tables: dict[str, list[str]]) -> str | N
         "tables": tables,
         "published_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
+    if removes:
+        body["removes"] = removes
     final = os.path.join(root, f"{seq:010d}-{txn_id}.json")
     tmp = os.path.join(root, f".tmp-{txn_id}.json")
     with open(tmp, "w") as f:
@@ -170,17 +184,24 @@ def committed_files(
                 "(never published, or folded by compact_manifests)"
             )
         paths = paths[: cut + 1]
-    out: list[str] = []
+    # ordered set: a reader racing `compact_manifests` can observe the
+    # merged manifest plus a not-yet-removed original listing the same
+    # files — snapshot correctness must not depend on the sweep having
+    # finished. Removes are applied in publish order, so a rewrite txn
+    # atomically swaps old files for new in the resolved snapshot.
+    out: dict[str, None] = {}
     for mp in paths:
         with open(mp) as f:
             body = json.load(f)
         for table, names in body.get("tables", {}).items():
             if table == table_prefix or table.startswith(table_prefix + "/"):
-                out.extend(os.path.join(lake_dir, table, n) for n in names)
-    # dedupe: a reader racing `compact_manifests` can observe the merged
-    # manifest plus a not-yet-removed original listing the same files —
-    # snapshot correctness must not depend on the sweep having finished
-    return list(dict.fromkeys(out))
+                for n in names:
+                    out[os.path.join(lake_dir, table, n)] = None
+        for table, names in body.get("removes", {}).items():
+            if table == table_prefix or table.startswith(table_prefix + "/"):
+                for n in names:
+                    out.pop(os.path.join(lake_dir, table, n), None)
+    return list(out)
 
 
 def read_committed(
@@ -258,6 +279,12 @@ def compact_manifests(lake_dir: str) -> str | None:
         for table, names in body.get("tables", {}).items():
             bucket = merged.setdefault(table, [])
             bucket.extend(n for n in names if n not in bucket)
+        # fold removes to the NET state: the merged manifest lists only
+        # files live at the end of the log
+        for table, names in body.get("removes", {}).items():
+            bucket = merged.setdefault(table, [])
+            merged[table] = [n for n in bucket if n not in set(names)]
+    merged = {t: names for t, names in merged.items() if names}
     new_path = publish(lake_dir, f"compact{new_txn_id()}", merged)
     for mp in originals:
         os.remove(mp)
@@ -280,3 +307,34 @@ def commit_tables(
     if not tables:
         return None
     return publish(lake_dir, txn, tables)
+
+
+def rewrite_table(
+    spark: SparkSession, lake_dir: str, table: str, target_files: int = 1
+) -> str | None:
+    """OPTIMIZE: coalesce a table's committed small files into
+    ``target_files`` larger ones, atomically, content-identical.
+
+    One transaction stages the rewritten files and publishes them
+    together with a ``removes`` list of every file they replace — a
+    reader resolves either the old file set or the new one, never a
+    mix. The replaced files stay on disk (pre-rewrite ``as_of`` pins
+    keep working) until `vacuum_orphans` reclaims them. This is the
+    executor for `compaction_plan`'s output: the planner says WHICH
+    partitions are small-file-bound; this folds them.
+
+    Returns the rewrite txn's manifest path, or None when the table is
+    already at or below ``target_files`` (no transaction published).
+    """
+    olds = committed_files(lake_dir, table)
+    if len(olds) <= target_files:
+        return None
+    df = spark.read.parquet(*olds).coalesce(target_files)
+    txn = f"rewrite{new_txn_id()}"
+    names = stage_write(df, lake_dir, table, txn)
+    return publish(
+        lake_dir,
+        txn,
+        {table: names},
+        removes={table: [os.path.basename(p) for p in olds]},
+    )

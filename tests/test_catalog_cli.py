@@ -105,3 +105,35 @@ def test_cli_lake_maintenance_modes(spark):
         assert manifest.read_committed(spark, lake, "device_specs").count() == before
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+def test_cli_init_truncates_through_the_manifest(spark):
+    """Re-running init replaces the frontier atomically (truncate =
+    rewrite txn), and vacuum reclaims only the replaced frontier files —
+    the live frontier survives because init commits through manifests."""
+    import os
+    import tempfile, shutil
+
+    from collect_mobile_devices_datalake_spark.cli import main
+    from collect_mobile_devices_datalake_spark.ingest import manifest
+
+    lake = tempfile.mkdtemp(prefix="cli_lake_")
+    try:
+        assert main(["productz", "init", "--sf-dir", SF, "--lake-dir", lake]) == 0
+        first = manifest.committed_files(lake, "source_list/productz")
+        assert first
+        n_urls = manifest.read_committed(spark, lake, "source_list/productz").count()
+
+        assert main(["productz", "init", "--sf-dir", SF, "--lake-dir", lake]) == 0
+        second = manifest.committed_files(lake, "source_list/productz")
+        assert second and not (set(second) & set(first))
+        assert (
+            manifest.read_committed(spark, lake, "source_list/productz").count()
+            == n_urls
+        )
+
+        manifest.vacuum_orphans(lake, "source_list/productz", remove=True)
+        assert all(os.path.exists(p) for p in second)
+        assert not any(os.path.exists(p) for p in first)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)

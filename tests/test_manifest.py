@@ -243,3 +243,40 @@ def test_compaction_folds_history_and_stale_pins_fail(spark, lake):
     # the merged manifest itself is a valid pin
     merged_txn = manifest.snapshots(lake)[-1]["txn_id"]
     assert manifest.read_committed(spark, lake, "t", as_of=merged_txn).count() == 6
+
+
+def test_rewrite_table_folds_small_files_atomically(spark, lake):
+    """OPTIMIZE: the rewrite txn swaps N small files for 1 large one
+    with content identical; pre-rewrite pins still resolve the old
+    files; vacuum then reclaims exactly the replaced set."""
+    for i, txn in enumerate(["txn1", "txn2", "txn3"]):
+        df = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").cast("string").alias("url")
+        )
+        manifest.commit_tables(lake, [("t", df)], txn_id=txn)
+    olds = manifest.committed_files(lake, "t")
+    assert len(olds) >= 3
+    before = {r["url"] for r in manifest.read_committed(spark, lake, "t").collect()}
+
+    assert manifest.rewrite_table(spark, lake, "t", target_files=1) is not None
+    news = manifest.committed_files(lake, "t")
+    assert len(news) == 1 and not (set(news) & set(olds))
+    assert {r["url"] for r in manifest.read_committed(spark, lake, "t").collect()} == before
+
+    # idempotent once at target size: no new txn published
+    assert manifest.rewrite_table(spark, lake, "t", target_files=1) is None
+
+    # time travel to a pre-rewrite pin resolves the OLD files
+    pinned = manifest.committed_files(lake, "t", as_of="txn3")
+    assert set(pinned) == set(olds)
+    assert manifest.read_committed(spark, lake, "t", as_of="txn2").count() == 20
+
+    # the replaced files are vacuum-reclaimable debris now
+    reclaimed = manifest.vacuum_orphans(lake, "t", remove=True)
+    assert set(os.path.join(lake, "t", n) for n in reclaimed) == set(olds)
+    assert {r["url"] for r in manifest.read_committed(spark, lake, "t").collect()} == before
+
+    # manifest compaction folds removes to the net state
+    assert manifest.compact_manifests(lake) is not None
+    assert set(manifest.committed_files(lake, "t")) == set(news)
+    assert manifest.read_committed(spark, lake, "t").count() == 30
