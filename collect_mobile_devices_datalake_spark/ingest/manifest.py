@@ -310,7 +310,11 @@ def commit_tables(
 
 
 def rewrite_table(
-    spark: SparkSession, lake_dir: str, table: str, target_files: int = 1
+    spark: SparkSession,
+    lake_dir: str,
+    table: str,
+    target_files: int = 1,
+    sort_cols: list[str] | None = None,
 ) -> str | None:
     """OPTIMIZE: coalesce a table's committed small files into
     ``target_files`` larger ones, atomically, content-identical.
@@ -323,13 +327,29 @@ def rewrite_table(
     executor for `compaction_plan`'s output: the planner says WHICH
     partitions are small-file-bound; this folds them.
 
+    ``sort_cols`` requests a CLUSTERED rewrite (repartitionByRange +
+    sortWithinPartitions): contiguous key ranges per output file, so
+    file-level min/max stats prune range predicates — the executor
+    behind the z-order layout reports.
+
     Returns the rewrite txn's manifest path, or None when the table is
-    already at or below ``target_files`` (no transaction published).
+    already at or below ``target_files`` and no clustering was asked
+    (no transaction published).
     """
     olds = committed_files(lake_dir, table)
-    if len(olds) <= target_files:
+    if len(olds) <= target_files and not sort_cols:
         return None
-    df = spark.read.parquet(*olds).coalesce(target_files)
+    df = spark.read.parquet(*olds)
+    if sort_cols:
+        # clustered rewrite: co-locate rows by the given key(s) so the
+        # rewritten files' min/max zone maps prune scans (the executor
+        # behind zorder_manifest's layout) — repartitionByRange gives
+        # contiguous non-overlapping ranges per output file
+        df = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(target_files)
     txn = f"rewrite{new_txn_id()}"
     names = stage_write(df, lake_dir, table, txn)
     return publish(

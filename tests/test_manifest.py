@@ -280,3 +280,37 @@ def test_rewrite_table_folds_small_files_atomically(spark, lake):
     assert manifest.compact_manifests(lake) is not None
     assert set(manifest.committed_files(lake, "t")) == set(news)
     assert manifest.read_committed(spark, lake, "t").count() == 30
+
+
+def test_clustered_rewrite_produces_pruned_ranges(spark, lake):
+    """sort_cols rewrite: output files carry contiguous non-overlapping
+    key ranges (file-level min/max prune range scans), content intact."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), F.col("id").alias("v")
+    )
+    for txn in ("a1", "a2"):
+        manifest.commit_tables(
+            lake,
+            [("t", df.filter(F.col("v") % 2 == (1 if txn == "a2" else 0)))],
+            txn_id=txn,
+        )
+    manifest.rewrite_table(spark, lake, "t", target_files=4, sort_cols=["k"])
+
+    files = manifest.committed_files(lake, "t")
+    assert len(files) == 4
+    ranges = []
+    for p in files:
+        meta = pq.ParquetFile(p).metadata
+        ks = [
+            (meta.row_group(i).column(0).statistics.min,
+             meta.row_group(i).column(0).statistics.max)
+            for i in range(meta.num_row_groups)
+        ]
+        ranges.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping
+    got = manifest.read_committed(spark, lake, "t")
+    assert got.count() == 1000 and got.select(F.sum("v")).first()[0] == 499500
