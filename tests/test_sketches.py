@@ -142,3 +142,45 @@ def test_sketch_maintenance_replay_repairs_partial_commit(spark, tmp_path):
     fn(docs, 0)
     got = {r["source"]: tuple(r["kmin"]) for r in read_kmv_state(spark, sketch_dir).collect()}
     assert got == want
+
+
+def test_dau_maintenance_stream_matches_batch_query(spark, tmp_path):
+    """Streamed event files converge to kmv_daily_active_users' exact
+    daily k-min state, across chunked arrival and re-delivery."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        kmv_kmin,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        dau_pairs,
+        read_kmv_state,
+        start_dau_maintenance_stream,
+    )
+
+    events = load_table(spark, "events", SF_SMOKE).select("event_id", "ts", "user_id")
+    ev_dir = str(tmp_path / "events_in")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(ev_dir)
+    start_dau_maintenance_stream(spark, ev_dir, sk_dir, ckpt).awaitTermination(120)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(ev_dir)
+    start_dau_maintenance_stream(spark, ev_dir, sk_dir, ckpt).awaitTermination(120)
+
+    want = {
+        r["day"]: tuple(r["kmin"])
+        for r in kmv_kmin(dau_pairs(events), key="day").collect()
+    }
+    got = {
+        r["day"]: tuple(r["kmin"])
+        for r in read_kmv_state(spark, sk_dir, key="day", key_type="timestamp").collect()
+    }
+    assert got == want and len(got) > 0
+
+    # re-delivery: idempotent merge absorbs duplicated events
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(ev_dir)
+    start_dau_maintenance_stream(spark, ev_dir, sk_dir, ckpt).awaitTermination(120)
+    assert {
+        r["day"]: tuple(r["kmin"])
+        for r in read_kmv_state(spark, sk_dir, key="day", key_type="timestamp").collect()
+    } == want
