@@ -449,3 +449,144 @@ def q_kmv_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# (side, h) key-hash pairs for the two join sides, as ONE relation —
+# the same KMV machinery then sketches both sides in one pass
+_JOIN_PAIRS_SQL = f"""
+  SELECT 'orders' AS side, (o_orderkey * {_ID_HASH_A} + {_ID_HASH_B}) % {P} AS h
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem' AS side, (l_orderkey * {_ID_HASH_A} + {_ID_HASH_B}) % {P} AS h
+  FROM lineitem
+"""
+
+
+@register(
+    "kmv_join_cardinality",
+    oracle=f"""
+    WITH sk AS ({kmv_sketch_sql(f"SELECT DISTINCT side, h FROM ({_JOIN_PAIRS_SQL})", "side")}),
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_a,
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_b
+    ),
+    sides AS (
+      SELECT
+        (SELECT kmin FROM sk WHERE side = 'orders') AS ka,
+        (SELECT n_exact FROM sk WHERE side = 'orders') AS da,
+        (SELECT kmin FROM sk WHERE side = 'lineitem') AS kb,
+        (SELECT n_exact FROM sk WHERE side = 'lineitem') AS db
+    ),
+    est AS (
+      SELECT
+        list_sort(list_distinct(list_concat(ka, kb)))[1:{K}] AS m,
+        CASE WHEN da < {K} THEN da
+             ELSE CAST(floor({(K - 1) * P}.0 / ka[{K}]) AS BIGINT) END AS est_da,
+        CASE WHEN db < {K} THEN db
+             ELSE CAST(floor({(K - 1) * P}.0 / kb[{K}]) AS BIGINT) END AS est_db,
+        ka, kb, da, db
+      FROM sides
+    ),
+    est2 AS (
+      SELECT
+        CAST(len(list_intersect(list_intersect(m, ka), kb)) AS DOUBLE) / len(m)
+          AS est_jaccard,
+        CASE WHEN len(list_distinct(list_concat(ka, kb))) < {K}
+             THEN CAST(len(list_distinct(list_concat(ka, kb))) AS BIGINT)
+             ELSE CAST(floor({(K - 1) * P}.0 / m[{K}]) AS BIGINT)
+        END AS est_union,
+        est_da, est_db, ka, kb
+      FROM est
+    )
+    SELECT
+      CAST(floor(e.est_jaccard * e.est_union) AS BIGINT) AS est_matched_keys,
+      CAST(floor(e.est_jaccard * e.est_union
+                 * (c.n_a / e.est_da) * (c.n_b / e.est_db)) AS BIGINT)
+        AS est_join_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey) AS exact_join_rows,
+      round(100.0 * abs(
+        floor(e.est_jaccard * e.est_union * (c.n_a / e.est_da) * (c.n_b / e.est_db))
+        - (SELECT COUNT(*) FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey))
+        / (SELECT COUNT(*) FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        6) AS err_pct
+    FROM est2 e CROSS JOIN counts c
+    """,
+    doc="Join-cardinality estimation from KMV sketches alone — the "
+    "optimizer-statistics use of the sketch family: |A join B| is "
+    "estimated as J(A,B) * |A union B| (matched distinct keys, via the "
+    "KMV intersection estimator) scaled by each side's rows-per-"
+    "distinct-key, with the exact join count alongside as calibration. "
+    "At 100 TB this is how a planner decides broadcast-vs-shuffle and "
+    "pre-sizes shuffle partitions WITHOUT running the join: the "
+    "sketches cost two map passes and O(k) state per side, and they're "
+    "the same mergeable daily/per-shard partials the maintenance "
+    "streams already keep. Deterministic end to end (integer hash, "
+    "exact k-min, fixed estimator arithmetic), hence value-oracled "
+    "like every other sketch.",
+)
+def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    ha = orders.select(
+        F.lit("orders").alias("side"),
+        ((F.col("o_orderkey") * _ID_HASH_A + _ID_HASH_B) % P).alias("h"),
+    )
+    hb = lineitem.select(
+        F.lit("lineitem").alias("side"),
+        ((F.col("l_orderkey") * _ID_HASH_A + _ID_HASH_B) % P).alias("h"),
+    )
+    sk = kmv_sketches(ha.unionByName(hb).distinct(), key="side").localCheckpoint(
+        eager=True
+    )
+    a = sk.filter(F.col("side") == "orders").select(
+        F.col("kmin").alias("ka"), F.col("n_exact").alias("da")
+    )
+    b = sk.filter(F.col("side") == "lineitem").select(
+        F.col("kmin").alias("kb"), F.col("n_exact").alias("db")
+    )
+    n_a = orders.count()
+    n_b = lineitem.count()
+    est_side = lambda kcol, dcol: F.when(  # noqa: E731
+        F.col(dcol) < K, F.col(dcol)
+    ).otherwise(
+        F.floor(F.lit(float((K - 1) * P)) / F.element_at(kcol, K)).cast("long")
+    )
+    one = (
+        a.crossJoin(b)
+        .withColumn("m", F.slice(F.array_sort(F.array_union("ka", "kb")), 1, K))
+        .withColumn("u_full", F.size(F.array_distinct(F.array_union("ka", "kb"))))
+        .select(
+            (
+                F.size(F.array_intersect(F.array_intersect("m", "ka"), "kb"))
+                / F.size("m").cast("double")
+            ).alias("est_jaccard"),
+            F.when(F.col("u_full") < K, F.col("u_full").cast("long"))
+            .otherwise(
+                F.floor(F.lit(float((K - 1) * P)) / F.element_at("m", K)).cast("long")
+            )
+            .alias("est_union"),
+            est_side("ka", "da").alias("est_da"),
+            est_side("kb", "db").alias("est_db"),
+        )
+    )
+    exact = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .count()
+    )
+    est_rows = (
+        F.col("est_jaccard")
+        * F.col("est_union")
+        * (F.lit(n_a) / F.col("est_da"))
+        * (F.lit(n_b) / F.col("est_db"))
+    )
+    return one.select(
+        F.floor(F.col("est_jaccard") * F.col("est_union")).cast("long").alias(
+            "est_matched_keys"
+        ),
+        F.floor(est_rows).cast("long").alias("est_join_rows"),
+        F.lit(exact).cast("long").alias("exact_join_rows"),
+        F.round(100.0 * F.abs(F.floor(est_rows) - F.lit(exact)) / F.lit(exact), 6).alias(
+            "err_pct"
+        ),
+    )
