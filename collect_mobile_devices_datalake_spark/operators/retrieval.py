@@ -700,6 +700,25 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    return mmr_select(spark, cand, sims).select(
+        "query_id",
+        "rank",
+        F.col("cid").alias("neighbor_id"),
+        F.round("score", 6).alias("mmr_score"),
+    ).orderBy("query_id", "rank")
+
+
+def mmr_select(
+    spark: SparkSession, cand: DataFrame, sims: DataFrame, k: int = MMR_K
+) -> DataFrame:
+    """The greedy MMR selection loop, decoupled from its shortlist
+    generator: ``cand`` = (query_id, cid, rel), ``sims`` = the
+    shortlist's pairwise similarity matrix (query_id, ca, cb, sim).
+    ANY candidate generator plugs in — the brute-force scorer above,
+    or an ANN leg's top-k (see the LSH-shortlist composition test) —
+    because the loop only ever touches these two k-bounded frames.
+    Returns (query_id, cid, rank, score)."""
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
     sel_all = (
         cand.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") == 1)
@@ -709,7 +728,7 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection loop frames are O(queries * shortlist) — scoped width,
     # same as the BPE/k-center loops
     with scoped_shuffle_width(spark, MMR_CAND * MMR_CAND * 32):
-        for t in range(2, MMR_K + 1):
+        for t in range(2, k + 1):
             pen = (
                 sims.join(
                     sel_all.select("query_id", F.col("cid").alias("cb")),
@@ -740,12 +759,7 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("query_id", "cid", F.lit(t).alias("rank"), "score")
             )
             sel_all = sel_all.union(pick).localCheckpoint(eager=True)
-    return sel_all.select(
-        "query_id",
-        "rank",
-        F.col("cid").alias("neighbor_id"),
-        F.round("score", 6).alias("mmr_score"),
-    ).orderBy("query_id", "rank")
+    return sel_all
 
 
 # --- hard-negative mining ----------------------------------------------------

@@ -169,3 +169,76 @@ def test_kcenter_radius_curve_and_diversity(spark):
     for i, r in enumerate(rows[1:], start=1):
         d_near = min(1.0 - cos(emb[r.vec_id], emb[p.vec_id]) for p in rows[:i])
         assert d_near >= r.radius - 1e-6
+
+
+def test_mmr_selection_composes_with_an_ann_shortlist(spark):
+    """The swap-in seam, exercised: feed mmr_select the LSH-probe
+    shortlist instead of the brute-force one. The selection invariants
+    (rank-1 = shortlist relevance argmax, k distinct picks within the
+    shortlist, monotone penalized scores) hold regardless of generator."""
+    from collections import defaultdict
+
+    from collect_mobile_devices_datalake_spark.functions.vectors import (
+        dot_product,
+        l2_norm,
+    )
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        MMR_K,
+        mmr_select,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    lsh = REGISTRY["knn_lsh_probe"].spark(spark, SF_SMOKE)
+    cand = lsh.select(
+        "query_id", F.col("neighbor_id").alias("cid"), F.col("cosine").alias("rel")
+    ).localCheckpoint(eager=True)
+
+    emb = load_table(spark, "embeddings", SF_SMOKE).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    ce = cand.join(emb, cand.cid == emb.vec_id).select(
+        "query_id", "cid", "embedding", "nrm"
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    pair_cos = F.when(F.col("a.nrm") * F.col("b.nrm") == 0, F.lit(0.0)).otherwise(
+        dot_product(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            pair_cos.alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    sel = mmr_select(spark, cand, sims).collect()
+    shortlist = defaultdict(set)
+    best = {}
+    for r in cand.collect():
+        shortlist[r["query_id"]].add(r["cid"])
+        if r["query_id"] not in best or (r["rel"], -r["cid"]) > (
+            best[r["query_id"]][0],
+            -best[r["query_id"]][1],
+        ):
+            best[r["query_id"]] = (r["rel"], r["cid"])
+    by_q = defaultdict(list)
+    for r in sorted(sel, key=lambda r: (r["query_id"], r["rank"])):
+        by_q[r["query_id"]].append(r)
+    assert by_q
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in rows] == list(range(1, MMR_K + 1))
+        picks = [r["cid"] for r in rows]
+        assert len(set(picks)) == MMR_K
+        assert set(picks) <= shortlist[qid]
+        assert rows[0]["cid"] == best[qid][1]
+        pen = [r["score"] for r in rows[1:]]
+        assert pen == sorted(pen, reverse=True)
