@@ -667,3 +667,264 @@ def q_doc_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bits").cast("long").alias("total_bits"),
         F.round(F.sum("bits") / F.count("*").cast("double"), 6).alias("mean_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM bucketing: train on reference sources, score everything
+# ---------------------------------------------------------------------------
+
+# The "clean reference corpus" the LM is trained on (CCNet trains KenLM
+# on Wikipedia, then scores the crawl). Deterministic source split.
+CCNET_REF_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+# Stupid-backoff discount alpha=0.4 → -log2(0.4) ≈ 1.32, rounded UP to
+# whole bits so backed-off transitions always cost more than a seen
+# bigram with the same unigram mass.
+BACKOFF_BITS = 2
+
+_REF_FILTER_SQL = "source IN ('src0','src1','src2','src3','src4')"
+
+
+@register(
+    "ccnet_lm_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    ref_uni AS (
+      SELECT lang, unnest(t) AS w FROM toks WHERE {_REF_FILTER_SQL}
+    ),
+    c1 AS (SELECT lang, w, COUNT(*) AS c1 FROM ref_uni GROUP BY lang, w),
+    stats AS (
+      SELECT lang, COUNT(*) AS n, COUNT(DISTINCT w) AS v
+      FROM ref_uni GROUP BY lang
+    ),
+    ref_bg AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE {_REF_FILTER_SQL} AND len(t) >= 2
+    ),
+    c2 AS (SELECT lang, b, COUNT(*) AS c2 FROM ref_bg GROUP BY lang, b),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    scored AS (
+      SELECT bg.doc_id, bg.lang,
+             CASE WHEN c2.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                  THEN length(to_base((u1.c1 + s.v) // (c2.c2 + 1), 2)) - 1
+                  ELSE {BACKOFF_BITS}
+                       + length(to_base((s.n + s.v) // (COALESCE(u2.c1, 0) + 1), 2)) - 1
+             END AS bits
+      FROM bg
+      JOIN stats s ON s.lang = bg.lang
+      LEFT JOIN c2 ON c2.lang = bg.lang AND c2.b = bg.b
+      LEFT JOIN c1 u1 ON u1.lang = bg.lang AND u1.w = bg.w1
+      LEFT JOIN c1 u2 ON u2.lang = bg.lang AND u2.w = bg.w2
+    ),
+    agg AS (
+      SELECT doc_id, lang, COUNT(*) AS n_bigrams, SUM(bits) AS total_bits,
+             round(SUM(bits) / CAST(COUNT(*) AS DOUBLE), 6) AS bits_per_bigram
+      FROM scored GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(total_bits AS BIGINT) AS total_bits,
+           bits_per_bigram,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY bits_per_bigram, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM agg ORDER BY lang, doc_id
+    """,
+    doc="The full CCNet gate (Wenzek et al. 2020): a bigram stupid-"
+    "backoff LM is TRAINED on the clean reference sources (src0-4 — "
+    "CCNet's Wikipedia) per language, then EVERY document is scored and "
+    "cut into head/middle/tail perplexity tertiles per language. "
+    "Unlike doc_bigram_surprise (self-trained, so no transition is "
+    "ever unseen), this is the real train/apply split: a bigram absent "
+    "from the reference LM backs off to the reference unigram with a "
+    "2-bit discount (-log2(0.4) rounded up), and an OOV word costs "
+    "~log2(N+V) bits. Every term is integer bit-length arithmetic "
+    "(flog2 via bin(); add-one smoothing; integer division), so the "
+    "score — and hence the bucket cut — is engine-exact; the only IEEE "
+    "op is the final per-doc mean. Shape at 100 TB: the LM tables "
+    "(c1/c2/stats, vocabulary-bounded) join the document bigram mass "
+    "on 8-byte xxhash64 keys; ntile is one shuffle partitioned by "
+    "language. CCNet then keeps head+middle as training data — "
+    "downstream consumers filter on ppl_bucket.",
+)
+def q_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens as _tokens
+
+    d = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    toks = d.select(
+        "doc_id", "lang", "source", _tokens("text").alias("t")
+    ).localCheckpoint(eager=True)
+    t = F.col("t")
+    ref = toks.filter(F.col("source").isin(*CCNET_REF_SOURCES))
+    ref_uni = ref.select("lang", F.explode(t).alias("w"))
+    c1 = ref_uni.groupBy(F.xxhash64("lang", "w").alias("hk")).agg(
+        F.count("*").alias("c1")
+    )
+    stats = ref_uni.groupBy("lang").agg(
+        F.count("*").alias("n"), F.countDistinct("w").alias("v")
+    )
+    triple = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+            F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)).alias("b"),
+        ),
+    )
+    ref_bg = (
+        ref.filter(F.size(t) >= 2)
+        .select("lang", F.explode(triple).alias("x"))
+        .select(F.xxhash64("lang", "x.b").alias("hb"))
+    )
+    c2 = ref_bg.groupBy("hb").agg(F.count("*").alias("c2"))
+    bg = (
+        toks.filter(F.size(t) >= 2)
+        .select("doc_id", "lang", F.explode(triple).alias("x"))
+        .select(
+            "doc_id",
+            "lang",
+            F.xxhash64("lang", "x.b").alias("hb"),
+            F.xxhash64("lang", "x.w1").alias("h1"),
+            F.xxhash64("lang", "x.w2").alias("h2"),
+        )
+    )
+    flog2 = lambda x: F.length(F.bin(x)) - 1  # noqa: E731
+    joined = (
+        bg.join(F.broadcast(stats), "lang")
+        .join(c2, "hb", "left")
+        .join(c1.select(F.col("hk").alias("h1"), F.col("c1").alias("c1w1")), "h1", "left")
+        .join(c1.select(F.col("hk").alias("h2"), F.col("c1").alias("c1w2")), "h2", "left")
+    )
+    bits = F.when(
+        F.col("c2").isNotNull() & F.col("c1w1").isNotNull(),
+        flog2(F.expr("(c1w1 + v) div (c2 + 1)")),
+    ).otherwise(
+        F.lit(BACKOFF_BITS) + flog2(F.expr("(n + v) div (coalesce(c1w2, 0) + 1)"))
+    )
+    agg = (
+        joined.select("doc_id", "lang", bits.alias("bits"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+            F.round(F.sum("bits") / F.count("*").cast("double"), 6).alias(
+                "bits_per_bigram"
+            ),
+        )
+    )
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("bits_per_bigram", "doc_id")
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "total_bits",
+        "bits_per_bigram",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias(
+            "ppl_bucket"
+        ),
+    ).orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup: duplication-aware reweighting instead of hard removal
+# ---------------------------------------------------------------------------
+
+from .dedup import _PAIRS_SQL as _LSH_PAIRS_SQL  # noqa: E402
+from .dedup import cluster_labels, lsh_candidate_pairs, minhash_signatures  # noqa: E402
+
+
+@register(
+    "softdedup_weights",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    nodes AS (SELECT DISTINCT doc_a AS node FROM pairs
+              UNION SELECT DISTINCT doc_b FROM pairs),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    labels AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           n_tokens,
+           round(1.0 / COUNT(*) OVER (PARTITION BY cluster_id), 6) AS weight,
+           round(CAST(n_tokens AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY cluster_id), 6)
+             AS effective_tokens
+    FROM assigned ORDER BY doc_id
+    """,
+    doc="SoftDeDup (soft deduplication): instead of dropping near-"
+    "duplicates, each document is DOWN-WEIGHTED by its MinHash-LSH "
+    "cluster size — weight 1/|cluster| so every near-dup cluster "
+    "contributes one document's worth of gradient mass, and "
+    "effective_tokens is the token budget the sampler should charge. "
+    "Composes the certified dedup chain (minhash_signatures → "
+    "lsh_candidate_pairs → cluster_labels, singletons keep weight 1) "
+    "and the oracle composes the same registered pair SQL verbatim, so "
+    "parity covers the whole pipeline end to end. This is the "
+    "loss-reweighting alternative to dedup_survivors' hard keep/drop — "
+    "recent pretraining recipes prefer it because rare-but-repeated "
+    "content keeps nonzero mass. Scale shape: the cluster sizes are "
+    "one keyed count over the label table; the weight column is a "
+    "broadcastable per-cluster join back to the corpus — no new "
+    "shuffle beyond what dedup_clusters already pays.",
+)
+def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    labels = cluster_labels(lsh_candidate_pairs(minhash_signatures(d)))
+    assigned = (
+        d.select("doc_id", token_count("text").cast("long").alias("n_tokens"))
+        .join(labels.withColumnRenamed("doc_id", "node"),
+              F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_tokens",
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        assigned.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "n_tokens",
+            F.round(1.0 / F.col("cluster_size"), 6).alias("weight"),
+            F.round(F.col("n_tokens") / F.col("cluster_size").cast("double"), 6).alias(
+                "effective_tokens"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -200,6 +200,7 @@ def _ensure_loaded() -> None:
         # (the TPC-H tail) go before this session's brand-new family.
         retrieval,
         sketches,
+        cms,
     )
 
     _DRIVER_PRIORITY.clear()
