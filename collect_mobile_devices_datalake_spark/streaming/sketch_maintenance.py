@@ -158,3 +158,149 @@ def start_dau_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- Count-Min maintenance ---------------------------------------------------
+#
+# Same batch-partition protocol as the KMV streams, different lattice:
+# the CMS fold is cell-wise SUM, which is associative/commutative but
+# NOT idempotent — checkpoint REPLAY is still exactly-once (a replayed
+# batch id overwrites its own partition wholesale), but wholesale
+# producer RE-DELIVERY under a fresh batch id double-counts, exactly
+# like dedup/graph maintenance and unlike the KMV G-set. That is the
+# honest semantics of any counting sketch; deployments that need
+# re-delivery immunity deduplicate upstream (ingest keep-first) or keep
+# the KMV family.
+
+from ..operators.cms import DEPTH, WIDTH, cms_sketch, token_stream  # noqa: E402
+
+
+def _maintain_cms_batch(sketch_dir: str, depth: int = DEPTH, width: int = WIDTH):
+    """foreachBatch body: write this batch's bounded partial sketch
+    (<= depth*width cells regardless of batch size) as its partition."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        partial = cms_sketch(token_stream(batch), depth, width)
+        partial.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"batch={batch_id}")
+        )
+
+    return fn
+
+
+_CMS_MANIFEST = "compaction.json"
+
+
+def _cms_live_parts(sketch_dir: str) -> list[str]:
+    """The live partition set under the compaction manifest rule:
+    numeric ``batch=N`` dirs (stream-owned) are live unless the manifest
+    lists them as absorbed; ``batch=c<gen>`` dirs (compaction-owned) are
+    live ONLY when the manifest names them — an uncommitted compacted
+    partition is invisible, which is what makes the non-idempotent sum
+    lattice crash-safe (same write-then-rename-manifest protocol as the
+    ingest lake's atomic appends)."""
+    import json
+
+    absorbed: set[str] = set()
+    compacted: str | None = None
+    mpath = os.path.join(sketch_dir, _CMS_MANIFEST)
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        absorbed = set(m.get("absorbed", []))
+        compacted = m.get("compacted_dir")
+    out = []
+    for d in sorted(os.listdir(sketch_dir)) if os.path.isdir(sketch_dir) else []:
+        if not d.startswith("batch=") or d in absorbed:
+            continue
+        if d.startswith("batch=c") and d != compacted:
+            continue  # uncommitted (or superseded) compaction output
+        if _parquet_exists(os.path.join(sketch_dir, d)):
+            out.append(d)
+    return out
+
+
+def read_cms_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """(row_j, cell, cnt): the current sketch — cell-wise sum of every
+    live batch partial. Reading IS merging, same as read_kmv_state."""
+    parts = [os.path.join(sketch_dir, d) for d in _cms_live_parts(sketch_dir)]
+    if not parts:
+        return spark.createDataFrame([], "row_j int, cell bigint, cnt bigint")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("row_j", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def start_cms_maintenance_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming token-frequency sketch: the live counterpart of
+    cms_heavy_hitters' build stage. State is O(depth * width * batches-
+    since-compaction) and `compact_cms_state` folds it back to one
+    committed generation."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_maintain_cms_batch(sketch_dir))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cms_maint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def compact_cms_state(spark: SparkSession, sketch_dir: str) -> None:
+    """Fold the live partials into one committed generation.
+
+    The sum lattice is NOT idempotent, so unlike `compact_kmv_state`
+    the swap must be atomic: the merged partition is written under a
+    ``batch=c<gen>`` name that readers IGNORE until the manifest —
+    rewritten via the atomic-rename protocol — names it and marks the
+    absorbed inputs dead. Crash before the rename: readers still see
+    exactly the old live set (the orphan c-dir is invisible; re-running
+    compaction supersedes it). Crash after: the new generation is live
+    and the absorbed dirs are dead regardless of whether the GC sweep
+    below finished. Never a double count in any window."""
+    import json
+    import shutil
+
+    live = _cms_live_parts(sketch_dir)
+    if len(live) <= 1:
+        return
+    merged = (
+        spark.read.parquet(*[os.path.join(sketch_dir, d) for d in live])
+        .groupBy("row_j", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    gens = [
+        int(d[len("batch=c"):])
+        for d in os.listdir(sketch_dir)
+        if d.startswith("batch=c") and d[len("batch=c"):].isdigit()
+    ]
+    new_dir = f"batch=c{max(gens, default=-1) + 1}"
+    merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, new_dir))
+
+    mpath = os.path.join(sketch_dir, _CMS_MANIFEST)
+    prior_absorbed: list[str] = []
+    if os.path.isfile(mpath):
+        with open(mpath) as f:
+            prior_absorbed = json.load(f).get("absorbed", [])
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"compacted_dir": new_dir, "absorbed": sorted(set(prior_absorbed) | set(live))},
+            f,
+        )
+    os.replace(tmp, mpath)  # the commit point
+
+    for d in live:  # GC; crash-safe (manifest already excludes them)
+        shutil.rmtree(os.path.join(sketch_dir, d), ignore_errors=True)

@@ -72,3 +72,95 @@ def test_width_calibration_monotone(spark):
     assert totals == sorted(totals, reverse=True)
     for r in rows:
         assert r.max_overestimate >= 0 and r.total_overestimate >= 0
+
+
+# --- streaming maintenance ---------------------------------------------------
+
+
+def _state_map(df):
+    return {(r["row_j"], r["cell"]): r["cnt"] for r in df.collect()}
+
+
+def test_cms_maintenance_stream_matches_batch(spark, tmp_path):
+    """Chunked streamed arrivals converge to the batch sketch; replay of
+    a batch id repairs in place; compaction commits atomically through
+    the manifest (an uncommitted compacted dir stays invisible)."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _maintain_cms_batch,
+        compact_cms_state,
+        read_cms_state,
+        start_cms_maintenance_stream,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text", "source")
+    docs_dir = str(tmp_path / "docs_in")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_cms_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+    second.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_cms_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    want = _state_map(cms_sketch(token_stream(docs)))
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want and len(want) > 0
+
+    # checkpoint replay (same batch id) rewrites wholesale: no drift
+    fn = _maintain_cms_batch(sketch_dir)
+    fn(first, 0)
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want
+
+    # crash window: a compacted generation WITHOUT a manifest commit is
+    # invisible — simulate by writing the c-dir by hand
+    cms_sketch(token_stream(docs)).write.mode("overwrite").parquet(
+        os.path.join(sketch_dir, "batch=c99")
+    )
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want
+
+    # committed compaction folds to one generation, state unchanged
+    compact_cms_state(spark, sketch_dir)
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want
+    live = [d for d in os.listdir(sketch_dir) if d.startswith("batch=")]
+    # absorbed dirs are GC'd; only the committed generation remains
+    # (plus the orphan c99, which stays invisible and superseded)
+    assert any(d.startswith("batch=c") for d in live)
+
+    # post-compaction arrivals keep accumulating on top of the generation
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_cms_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+    got = _state_map(read_cms_state(spark, sketch_dir))
+    want_plus = _state_map(
+        cms_sketch(token_stream(docs.unionByName(first)))
+    )
+    assert got == want_plus
+
+
+def test_cms_second_compaction_no_double_count(spark, tmp_path):
+    """Compacting twice (generation over generation) must not re-absorb
+    mass: the sum lattice is not idempotent, so this is THE correctness
+    property of the manifest protocol."""
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _maintain_cms_batch,
+        compact_cms_state,
+        read_cms_state,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text", "source")
+    sketch_dir = str(tmp_path / "sketch")
+    fn = _maintain_cms_batch(sketch_dir)
+    fn(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    fn(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    want = _state_map(read_cms_state(spark, sketch_dir))
+    compact_cms_state(spark, sketch_dir)
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want
+    fn(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    want2 = _state_map(cms_sketch(token_stream(docs)))
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want2
+    compact_cms_state(spark, sketch_dir)
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want2
+    compact_cms_state(spark, sketch_dir)  # no-op on a single generation
+    assert _state_map(read_cms_state(spark, sketch_dir)) == want2
