@@ -590,3 +590,154 @@ def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_pct"
         ),
     )
+
+
+# --- log-binned quantile sketch ---------------------------------------------
+
+QSKETCH_SUBBITS = 5  # 32 sub-buckets per octave → rel. error <= 2^-5 = 3.125%
+
+_QUANTILES = [(1, 2), (9, 10), (99, 100)]  # exact rationals, no float ceil
+
+
+@register(
+    "logbin_quantile_sketch",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    keyed AS (
+      SELECT c, GREATEST(length(to_base(c, 2)) - 1 - {QSKETCH_SUBBITS}, 0) AS shift
+      FROM c
+    ),
+    hist AS (
+      SELECT shift,
+             c // CAST(power(2, shift) AS BIGINT) AS bkey,
+             (c // CAST(power(2, shift) AS BIGINT))
+               * CAST(power(2, shift) AS BIGINT) AS lower,
+             CAST(power(2, shift) AS BIGINT) AS width,
+             COUNT(*) AS cnt
+      FROM keyed GROUP BY shift, c // CAST(power(2, shift) AS BIGINT)
+    ),
+    cum AS (
+      SELECT *,
+             COALESCE(SUM(cnt) OVER (ORDER BY lower
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hist
+    ),
+    targets AS (
+      SELECT round(CAST(num AS DOUBLE) / den, 2) AS q,
+             (num * n + den - 1) // den AS r, n
+      FROM (VALUES {", ".join(f"({a}, {b})" for a, b in _QUANTILES)}) AS v(num, den)
+      CROSS JOIN n
+    ),
+    est AS (
+      SELECT t.q, t.n, t.r,
+             cum.lower + ((t.r - cum.cb) * cum.width) // cum.cnt AS est_cents
+      FROM targets t JOIN cum ON cum.cb < t.r AND t.r <= cum.cb + cum.cnt
+    ),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM c),
+    ex AS (SELECT t.q, ranked.c AS exact_cents
+           FROM targets t JOIN ranked ON ranked.rk = t.r)
+    SELECT e.q, e.n AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hist) AS n_buckets,
+           round(e.est_cents / 100.0, 6) AS est_price,
+           round(x.exact_cents / 100.0, 6) AS exact_price,
+           round(100.0 * abs(e.est_cents - x.exact_cents) / x.exact_cents, 6)
+             AS err_pct
+    FROM est e JOIN ex x ON x.q = e.q
+    ORDER BY e.q
+    """,
+    doc="Mergeable quantile estimation from a log-binned histogram "
+    "sketch (the HdrHistogram/DDSketch idea, integer-exact): prices in "
+    "cents are bucketed by [floor-log2 octave, 5-bit sub-bucket], so "
+    "the sketch is <= ~32 buckets per octave regardless of row count "
+    "and every bucket bound is a power-of-two arithmetic fact both "
+    "engines compute identically — no libm in the bucket map. p50/p90/"
+    "p99 are read off the cumulative histogram with integer-division "
+    "interpolation; the exact rank values ride along (one global sort "
+    "— the test-scale calibration luxury, dropped at 100 TB exactly "
+    "like KMV's n_exact) and the relative-error column is bounded by "
+    "2^-5 = 3.125% by construction, asserted in tests. Ranks come from "
+    "exact rational ceil ((num*n + den - 1) div den), never float. "
+    "Unlike percentile_approx (opaque, engine-specific) the bucket "
+    "sums are plain counts: cell-wise ADDITIVE like the CMS — per-"
+    "shard partials merge by sum, the streaming-checkpoint shape, and "
+    "day->week rollups fold for free.",
+)
+def q_logbin_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    c = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+    c = c.localCheckpoint(eager=True)
+    n = c.agg(F.count("*").cast("long").alias("n"))
+    keyed = c.select(
+        "c",
+        F.greatest(
+            F.length(F.bin("c")) - 1 - QSKETCH_SUBBITS, F.lit(0)
+        ).alias("shift"),
+    )
+    p2 = F.pow(F.lit(2.0), F.col("shift")).cast("long")
+    hist = (
+        keyed.select("c", "shift", (F.col("c") / p2).cast("long").alias("bkey"), p2.alias("width"))
+        .groupBy("shift", "bkey", "width")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("lower", F.col("bkey") * F.col("width"))
+    )
+    cum = hist.withColumn(
+        "cb",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("lower").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    targets = (
+        spark.createDataFrame(_QUANTILES, "num long, den long")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("num") / F.col("den"), 2).alias("q"),
+            F.expr("(num * n + den - 1) div den").alias("r"),
+            "n",
+        )
+    )
+    est = (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("cb") < F.col("r")) & (F.col("r") <= F.col("cb") + F.col("cnt")),
+        )
+        .select(
+            "q",
+            "n",
+            "r",
+            (
+                F.col("lower")
+                + F.expr("((r - cb) * width) div cnt")
+            ).alias("est_cents"),
+        )
+    )
+    ranked = c.withColumn("rk", F.row_number().over(Window.orderBy("c")))
+    ex = ranked.join(
+        F.broadcast(targets.select("q", "r")), F.col("rk") == F.col("r")
+    ).select("q", F.col("c").alias("exact_cents"))
+    n_buckets = hist.agg(F.count("*").cast("long").alias("n_buckets"))
+    return (
+        est.join(ex, "q")
+        .crossJoin(F.broadcast(n_buckets))
+        .select(
+            "q",
+            F.col("n").alias("n_rows"),
+            "n_buckets",
+            F.round(F.col("est_cents") / 100.0, 6).alias("est_price"),
+            F.round(F.col("exact_cents") / 100.0, 6).alias("exact_price"),
+            F.round(
+                100.0
+                * F.abs(F.col("est_cents") - F.col("exact_cents"))
+                / F.col("exact_cents"),
+                6,
+            ).alias("err_pct"),
+        )
+        .orderBy("q")
+    )

@@ -184,3 +184,66 @@ def test_dau_maintenance_stream_matches_batch_query(spark, tmp_path):
         r["day"]: tuple(r["kmin"])
         for r in read_kmv_state(spark, sk_dir, key="day", key_type="timestamp").collect()
     } == want
+
+
+# --- log-binned quantile sketch ----------------------------------------------
+
+
+def test_logbin_quantile_error_bound(spark):
+    """Relative error must stay within the 2^-SUBBITS construction bound
+    for every quantile, and estimates must be monotone in q."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        QSKETCH_SUBBITS,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    rows = (
+        REGISTRY["logbin_quantile_sketch"].spark(spark, SF_SMOKE).orderBy("q").collect()
+    )
+    assert len(rows) == 3
+    bound = 100.0 / (1 << QSKETCH_SUBBITS)  # 3.125%
+    for r in rows:
+        assert r.err_pct <= bound + 1e-9, (r.q, r.err_pct)
+        assert r.n_buckets <= r.n_rows
+    ests = [r.est_price for r in rows]
+    assert ests == sorted(ests)
+
+
+def test_logbin_histogram_merges_by_sum(spark):
+    """The bucket table of a union is the cell-wise sum of the halves —
+    the property that makes per-shard partials shippable (same additive
+    lattice as the CMS)."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        QSKETCH_SUBBITS,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        (F.col("l_orderkey") % 2).alias("half"),
+    )
+
+    def hist(df):
+        keyed = df.select(
+            "c",
+            F.greatest(
+                F.length(F.bin("c")) - 1 - QSKETCH_SUBBITS, F.lit(0)
+            ).alias("shift"),
+        )
+        p2 = F.pow(F.lit(2.0), F.col("shift")).cast("long")
+        return (
+            keyed.select("shift", (F.col("c") / p2).cast("long").alias("bkey"))
+            .groupBy("shift", "bkey")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    merged = (
+        hist(cents.filter("half = 0"))
+        .unionByName(hist(cents.filter("half = 1")))
+        .groupBy("shift", "bkey")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = hist(cents)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
