@@ -949,3 +949,132 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("rank", "vec_id", F.round("radius", 6).alias("radius")).orderBy(
         "rank"
     )
+
+
+# --- BM25: the saturating, length-normalized lexical ranker ------------------
+
+BM25_SCALE = 1024  # fixed-point scale for the saturation ratio
+BM25_TOPK = 10
+# k1 = 6/5, b = 3/4 as exact rationals. With A = avglen (integer floor
+# of total/doc-count) the per-term saturation clears to integers:
+#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*len/A)
+#   = 22*A*tf / (10*A*tf + 3*A + 9*len)        (x 10A)
+# so the denominator is bounded by DOC length, not corpus size — no
+# overflow growth with corpus (cf. the documented decimal bound in
+# source_token_drift; here the rescale removes the problem entirely).
+
+_BM25_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+  ) GROUP BY doc_id, word
+),
+lens AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS a
+  FROM lens
+),
+df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+         SUM(q.tf
+             * (length(to_base((2 * s.nd) // f.df, 2)) - 1)
+             * (({BM25_SCALE} * 22 * s.a * d.tf)
+                // (10 * s.a * d.tf + 3 * s.a + 9 * l.dl))) AS bm25_score
+  FROM tf q
+  JOIN tf d USING (word)
+  JOIN lens l ON l.doc_id = d.doc_id
+  JOIN df f USING (word)
+  CROSS JOIN stats s
+  WHERE q.doc_id % {QUERY_MOD} = 0 AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+  HAVING bm25_score > 0
+)
+SELECT query_id, doc_id, CAST(bm25_score AS BIGINT) AS bm25_score,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY bm25_score DESC, doc_id) AS rk
+  FROM scored
+) WHERE rk <= {BM25_TOPK}
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "bm25_search",
+    oracle=_BM25_ORACLE,
+    doc="BM25 ranking (Robertson-Sparck Jones) over the token inverted "
+    "index — the saturating, length-normalized lexical leg the plain "
+    "tf x tf scorer in hybrid_search_rrf lacks: term contribution = "
+    "qtf * idf_bits * saturation(tf_d, doclen). Everything is exact "
+    "integer arithmetic: idf as add-one-smoothed whole bits "
+    "(flog2(2N div df) >= 1, the doc_rarity_bits trick with Lucene's "
+    "positive-idf clamp), k1=6/5 b=3/4 cleared to the integer "
+    "ratio 22*A*tf div (10*A*tf + 3*A + 9*len) at fixed point 1024 "
+    "(A = floor mean doc length), so the DuckDB oracle pins scores "
+    "bit-for-bit and — unlike a float BM25 — the rescale keeps every "
+    "intermediate bounded by DOC length, not corpus size: no overflow "
+    "at any scale. Plan shape: the classic token-partitioned "
+    "inverted-index join (tf x tf on the word key) with df and "
+    "doc-length side tables joined in — on a Zipfian corpus the df "
+    "table is the knob that demotes the stopword head before the big "
+    "join (the BM25 analogue of the PPJoin prefix order), and this leg "
+    "swaps into hybrid_search_rrf's fusion unchanged since RRF only "
+    "consumes ranks.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokens as _tokens
+
+    d = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    toks = d.select("doc_id", _tokens("text").alias("t")).localCheckpoint(eager=True)
+    words = toks.select("doc_id", F.explode("t").alias("word")).select(
+        "doc_id", F.xxhash64("word").alias("hw")
+    )
+    tf = words.groupBy("doc_id", "hw").agg(F.count("*").alias("tf"))
+    lens = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count("*").cast("long").alias("nd"),
+        (F.sum("dl") / F.count("*")).cast("long").alias("a"),
+    )
+    df_t = tf.groupBy("hw").agg(F.count("*").cast("long").alias("df"))
+    kept = tf.join(df_t, "hw").crossJoin(F.broadcast(stats))
+    q = kept.filter(F.col("doc_id") % QUERY_MOD == 0).select(
+        F.col("doc_id").alias("query_id"), "hw", F.col("tf").alias("qtf")
+    )
+    joined = (
+        q.join(kept.select("hw", "doc_id", "tf", "df", "nd", "a"), "hw")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(lens, "doc_id")
+    )
+    # Add-one-smoothed whole-bit idf: floor(log2(2N/df)) >= 1 for every
+    # df <= N, so no posting is silently zero-weighted (the synthetic
+    # corpus has a 31-word vocab with df > N/2 for 30 of them — an
+    # unsmoothed floor-log2 idf zeroes the whole score there).
+    idf_bits = F.length(F.bin(F.expr("(2 * nd) div df"))) - 1
+    sat = F.expr(
+        f"({BM25_SCALE} * 22 * a * tf) div (10 * a * tf + 3 * a + 9 * dl)"
+    )
+    scored = (
+        joined.select(
+            "query_id",
+            "doc_id",
+            (F.col("qtf") * idf_bits * sat).alias("term"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term").cast("long").alias("bm25_score"))
+        .filter(F.col("bm25_score") > 0)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("bm25_score"), "doc_id")
+    )
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .orderBy("query_id", "rk")
+    )

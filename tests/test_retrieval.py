@@ -242,3 +242,27 @@ def test_mmr_selection_composes_with_an_ann_shortlist(spark):
         assert rows[0]["cid"] == best[qid][1]
         pen = [r["score"] for r in rows[1:]]
         assert pen == sorted(pen, reverse=True)
+
+
+def test_bm25_shape_and_invariants(spark):
+    """Every query doc gets a dense 1..k ranking, never itself; scores
+    are positive and non-increasing down each ranking."""
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        BM25_TOPK,
+        QUERY_MOD,
+        q_bm25_search,
+    )
+
+    out = q_bm25_search(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id % QUERY_MOD == 0
+        assert r.doc_id != r.query_id
+        assert r.bm25_score > 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= BM25_TOPK
+        scores = [r.bm25_score for r in rows]
+        assert scores == sorted(scores, reverse=True)
