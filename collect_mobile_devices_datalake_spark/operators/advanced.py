@@ -625,3 +625,93 @@ def q_price_discount_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship: priority-then-recency field resolution
+# ---------------------------------------------------------------------------
+
+# Source priority for conflict resolution (higher wins), mirroring the
+# reference's merge semantics (app.js fold-to-object, last-wins per key)
+# upgraded to explicit survivorship: priority first, recency second,
+# event_id as the final total-order tiebreak.
+_SURV_PRIO = {"purchase": 5, "signup": 4, "click": 3, "view": 2, "error": 1}
+
+# The three-level ordering (prio, ts, event_id) is packed into ONE
+# DECIMAL(38,0)/HUGEINT key so max_by gets a total order with map-side
+# partial aggregation (a window would sort every user's history):
+#   key = prio * 10^27 + epoch_micros * 10^10 + event_id
+# epoch_micros < 10^17 for any date before year 5138 and event_id < 10^10
+# by construction, so the three fields cannot collide and the sum stays
+# below 6*10^27 << 10^38. Exact on both engines (Spark DECIMAL(38,0),
+# DuckDB HUGEINT).
+_SURV_KEY_SQL = (
+    "CAST(prio AS HUGEINT) * 1000000000000000000000000000"
+    " + CAST(epoch_us(ts) AS HUGEINT) * 10000000000"
+    " + CAST(event_id AS HUGEINT)"
+)
+
+
+@register(
+    "golden_record_survivorship",
+    oracle=f"""
+    WITH pe AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE event_type WHEN 'purchase' THEN 5 WHEN 'signup' THEN 4
+                  WHEN 'click' THEN 3 WHEN 'view' THEN 2 ELSE 1 END AS prio
+      FROM events
+    ),
+    keyed AS (SELECT *, {_SURV_KEY_SQL} AS okey FROM pe)
+    SELECT user_id,
+           max_by(k, okey) AS golden_k,
+           CAST(max_by(event_id, okey) AS BIGINT) AS golden_event_id,
+           max_by(event_type, okey) AS golden_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts
+    FROM keyed GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Entity-resolution survivorship: one golden record per user, the "
+    "surviving attribute chosen by source priority (purchase > signup > "
+    "click > view > error) then recency then event_id — the reference's "
+    "fold-to-object last-wins merge (app.js merge_array_object) upgraded "
+    "to an explicit, total-ordered conflict-resolution policy. The "
+    "(prio, ts, event_id) ordering is packed into a single exact "
+    "DECIMAL(38,0) key (doc on _SURV_KEY_SQL) so the whole op is ONE "
+    "hash aggregation with map-side partial max_by — no window, no "
+    "per-user sort, no shuffle beyond the single groupBy(user_id) "
+    "exchange — which is the shape that survives 100 TB of events with "
+    "billions of users; ties are impossible because event_id is unique, "
+    "so the argmax is deterministic on both engines.",
+)
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    prio = F.create_map(
+        *[F.lit(x) for kv in _SURV_PRIO.items() for x in kv]
+    )[F.col("event_type")]
+    dec = 'decimal(38,0)'
+    okey = (
+        prio.cast(dec) * F.lit("1000000000000000000000000000").cast(dec)
+        + F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast(dec)
+        * F.lit("10000000000").cast(dec)
+        + F.col("event_id").cast(dec)
+    )
+    keyed = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        okey.alias("okey"),
+    )
+    return (
+        keyed.groupBy("user_id")
+        .agg(
+            F.max_by("k", "okey").alias("golden_k"),
+            F.max_by("event_id", "okey").alias("golden_event_id"),
+            F.max_by("event_type", "okey").alias("golden_type"),
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -928,3 +928,65 @@ def q_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-stratum hash-threshold rates, no per-stratum sort
+# ---------------------------------------------------------------------------
+
+# Knuth's multiplicative constant; doc_id * K stays < 2^63 for doc_id up
+# to ~3.4e9, far beyond any test SF, so the product is exact BIGINT
+# arithmetic on both engines.
+_STRAT_MULT = 2654435761
+_STRAT_MOD = 2147483647  # 2^31 - 1
+_STRAT_DENOM = 1_000_000
+_STRAT_TARGET = 8  # expected docs kept per stratum
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_stratum
+      FROM documents GROUP BY source, lang
+    )
+    SELECT d.doc_id, d.source, d.lang, c.n_stratum
+    FROM documents d
+    JOIN counts c ON d.source = c.source AND d.lang = c.lang
+    WHERE ((d.doc_id * {_STRAT_MULT}) % {_STRAT_MOD}) % {_STRAT_DENOM}
+          * c.n_stratum < {_STRAT_TARGET * _STRAT_DENOM}
+    ORDER BY d.doc_id
+    """,
+    doc="Equal-allocation stratified sampling over (source, lang) strata "
+    "by deterministic hash threshold: a document survives iff "
+    "frac(h(doc_id)) * n_stratum < TARGET * DENOM, i.e. with probability "
+    "~TARGET/n_stratum, so every stratum contributes ~TARGET docs in "
+    "expectation regardless of its raw size (strata at or below TARGET "
+    "keep everything — the inequality is vacuously true). All arithmetic "
+    "is exact BIGINT (multiplicative hash mod 2^31-1, integer cross-"
+    "multiplication instead of division), so the SAMPLE ITSELF — not "
+    "just its size — is reproducible bit-for-bit across engines and "
+    "re-runs, the property a training-data pipeline needs for ablation "
+    "reproducibility. Scale shape: one tiny per-stratum count aggregate "
+    "(|sources|x|langs| rows), broadcast back, then a scan-local filter "
+    "— no per-stratum sort, no window, no rank, so the plan is "
+    "identical at 100 TB: the alternative exact-k design (row_number "
+    "over hash per stratum) pays a full sort of every stratum and is "
+    "rejected in favour of expectation-k; pair with "
+    "source_capped_sample when a hard cap matters more than an "
+    "unsorted scan.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    counts = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_stratum")
+    )
+    frac = ((F.col("doc_id") * F.lit(_STRAT_MULT)) % F.lit(_STRAT_MOD)) % F.lit(
+        _STRAT_DENOM
+    )
+    return (
+        d.join(F.broadcast(counts), ["source", "lang"])
+        .filter(frac * F.col("n_stratum") < F.lit(_STRAT_TARGET * _STRAT_DENOM))
+        .select("doc_id", "source", "lang", "n_stratum")
+        .orderBy("doc_id")
+    )

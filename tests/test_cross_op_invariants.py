@@ -377,3 +377,47 @@ def test_weekly_dau_bounded_by_sum_of_daily(spark):
     assert set(weekly) == set(by_week)
     for w, days in by_week.items():
         assert max(days) <= weekly[w] <= sum(days)
+
+
+def test_golden_record_survivorship_vs_window_reference(spark):
+    # Oracle-independent check: the packed-key max_by must pick exactly
+    # the row a window over (prio DESC, ts DESC, event_id DESC) picks.
+    from pyspark.sql.window import Window
+
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    got = {
+        (r.user_id): (r.golden_event_id, r.golden_type, r.n_events)
+        for r in _q(spark, "golden_record_survivorship").collect()
+    }
+    e = load_table(spark, "events", SF)
+    prio = (
+        F.when(F.col("event_type") == "purchase", 5)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "click", 3)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(1)
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        prio.desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ref = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .collect()
+    )
+    counts = {r.user_id: r.n for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == {
+        r.user_id: (r.event_id, r.event_type, counts[r.user_id]) for r in ref
+    }
+
+
+def test_golden_record_survivorship_plan_has_no_window(spark):
+    # The 100 TB contract: ONE hash aggregation with partial max_by, no
+    # per-user sort.
+    from collect_mobile_devices_datalake_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(_q(spark, "golden_record_survivorship"))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan

