@@ -599,6 +599,27 @@ QSKETCH_SUBBITS = 5  # 32 sub-buckets per octave → rel. error <= 2^-5 = 3.125%
 _QUANTILES = [(1, 2), (9, 10), (99, 100)]  # exact rationals, no float ceil
 
 
+def logbin_hist(c: DataFrame) -> DataFrame:
+    """(shift, bkey, width, cnt, lower): the log-binned histogram of a
+    ``c`` (cents, BIGINT) column. Cell-wise ADDITIVE: per-shard/per-batch
+    partials merge by plain SUM over (shift, bkey, width) — the lattice
+    the streaming twin (streaming/sketch_maintenance.py) checkpoints."""
+    keyed = c.select(
+        "c",
+        F.greatest(
+            F.length(F.bin("c")) - 1 - QSKETCH_SUBBITS, F.lit(0)
+        ).alias("shift"),
+    )
+    p2 = F.pow(F.lit(2.0), F.col("shift")).cast("long")
+    return (
+        keyed.select("c", "shift", (F.col("c") / p2).cast("long").alias("bkey"), p2.alias("width"))
+        .groupBy("shift", "bkey", "width")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("lower", F.col("bkey") * F.col("width"))
+    )
+
+
+
 @register(
     "logbin_quantile_sketch",
     oracle=f"""
@@ -672,19 +693,7 @@ def q_logbin_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
     c = c.localCheckpoint(eager=True)
     n = c.agg(F.count("*").cast("long").alias("n"))
-    keyed = c.select(
-        "c",
-        F.greatest(
-            F.length(F.bin("c")) - 1 - QSKETCH_SUBBITS, F.lit(0)
-        ).alias("shift"),
-    )
-    p2 = F.pow(F.lit(2.0), F.col("shift")).cast("long")
-    hist = (
-        keyed.select("c", "shift", (F.col("c") / p2).cast("long").alias("bkey"), p2.alias("width"))
-        .groupBy("shift", "bkey", "width")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("lower", F.col("bkey") * F.col("width"))
-    )
+    hist = logbin_hist(c)
     cum = hist.withColumn(
         "cb",
         F.coalesce(

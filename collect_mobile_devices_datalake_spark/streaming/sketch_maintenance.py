@@ -220,16 +220,24 @@ def _cms_live_parts(sketch_dir: str) -> list[str]:
     return out
 
 
-def read_cms_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """(row_j, cell, cnt): the current sketch — cell-wise sum of every
-    live batch partial. Reading IS merging, same as read_kmv_state."""
+def _read_sum_state(
+    spark: SparkSession, sketch_dir: str, keys: list[str], empty_schema: str
+) -> DataFrame:
+    """Generic sum-lattice read: cell-wise sum of every live batch
+    partial over ``keys``. Reading IS merging, same as read_kmv_state;
+    shared by the CMS and logbin-histogram streams (identical protocol,
+    different cell keys)."""
     parts = [os.path.join(sketch_dir, d) for d in _cms_live_parts(sketch_dir)]
     if not parts:
-        return spark.createDataFrame([], "row_j int, cell bigint, cnt bigint")
-    return (
-        spark.read.parquet(*parts)
-        .groupBy("row_j", "cell")
-        .agg(F.sum("cnt").alias("cnt"))
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(*parts).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def read_cms_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """(row_j, cell, cnt): the current sketch — cell-wise sum of every
+    live batch partial."""
+    return _read_sum_state(
+        spark, sketch_dir, ["row_j", "cell"], "row_j int, cell bigint, cnt bigint"
     )
 
 
@@ -258,6 +266,12 @@ def start_cms_maintenance_stream(
 
 
 def compact_cms_state(spark: SparkSession, sketch_dir: str) -> None:
+    _compact_sum_state(spark, sketch_dir, ["row_j", "cell"])
+
+
+def _compact_sum_state(
+    spark: SparkSession, sketch_dir: str, keys: list[str]
+) -> None:
     """Fold the live partials into one committed generation.
 
     The sum lattice is NOT idempotent, so unlike `compact_kmv_state`
@@ -277,7 +291,7 @@ def compact_cms_state(spark: SparkSession, sketch_dir: str) -> None:
         return
     merged = (
         spark.read.parquet(*[os.path.join(sketch_dir, d) for d in live])
-        .groupBy("row_j", "cell")
+        .groupBy(*keys)
         .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint(eager=True)
     )
@@ -304,3 +318,75 @@ def compact_cms_state(spark: SparkSession, sketch_dir: str) -> None:
 
     for d in live:  # GC; crash-safe (manifest already excludes them)
         shutil.rmtree(os.path.join(sketch_dir, d), ignore_errors=True)
+
+
+# --- log-binned quantile-histogram maintenance -------------------------------
+#
+# Third instance of the batch-partition protocol, second of the SUM
+# lattice: the logbin histogram (operators/sketches.py::logbin_hist) is
+# cell-wise additive over (shift, bkey, width) exactly like the CMS is
+# over (row_j, cell), so the read/compact/crash-safety machinery is the
+# SAME code (_read_sum_state / _compact_sum_state) — a live p50/p90/p99
+# over an order stream costs one bounded histogram partial per batch.
+# Same delivery caveat as the CMS: checkpoint replay repairs in place,
+# wholesale producer re-delivery under a fresh batch id double-counts.
+
+from ..operators.sketches import logbin_hist  # noqa: E402
+
+ORDERS_SCHEMA = "o_orderkey bigint, o_totalprice double"
+
+_LOGBIN_KEYS = ["shift", "bkey", "width"]
+_LOGBIN_EMPTY = "shift int, bkey bigint, width bigint, cnt bigint"
+
+
+def _maintain_logbin_batch(sketch_dir: str):
+    """foreachBatch body: this batch's bounded histogram partial
+    (<= ~32 buckets per price octave regardless of batch size)."""
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        c = batch.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+        )
+        partial = logbin_hist(c).drop("lower")  # lower = bkey*width, derived
+        partial.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"batch={batch_id}")
+        )
+
+    return fn
+
+
+def read_logbin_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """(shift, bkey, width, cnt, lower): the current histogram — fold of
+    every live batch partial, lower bound rebuilt for the quantile
+    read-off."""
+    return _read_sum_state(spark, sketch_dir, _LOGBIN_KEYS, _LOGBIN_EMPTY).withColumn(
+        "lower", F.col("bkey") * F.col("width")
+    )
+
+
+def compact_logbin_state(spark: SparkSession, sketch_dir: str) -> None:
+    _compact_sum_state(spark, sketch_dir, _LOGBIN_KEYS)
+
+
+def start_logbin_maintenance_stream(
+    spark: SparkSession,
+    orders_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming price-quantile histogram: the live counterpart of
+    logbin_quantile_sketch's build stage. State is O(buckets *
+    batches-since-compaction); `compact_logbin_state` folds it back to
+    one committed generation under the same manifest commit."""
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(orders_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_maintain_logbin_batch(sketch_dir))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "logbin_maint"))
+        .trigger(availableNow=True)
+        .start()
+    )

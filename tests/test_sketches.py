@@ -247,3 +247,56 @@ def test_logbin_histogram_merges_by_sum(spark):
     full = hist(cents)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_logbin_maintenance_stream_matches_batch(spark, tmp_path):
+    """Streamed order arrivals converge to the batch histogram (so the
+    streamed state answers the same quantiles); checkpoint replay
+    repairs in place; compaction commits through the shared manifest
+    protocol (crash windows are exercised exhaustively in test_cms —
+    the machinery is the same _sum_state code, different cell keys)."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.operators.sketches import logbin_hist
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _maintain_logbin_batch,
+        compact_logbin_state,
+        read_logbin_state,
+        start_logbin_maintenance_stream,
+    )
+
+    orders = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_totalprice")
+    orders_dir = str(tmp_path / "orders_in")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(orders_dir)
+    start_logbin_maintenance_stream(spark, orders_dir, sketch_dir, ckpt).awaitTermination(120)
+    second.coalesce(1).write.mode("append").parquet(orders_dir)
+    start_logbin_maintenance_stream(spark, orders_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    def hist_map(df):
+        return {
+            (r["shift"], r["bkey"], r["width"], r["lower"]): r["cnt"]
+            for r in df.collect()
+        }
+
+    want = hist_map(
+        logbin_hist(
+            orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        )
+    )
+    assert hist_map(read_logbin_state(spark, sketch_dir)) == want and len(want) > 0
+
+    # checkpoint replay (same batch id) rewrites wholesale: no drift
+    _maintain_logbin_batch(sketch_dir)(first, 0)
+    assert hist_map(read_logbin_state(spark, sketch_dir)) == want
+
+    # committed compaction folds to one generation, state unchanged
+    compact_logbin_state(spark, sketch_dir)
+    assert hist_map(read_logbin_state(spark, sketch_dir)) == want
+    live = [d for d in os.listdir(sketch_dir) if d.startswith("batch=")]
+    assert any(d.startswith("batch=c") for d in live)
