@@ -990,3 +990,152 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_stratum")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes quality classifier: the supervised member of the filter family
+# ---------------------------------------------------------------------------
+
+NB_SCALE = 1024  # fixed-point scale for the likelihood-ratio weights
+
+# one token's rolling hash (t bound by the enclosing scope) — the same
+# pure-arithmetic polynomial both engines compute bit-identically
+_NB_TOKEN_HASH_SQL = (
+    "list_reduce(list_transform(range(1, length(t) + 1), "
+    "i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), "
+    "(acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+_NB_CLEAN_SQL = "('" + "', '".join(CCNET_REF_SOURCES) + "')"
+
+
+@register(
+    "nb_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, source IN {_NB_CLEAN_SQL} AS is_clean,
+             {_NB_TOKEN_HASH_SQL} AS h
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents
+      ) WHERE length(t) > 0
+    ),
+    stats AS (
+      SELECT h,
+             CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT) AS c_c,
+             CAST(SUM(CASE WHEN is_clean THEN 0 ELSE 1 END) AS BIGINT) AS c_w
+      FROM toks GROUP BY h
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_c) AS BIGINT) AS n_c, CAST(SUM(c_w) AS BIGINT) AS n_w,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM stats
+    ),
+    w AS (
+      SELECT h,
+             CAST(CAST({NB_SCALE} AS HUGEINT) * (c_c + 1) * (n_w + v)
+                  // (CAST(c_w + 1 AS HUGEINT) * (n_c + v)) AS BIGINT)
+               - {NB_SCALE} AS wt
+      FROM stats CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT t.doc_id, t.source, CAST(SUM(w.wt) AS BIGINT) AS score
+      FROM toks t JOIN w ON w.h = t.h GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CASE WHEN source IN {_NB_CLEAN_SQL} THEN 'clean' ELSE 'web' END AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_clean,
+           round(CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pred_clean_frac,
+           CAST(SUM(score) AS BIGINT) AS total_score
+    FROM scores GROUP BY source ORDER BY source
+    """,
+    doc="The supervised quality filter (the GPT-3/fastText recipe, as "
+    "Naive Bayes): token weights are add-one-smoothed likelihood ratios "
+    "between the clean reference sources (src0-4, the same split "
+    "ccnet_lm_buckets trains on) and the rest of the corpus, and a "
+    "document is predicted clean when its occurrence-summed weight is "
+    "positive. Logs through libm round differently per engine, so the "
+    "weight is the DSIR fixed-point trick applied to the NB ratio: "
+    "wt = (SCALE*(c_c+1)*(N_w+V)) div ((c_w+1)*(N_c+V)) - SCALE, exact "
+    "decimal(38,0)/HUGEINT arithmetic (the triple product reaches "
+    "~SCALE*N^2, past BIGINT at N ~ 3e6, never past 38 digits below "
+    "N ~ 1e17), centered so wt tracks SCALE*ln-ratio to first order; "
+    "the balanced-prior decision threshold 0 is documented rather than "
+    "a class-prior term (the prior is one additive constant per doc). "
+    "Output is the per-source confusion report — clean sources should "
+    "score high pred_clean_frac, web sources low — making the op its "
+    "own calibration harness, like the sketch-QA family. Scale shape: "
+    "token stats and doc scores are hash aggregations on the 8-byte "
+    "rolling hash (never the token string); the totals row is a "
+    "broadcast cross join; the weight join is the same vocabulary-"
+    "keyed shuffle the TF-IDF and drift ops pay. Self-scoring on the "
+    "training corpus is deliberate (a calibration view, not a held-out "
+    "eval — train_split_assign provides the split when one is needed).",
+)
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rolling_hash as _rh
+    from ..functions.text import tokens as _tokens
+
+    d = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    toks = (
+        d.select("doc_id", "source", F.explode(_tokens("text")).alias("t"))
+        .filter(F.length("t") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("source").isin(*CCNET_REF_SOURCES).alias("is_clean"),
+            _rh("t").alias("h"),
+        )
+        .localCheckpoint(eager=True)  # tokenized once; reused by stats + scores
+    )
+    stats = toks.groupBy("h").agg(
+        F.sum(F.when(F.col("is_clean"), 1).otherwise(0)).cast("long").alias("c_c"),
+        F.sum(F.when(F.col("is_clean"), 0).otherwise(1)).cast("long").alias("c_w"),
+    )
+    tot = stats.agg(
+        F.sum("c_c").cast("long").alias("n_c"),
+        F.sum("c_w").cast("long").alias("n_w"),
+        F.count("*").cast("long").alias("v"),
+    )
+    d38 = "decimal(38,0)"
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "h",
+        (
+            F.expr(
+                f"CAST(CAST({NB_SCALE} AS {d38}) * (c_c + 1) * (n_w + v)"
+                f" div (CAST(c_w + 1 AS {d38}) * (n_c + v)) AS BIGINT)"
+            )
+            - NB_SCALE
+        ).alias("wt"),
+    )
+    scores = (
+        toks.join(w, "h")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("wt").cast("long").alias("score"))
+    )
+    return (
+        scores.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred_clean"),
+            F.sum("score").cast("long").alias("total_score"),
+        )
+        .select(
+            "source",
+            F.when(F.col("source").isin(*CCNET_REF_SOURCES), "clean")
+            .otherwise("web")
+            .alias("label"),
+            "n_docs",
+            "n_pred_clean",
+            F.round(
+                F.col("n_pred_clean").cast("double") / F.col("n_docs"), 6
+            ).alias("pred_clean_frac"),
+            "total_score",
+        )
+        .orderBy("source")
+    )

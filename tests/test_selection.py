@@ -199,3 +199,27 @@ def test_stratified_sample_plan_is_broadcast_filter(spark):
     plan = formatted_plan(REGISTRY["stratified_sample"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_nb_quality_classifier_separates_reference_sources(spark):
+    # The calibration claim: the reference (clean) sources must score a
+    # higher mean predicted-clean fraction than the web sources, and the
+    # aggregate score mass of the clean class must be positive — the
+    # direction a likelihood-ratio classifier trained on that very split
+    # cannot get wrong unless the arithmetic is broken.
+    rows = REGISTRY["nb_quality_classifier"].spark(spark, SF_SMOKE).collect()
+    clean = [r for r in rows if r.label == "clean"]
+    web = [r for r in rows if r.label == "web"]
+    assert clean and web
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([r.pred_clean_frac for r in clean]) > mean(
+        [r.pred_clean_frac for r in web]
+    )
+    assert sum(r.total_score for r in clean) > 0
+    # fixed-point floor: a weight can never drop below -SCALE, so no
+    # document's score can be below -SCALE * its token count — spot the
+    # bound through the per-source aggregate
+    from collect_mobile_devices_datalake_spark.operators.selection import NB_SCALE
+
+    for r in rows:
+        assert r.total_score >= -NB_SCALE * 10_000 * r.n_docs
