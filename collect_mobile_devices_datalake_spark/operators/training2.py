@@ -238,3 +238,149 @@ def q_domain_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         F.floor(p * 1_000_000).cast("bigint").alias("epoch_docs"),
         F.round(p * 1_000_000 / F.col("n_docs"), 12).alias("epochs_per_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Waterfill token-budget allocation across domains
+# ---------------------------------------------------------------------------
+
+# Budget as an exact rational fraction of the corpus (2/5 = 40%): float
+# multiplication would round differently per engine; num/den integers
+# never do.
+WATERFILL_BUDGET_NUM = 2
+WATERFILL_BUDGET_DEN = 5
+
+
+@register(
+    "domain_token_waterfill",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_tokens) AS BIGINT) * {WATERFILL_BUDGET_NUM}
+               // {WATERFILL_BUDGET_DEN} AS budget
+      FROM per
+    ),
+    ranked AS (
+      SELECT p.source, p.n_tokens, t.k, t.budget,
+             row_number() OVER (ORDER BY p.n_tokens, p.source) AS i,
+             SUM(p.n_tokens) OVER (ORDER BY p.n_tokens, p.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM per p CROSS JOIN tot t
+    ),
+    cut AS (
+      SELECT COALESCE(MAX(CASE
+               WHEN i = k AND prefix <= budget THEN i
+               WHEN i < k AND n_tokens <= (budget - prefix) // (k - i) THEN i
+               ELSE NULL END), 0) AS j,
+             COALESCE(MAX(CASE
+               WHEN i = k AND prefix <= budget THEN prefix
+               WHEN i < k AND n_tokens <= (budget - prefix) // (k - i) THEN prefix
+               ELSE NULL END), 0) AS prefix_j
+      FROM ranked
+    ),
+    lvl AS (
+      SELECT j, CASE WHEN j >= (SELECT k FROM tot) THEN NULL
+                     ELSE (budget - prefix_j) // ((SELECT k FROM tot) - j)
+                END AS level, budget
+      FROM cut CROSS JOIN tot
+    )
+    SELECT r.source, r.n_tokens,
+           CAST(CASE WHEN r.i <= l.j THEN r.n_tokens
+                ELSE LEAST(r.n_tokens, l.level) END AS BIGINT) AS alloc_tokens,
+           round(CAST(CASE WHEN r.i <= l.j THEN r.n_tokens
+                           ELSE LEAST(r.n_tokens, l.level) END AS DOUBLE)
+                 / r.n_tokens, 6) AS keep_rate,
+           r.i <= l.j AS saturated,
+           CAST(l.level AS BIGINT) AS level, CAST(l.budget AS BIGINT) AS budget
+    FROM ranked r CROSS JOIN lvl l
+    ORDER BY r.source
+    """,
+    doc="Token-budget waterfilling across domains: given a corpus budget "
+    "(an exact 2/5 rational of total tokens), every domain receives "
+    "min(its tokens, L) where the water level L is the largest integer "
+    "level the budget covers — small domains keep everything "
+    "(saturated), large domains are clipped to the common level, the "
+    "allocation that maximizes the minimum domain share (the DoReMi/"
+    "balanced-mix budgeting step before temperature sampling picks "
+    "epoch probabilities). The cut point j is found closed-form from "
+    "the sorted prefix sums — for each candidate prefix of ascending "
+    "domains, saturating it is feasible iff the remaining per-slot "
+    "level (budget - prefix_j) div (k - j) still covers the largest "
+    "saturated domain; j* is the max feasible cut, no iteration, no "
+    "floats anywhere except the surfaced keep_rate. Scale shape: one "
+    "scan aggregates per-domain token counts; everything after runs on "
+    "a |domains|-row table (the bounded-cardinality SinglePartition "
+    "window curriculum_bins also uses) — at 100 TB the window sees "
+    "hundreds of rows, never documents.",
+)
+def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    per = (
+        d.select("source", token_count("text").cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+        F.expr(
+            f"CAST(SUM(n_tokens) * {WATERFILL_BUDGET_NUM}"
+            f" div {WATERFILL_BUDGET_DEN} AS BIGINT)"
+        ).alias("budget"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    ).localCheckpoint(eager=True)  # reused by the cut aggregate and the output
+    feasible = F.when(
+        (F.col("i") == F.col("k")) & (F.col("prefix") <= F.col("budget")), True
+    ).when(
+        (F.col("i") < F.col("k"))
+        & (
+            F.col("n_tokens")
+            <= F.expr("(budget - prefix) div (k - i)")
+        ),
+        True,
+    )
+    cut = ranked.agg(
+        F.coalesce(F.max(F.when(feasible, F.col("i"))), F.lit(0)).alias("j"),
+        F.coalesce(F.max(F.when(feasible, F.col("prefix"))), F.lit(0)).alias(
+            "prefix_j"
+        ),
+    )
+    out = ranked.crossJoin(F.broadcast(cut)).withColumn(
+        "level",
+        F.when(F.col("j") >= F.col("k"), F.lit(None).cast("long")).otherwise(
+            F.expr("(budget - prefix_j) div (k - j)")
+        ),
+    )
+    alloc = F.when(F.col("i") <= F.col("j"), F.col("n_tokens")).otherwise(
+        F.least(F.col("n_tokens"), F.col("level"))
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("keep_rate"),
+        (F.col("i") <= F.col("j")).alias("saturated"),
+        "level",
+        "budget",
+    ).orderBy("source")

@@ -105,3 +105,25 @@ class TestContamination:
             assert splits[r["train_doc"]] == "train"
             assert splits[r["test_doc"]] == "test"
             assert r["n_shared"] >= 3
+
+
+def test_domain_token_waterfill_is_maximal(spark):
+    # The waterfill contract: allocations never exceed the budget, and
+    # raising the level by one token would — i.e. the level is maximal.
+    # Saturated domains keep everything; clipped domains sit exactly at
+    # the level.
+    rows = REGISTRY["domain_token_waterfill"].spark(spark, SF).collect()
+    budget = rows[0].budget
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    assert total_alloc <= budget
+    level = rows[0].level
+    if level is not None:
+        would = sum(min(r.n_tokens, level + 1) for r in rows)
+        assert would > budget
+        for r in rows:
+            if r.saturated:
+                assert r.alloc_tokens == r.n_tokens
+            else:
+                assert r.alloc_tokens == min(r.n_tokens, level)
+    else:
+        assert all(r.alloc_tokens == r.n_tokens for r in rows)
