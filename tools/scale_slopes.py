@@ -54,6 +54,12 @@ KERNELS = [
     ("kmv_vocab_distinct", "documents"),
     ("unigram_lm_segmentation", "documents"),
     ("kcenter_coreset", "embeddings"),
+    # final-session linear-claim kernels: NB classifier (vocab-keyed
+    # shuffles), stratified sampling (broadcast-count + scan filter),
+    # waterfill (one count scan + |domains|-row window)
+    ("nb_quality_classifier", "documents"),
+    ("stratified_sample", "documents"),
+    ("domain_token_waterfill", "documents"),
 ]
 
 
