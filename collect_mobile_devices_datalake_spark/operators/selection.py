@@ -1139,3 +1139,68 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling: the acceptance-sampling step after importance scoring
+# ---------------------------------------------------------------------------
+
+_RS_MOD = 1 << 20  # acceptance-fraction denominator
+_RS_HALF = 1 << 19  # score 0 -> probability 1/2
+_RS_SLOPE = 256  # d(threshold)/d(score): +-1024 score ~ +-25% acceptance
+
+
+def _dsir_resample_oracle() -> str:
+    from ..registry import REGISTRY
+
+    dsir = REGISTRY["dsir_importance_score"].oracle
+    return f"""
+    WITH d AS (SELECT doc_id, n_tokens, dsir_score FROM ({dsir})),
+    t AS (
+      SELECT doc_id, n_tokens, dsir_score,
+             LEAST({_RS_MOD}, GREATEST(0,
+               {_RS_HALF} + dsir_score * {_RS_SLOPE})) AS accept_threshold,
+             ((doc_id * 2654435761) % 2147483647) % {_RS_MOD} AS frac
+      FROM d
+    )
+    SELECT doc_id, n_tokens, dsir_score,
+           CAST(accept_threshold AS BIGINT) AS accept_threshold,
+           frac < accept_threshold AS accepted
+    FROM t ORDER BY doc_id
+    """
+
+
+@register(
+    "dsir_resample",
+    oracle=_dsir_resample_oracle(),
+    doc="The DSIR selection step (Xie et al. 2023 resample documents "
+    "with probability proportional to importance weight): each document "
+    "is accepted iff a deterministic hash fraction of its doc_id falls "
+    "under a threshold MONOTONE in its certified dsir_importance_score. "
+    "True exponential tilting (prob ~ e^(score/1024)) needs libm, so "
+    "the threshold is the clamped LINEAR surrogate 1/2 + score*256/2^20 "
+    "— order-preserving in the weight, exact in integers, and "
+    "reproducible bit-for-bit across engines and re-runs (the same "
+    "ablation-reproducibility argument as stratified_sample; a Gumbel "
+    "top-k would need per-row randomness no SQL engine replays). The "
+    "oracle composes the registered DSIR oracle verbatim, so parity "
+    "covers scoring + selection end to end. Scale shape: adds one "
+    "scan-local projection and filter on top of dsir_importance_score's "
+    "broadcast-weight aggregation — nothing new moves.",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q_dsir_importance_score(spark, sf_dir)
+    thr = F.least(
+        F.lit(_RS_MOD),
+        F.greatest(F.lit(0), F.lit(_RS_HALF) + F.col("dsir_score") * _RS_SLOPE),
+    )
+    frac = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)) % F.lit(
+        _RS_MOD
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_score",
+        thr.cast("long").alias("accept_threshold"),
+        (frac < thr).alias("accepted"),
+    ).orderBy("doc_id")

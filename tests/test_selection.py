@@ -223,3 +223,25 @@ def test_nb_quality_classifier_separates_reference_sources(spark):
 
     for r in rows:
         assert r.total_score >= -NB_SCALE * 10_000 * r.n_docs
+
+
+def test_dsir_resample_monotone_in_score(spark):
+    # Acceptance must be monotone in the importance score: the top score
+    # tercile's acceptance rate strictly exceeds the bottom tercile's
+    # (the property exponential tilting has and the linear surrogate
+    # must keep), and re-running yields the identical accepted set.
+    rows = REGISTRY["dsir_resample"].spark(spark, SF_SMOKE).collect()
+    rows2 = REGISTRY["dsir_resample"].spark(spark, SF_SMOKE).collect()
+    assert {(r.doc_id, r.accepted) for r in rows} == {
+        (r.doc_id, r.accepted) for r in rows2
+    }
+    ordered = sorted(rows, key=lambda r: r.dsir_score)
+    k = len(ordered) // 3
+    lo, hi = ordered[:k], ordered[-k:]
+    rate = lambda xs: sum(r.accepted for r in xs) / len(xs)  # noqa: E731
+    assert rate(hi) > rate(lo)
+    # thresholds clamp inside [0, MOD]
+    from collect_mobile_devices_datalake_spark.operators.selection import _RS_MOD
+
+    for r in rows:
+        assert 0 <= r.accept_threshold <= _RS_MOD
