@@ -251,28 +251,27 @@ WATERFILL_BUDGET_NUM = 2
 WATERFILL_BUDGET_DEN = 5
 
 
-@register(
-    "domain_token_waterfill",
-    oracle=f"""
-    WITH per AS (
-      SELECT source,
-             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-               AS n_tokens
-      FROM documents GROUP BY source
-    ),
+
+def waterfill_sql(per_cte: str) -> str:
+    """The waterfill CTE chain over a prior CTE ``per_cte`` with columns
+    (source, n_tokens). Yields CTEs tot/ranked/cut/lvl and finally
+    ``alloc`` (source, n_tokens, alloc_tokens, saturated, level,
+    budget) — composed verbatim by every oracle that budgets tokens, so
+    parity always covers the same arithmetic the Spark side runs."""
+    return f"""
     tot AS (
       SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
              CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n_tokens) AS BIGINT) * {WATERFILL_BUDGET_NUM}
                // {WATERFILL_BUDGET_DEN} AS budget
-      FROM per
+      FROM {per_cte}
     ),
     ranked AS (
       SELECT p.source, p.n_tokens, t.k, t.budget,
              row_number() OVER (ORDER BY p.n_tokens, p.source) AS i,
              SUM(p.n_tokens) OVER (ORDER BY p.n_tokens, p.source
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
-      FROM per p CROSS JOIN tot t
+      FROM {per_cte} p CROSS JOIN tot t
     ),
     cut AS (
       SELECT COALESCE(MAX(CASE
@@ -290,47 +289,24 @@ WATERFILL_BUDGET_DEN = 5
                      ELSE (budget - prefix_j) // ((SELECT k FROM tot) - j)
                 END AS level, budget
       FROM cut CROSS JOIN tot
-    )
-    SELECT r.source, r.n_tokens,
-           CAST(CASE WHEN r.i <= l.j THEN r.n_tokens
-                ELSE LEAST(r.n_tokens, l.level) END AS BIGINT) AS alloc_tokens,
-           round(CAST(CASE WHEN r.i <= l.j THEN r.n_tokens
-                           ELSE LEAST(r.n_tokens, l.level) END AS DOUBLE)
-                 / r.n_tokens, 6) AS keep_rate,
-           r.i <= l.j AS saturated,
-           CAST(l.level AS BIGINT) AS level, CAST(l.budget AS BIGINT) AS budget
-    FROM ranked r CROSS JOIN lvl l
-    ORDER BY r.source
-    """,
-    doc="Token-budget waterfilling across domains: given a corpus budget "
-    "(an exact 2/5 rational of total tokens), every domain receives "
-    "min(its tokens, L) where the water level L is the largest integer "
-    "level the budget covers — small domains keep everything "
-    "(saturated), large domains are clipped to the common level, the "
-    "allocation that maximizes the minimum domain share (the DoReMi/"
-    "balanced-mix budgeting step before temperature sampling picks "
-    "epoch probabilities). The cut point j is found closed-form from "
-    "the sorted prefix sums — for each candidate prefix of ascending "
-    "domains, saturating it is feasible iff the remaining per-slot "
-    "level (budget - prefix_j) div (k - j) still covers the largest "
-    "saturated domain; j* is the max feasible cut, no iteration, no "
-    "floats anywhere except the surfaced keep_rate. Scale shape: one "
-    "scan aggregates per-domain token counts; everything after runs on "
-    "a |domains|-row table (the bounded-cardinality SinglePartition "
-    "window curriculum_bins also uses) — at 100 TB the window sees "
-    "hundreds of rows, never documents.",
-)
-def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ),
+    alloc AS (
+      SELECT r.source, r.n_tokens,
+             CAST(CASE WHEN r.i <= l.j THEN r.n_tokens
+                  ELSE LEAST(r.n_tokens, l.level) END AS BIGINT) AS alloc_tokens,
+             r.i <= l.j AS saturated,
+             CAST(l.level AS BIGINT) AS level, CAST(l.budget AS BIGINT) AS budget
+      FROM ranked r CROSS JOIN lvl l
+    )"""
+
+
+def waterfill_alloc(per: DataFrame) -> DataFrame:
+    """(source, n_tokens, alloc_tokens, saturated, level, budget): the
+    closed-form waterfill allocation over a (source, n_tokens) frame —
+    the Spark mirror of ``waterfill_sql`` (see q_domain_token_waterfill's
+    doc for the cut-point argument)."""
     from pyspark.sql.window import Window
 
-    from ..functions.text import token_count
-
-    d = load_table(spark, "documents", sf_dir)
-    per = (
-        d.select("source", token_count("text").cast("long").alias("nt"))
-        .groupBy("source")
-        .agg(F.sum("nt").cast("long").alias("n_tokens"))
-    )
     tot = per.agg(
         F.sum("n_tokens").cast("long").alias("total"),
         F.count("*").cast("long").alias("k"),
@@ -354,10 +330,7 @@ def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") == F.col("k")) & (F.col("prefix") <= F.col("budget")), True
     ).when(
         (F.col("i") < F.col("k"))
-        & (
-            F.col("n_tokens")
-            <= F.expr("(budget - prefix) div (k - i)")
-        ),
+        & (F.col("n_tokens") <= F.expr("(budget - prefix) div (k - i)")),
         True,
     )
     cut = ranked.agg(
@@ -379,8 +352,159 @@ def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         alloc.alias("alloc_tokens"),
-        F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("keep_rate"),
         (F.col("i") <= F.col("j")).alias("saturated"),
         "level",
         "budget",
+    )
+
+
+@register(
+    "domain_token_waterfill",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),{waterfill_sql("per")}
+    SELECT a.source, a.n_tokens, a.alloc_tokens,
+           round(CAST(a.alloc_tokens AS DOUBLE) / a.n_tokens, 6) AS keep_rate,
+           a.saturated, a.level, a.budget
+    FROM alloc a ORDER BY a.source
+    """,
+    doc="Token-budget waterfilling across domains: given a corpus budget "
+    "(an exact 2/5 rational of total tokens), every domain receives "
+    "min(its tokens, L) where the water level L is the largest integer "
+    "level the budget covers — small domains keep everything "
+    "(saturated), large domains are clipped to the common level, the "
+    "allocation that maximizes the minimum domain share (the DoReMi/"
+    "balanced-mix budgeting step before temperature sampling picks "
+    "epoch probabilities). The cut point j is found closed-form from "
+    "the sorted prefix sums — for each candidate prefix of ascending "
+    "domains, saturating it is feasible iff the remaining per-slot "
+    "level (budget - prefix_j) div (k - j) still covers the largest "
+    "saturated domain; j* is the max feasible cut, no iteration, no "
+    "floats anywhere except the surfaced keep_rate. Scale shape: one "
+    "scan aggregates per-domain token counts; everything after runs on "
+    "a |domains|-row table (the bounded-cardinality SinglePartition "
+    "window curriculum_bins also uses) — at 100 TB the window sees "
+    "hundreds of rows, never documents.",
+)
+def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    per = (
+        d.select("source", token_count("text").cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    a = waterfill_alloc(per)
+    return a.select(
+        "source",
+        "n_tokens",
+        "alloc_tokens",
+        F.round(
+            F.col("alloc_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("keep_rate"),
+        "saturated",
+        "level",
+        "budget",
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Curated-mix manifest: quality gate -> budget -> deterministic cut
+# ---------------------------------------------------------------------------
+
+
+def _curated_mix_oracle() -> str:
+    # the composed key must be REGISTERED before lookup — import its
+    # module explicitly instead of relying on registry load order (the
+    # retrieval.py lesson)
+    from . import selection as _selection  # noqa: F401
+    from ..registry import REGISTRY
+
+    ccnet = REGISTRY["ccnet_lm_buckets"].oracle
+    return f"""
+    WITH buckets AS (SELECT doc_id, ppl_bucket FROM ({ccnet})),
+    kept AS (
+      SELECT d.doc_id, d.source, b.ppl_bucket,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents d JOIN buckets b ON b.doc_id = d.doc_id
+      WHERE b.ppl_bucket <> 'tail'
+    ),
+    per AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source
+    ),{waterfill_sql("per")},
+    cum AS (
+      SELECT k.doc_id, k.source, k.ppl_bucket, k.n_tokens, a.alloc_tokens,
+             SUM(k.n_tokens) OVER (PARTITION BY k.source
+               ORDER BY (k.doc_id * 2654435761) % 2147483647, k.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM kept k JOIN alloc a USING (source)
+    )
+    SELECT doc_id, source, ppl_bucket, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= alloc_tokens AS in_mix
+    FROM cum ORDER BY doc_id
+    """
+
+
+@register(
+    "curated_mix_manifest",
+    oracle=_curated_mix_oracle(),
+    doc="The curation pipeline's capstone, end to end in one manifest: "
+    "(1) the CCNet perplexity gate keeps head+middle documents "
+    "(composing the registered ccnet_lm_buckets oracle verbatim), "
+    "(2) the waterfill budget allocates the 2/5 token budget across "
+    "sources over the KEPT tokens (composing waterfill_sql — both "
+    "upstream oracles are reused, never re-derived, so parity certifies "
+    "the real composition), and (3) within each source, documents enter "
+    "the mix in deterministic hash order until the allocation is "
+    "exhausted — a prefix cut, so the mix is bit-reproducible and "
+    "append-only with respect to budget increases (a bigger budget "
+    "extends each source's prefix, never reshuffles it — what makes "
+    "ablation runs at nested budgets comparable). Scale shape: the "
+    "gate and token counts are scans; the budget runs on a "
+    "|sources|-row table; the cut is one window partitioned by source "
+    "ordered by an 8-byte hash — the same single-shuffle shape as "
+    "doc_chunking, no global sort anywhere.",
+)
+def q_curated_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import token_count
+    from ..operators.selection import q_ccnet_lm_buckets
+
+    buckets = q_ccnet_lm_buckets(spark, sf_dir).select("doc_id", "ppl_bucket")
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    kept = (
+        d.join(buckets, "doc_id")
+        .filter(F.col("ppl_bucket") != "tail")
+        .localCheckpoint(eager=True)  # reused: per-source sums + the cut window
+    )
+    per = kept.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens")
+    )
+    alloc = waterfill_alloc(per).select("source", "alloc_tokens")
+    w = (
+        Window.partitionBy("source")
+        .orderBy((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = kept.join(F.broadcast(alloc), "source").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "ppl_bucket",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= F.col("alloc_tokens")).alias("in_mix"),
+    ).orderBy("doc_id")

@@ -127,3 +127,28 @@ def test_domain_token_waterfill_is_maximal(spark):
                 assert r.alloc_tokens == min(r.n_tokens, level)
     else:
         assert all(r.alloc_tokens == r.n_tokens for r in rows)
+
+
+def test_curated_mix_is_budgeted_prefix_cut(spark):
+    # Per source: the in-mix docs are a PREFIX of the hash order whose
+    # token total fits the waterfill allocation, and the first excluded
+    # doc would overflow it — i.e. the cut is exactly at the budget.
+    rows = REGISTRY["curated_mix_manifest"].spark(spark, SF).collect()
+    assert rows and any(r.in_mix for r in rows)
+    assert all(r.ppl_bucket in ("head", "middle") for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    H = lambda doc_id: ((doc_id * 2654435761) % 2147483647)  # noqa: E731
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (H(r.doc_id), r.doc_id))
+        flags = [r.in_mix for r in rs]
+        # prefix property: once out, never in again
+        assert flags == sorted(flags, reverse=True), src
+        # the cut sits exactly at the allocation: cum of the last
+        # in-mix doc <= alloc < cum of the first excluded doc, which
+        # the cum_tokens column encodes directly
+        kept = [r for r in rs if r.in_mix]
+        dropped = [r for r in rs if not r.in_mix]
+        if kept and dropped:
+            assert kept[-1].cum_tokens < dropped[0].cum_tokens
