@@ -652,6 +652,45 @@ _SURV_KEY_SQL = (
 )
 
 
+def survivorship_keyed(e: DataFrame) -> DataFrame:
+    """(user_id, event_id, event_type, ts, k, okey): events projected to
+    the survivorship ordering key — shared by the batch op and the
+    streaming maintenance twin (streaming/survivorship_maintenance.py)."""
+    prio = F.create_map(
+        *[F.lit(x) for kv in _SURV_PRIO.items() for x in kv]
+    )[F.col("event_type")]
+    dec = 'decimal(38,0)'
+    okey = (
+        prio.cast(dec) * F.lit("1000000000000000000000000000").cast(dec)
+        + F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast(dec)
+        * F.lit("10000000000").cast(dec)
+        + F.col("event_id").cast(dec)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        okey.alias("okey"),
+    )
+
+
+def survivorship_golden(keyed: DataFrame) -> DataFrame:
+    """One hash aggregation: the per-user argmax fields plus the count
+    and recency legs. The argmax/max legs form an idempotent join-
+    semilattice (re-merging absorbed rows is a no-op — what the
+    streaming twin exploits); n_events is the one non-idempotent SUM."""
+    return keyed.groupBy("user_id").agg(
+        F.max_by("k", "okey").alias("golden_k"),
+        F.max_by("event_id", "okey").alias("golden_event_id"),
+        F.max_by("event_type", "okey").alias("golden_type"),
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+
 @register(
     "golden_record_survivorship",
     oracle=f"""
@@ -686,32 +725,4 @@ _SURV_KEY_SQL = (
 )
 def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
-    prio = F.create_map(
-        *[F.lit(x) for kv in _SURV_PRIO.items() for x in kv]
-    )[F.col("event_type")]
-    dec = 'decimal(38,0)'
-    okey = (
-        prio.cast(dec) * F.lit("1000000000000000000000000000").cast(dec)
-        + F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast(dec)
-        * F.lit("10000000000").cast(dec)
-        + F.col("event_id").cast(dec)
-    )
-    keyed = e.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-        okey.alias("okey"),
-    )
-    return (
-        keyed.groupBy("user_id")
-        .agg(
-            F.max_by("k", "okey").alias("golden_k"),
-            F.max_by("event_id", "okey").alias("golden_event_id"),
-            F.max_by("event_type", "okey").alias("golden_type"),
-            F.count("*").alias("n_events"),
-            F.max("ts").alias("last_ts"),
-        )
-        .orderBy("user_id")
-    )
+    return survivorship_golden(survivorship_keyed(e)).orderBy("user_id")

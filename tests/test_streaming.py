@@ -925,3 +925,75 @@ def test_rollup_hierarchy_stream_matches_batch_all_grains(spark, tmp):
     assert grain_rows("hour") == want_hour
     assert grain_rows("day") == want_day
     assert grain_rows("month") == want_month
+
+
+def test_survivorship_stream_matches_batch_and_redelivery(spark, tmp):
+    """Streaming entity resolution: chunked streamed arrivals converge
+    to the batch golden records; producer RE-DELIVERY leaves every
+    argmax/max column unchanged (idempotent lattice) while n_events
+    double-counts exactly (the documented sum caveat); checkpoint
+    replay of a batch id repairs wholesale; compaction folds to one
+    partition with state intact."""
+    from collect_mobile_devices_datalake_spark.operators.advanced import (
+        survivorship_golden,
+        survivorship_keyed,
+    )
+    from collect_mobile_devices_datalake_spark.streaming.survivorship_maintenance import (
+        _maintain_surv_batch,
+        compact_survivorship_state,
+        read_survivorship_state,
+        start_survivorship_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    events = load_table(spark, "events", sf).select(*cols)
+    ev_dir = os.path.join(tmp, "events_in")
+    st_dir = os.path.join(tmp, "surv")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(ev_dir)
+    start_survivorship_stream(spark, ev_dir, st_dir, ckpt).awaitTermination(120)
+    second.coalesce(1).write.mode("append").parquet(ev_dir)
+    start_survivorship_stream(spark, ev_dir, st_dir, ckpt).awaitTermination(120)
+
+    def gold(df):
+        return {
+            r.user_id: (r.golden_k, r.golden_event_id, r.golden_type, r.last_ts)
+            for r in df.collect()
+        }
+
+    def counts(df):
+        return {r.user_id: r.n_events for r in df.collect()}
+
+    want_df = survivorship_golden(survivorship_keyed(events))
+    want_gold, want_counts = gold(want_df), counts(want_df)
+    got = read_survivorship_state(spark, st_dir)
+    assert gold(got) == want_gold and len(want_gold) > 0
+    assert counts(got) == want_counts
+
+    # checkpoint replay (same batch id): wholesale overwrite, no drift
+    _maintain_surv_batch(st_dir)(first, 0)
+    got = read_survivorship_state(spark, st_dir)
+    assert gold(got) == want_gold and counts(got) == want_counts
+
+    # re-delivery under a FRESH batch id: argmax legs immune, counts
+    # double-count exactly the re-delivered rows
+    _maintain_surv_batch(st_dir)(first, 99)
+    got = read_survivorship_state(spark, st_dir)
+    assert gold(got) == want_gold
+    dup = {r.user_id: r.n for r in first.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert counts(got) == {
+        u: want_counts[u] + dup.get(u, 0) for u in want_counts
+    }
+
+    # compaction folds to one partition; state (incl. the double-count)
+    # is preserved exactly
+    before_gold, before_counts = gold(got), counts(got)
+    compact_survivorship_state(spark, st_dir)
+    got = read_survivorship_state(spark, st_dir)
+    assert gold(got) == before_gold and counts(got) == before_counts
+    parts = [d for d in os.listdir(st_dir) if d.startswith("batch=")]
+    assert parts == ["batch=compacted"]
