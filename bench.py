@@ -48,6 +48,12 @@ HEADLINE = [
     # per-job overhead regressions.
     "unigram_lm_segmentation",
     "kcenter_coreset",
+    # final-r7 families (self-baselines in BASELINE.md §C): the
+    # supervised quality filter (vocabulary-keyed weight joins) and the
+    # curation capstone (CCNet gate -> waterfill budget -> prefix cut),
+    # which exercises the longest composed chain in the registry.
+    "nb_quality_classifier",
+    "curated_mix_manifest",
 ]
 
 
