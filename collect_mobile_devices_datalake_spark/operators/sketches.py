@@ -750,3 +750,127 @@ def q_logbin_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# --- KMV set difference ------------------------------------------------------
+
+
+@register(
+    "kmv_vocab_difference",
+    oracle=f"""
+    WITH sk AS ({_KMV_SKETCH_SQL}),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             list_sort(list_distinct(list_concat(a.kmin, b.kmin)))[1:{K}] AS m,
+             a.kmin AS ka, b.kmin AS kb,
+             a.n_exact AS na_exact
+      FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             CASE WHEN len(m) < {K} THEN CAST(len(m) AS BIGINT)
+                  ELSE CAST(floor({(K - 1) * P}.0 / m[{K}]) AS BIGINT)
+             END AS est_union,
+             CAST(len(list_filter(list_intersect(m, ka),
+                                  x -> NOT list_contains(kb, x))) AS BIGINT)
+               AS k_only_a,
+             CAST(len(m) AS BIGINT) AS k_union
+      FROM pairs
+    ),
+    g AS ({_SOURCE_HASHES_SQL}),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b,
+           CAST((e.est_union * e.k_only_a) // e.k_union AS BIGINT) AS est_only_a,
+           CAST(sa.n - COALESCE(c.n_common, 0) AS BIGINT) AS exact_only_a,
+           round(CAST(ABS((e.est_union * e.k_only_a) // e.k_union
+                          - (sa.n - COALESCE(c.n_common, 0))) AS DOUBLE)
+                 / GREATEST(sa.n - COALESCE(c.n_common, 0), 1), 6) AS rel_err
+    FROM est e
+    JOIN sizes sa ON sa.source = e.source_a
+    LEFT JOIN common c ON c.source_a = e.source_a AND c.source_b = e.source_b
+    ORDER BY e.source_a, e.source_b
+    """,
+    doc="Pairwise vocabulary set DIFFERENCE |A \\\\ B| estimated from KMV "
+    "sketches alone, completing the sketch set-algebra trio (distinct = "
+    "cardinality, jaccard = intersection, this = difference) — the "
+    "sketch-scale analogue of the reference's key-set union/diff "
+    "(app.js key set algebra, crawler2.key_set_algebra): the k smallest "
+    "of A ∪ B are a uniform sample of the union, so |A\\\\B| ≈ "
+    "est|A∪B| * (union-sample members in A but not B)/k, with the "
+    "final product computed by integer floor division so the estimate "
+    "is engine-exact. The exact leg (full hash anti-join) rides along "
+    "as calibration and is what a 100 TB deployment drops: the "
+    "estimator needs only the |sources| * k sketch table — the "
+    "what-would-deduplicating-source-B-cost report priced at sketch "
+    "scale.",
+)
+def q_kmv_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = _source_token_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    return kmv_difference_report(hashed)
+
+
+def kmv_difference_report(hashed: DataFrame) -> DataFrame:
+    """The pairwise |A \ B| sketch estimate + exact calibration over any
+    (source, h) distinct-pair frame — factored out so tests can drive
+    the m[K] estimator branch with a universe larger than K (the test
+    corpus' per-source vocabularies are smaller than K, which makes the
+    sketch exact and the estimator path vacuous there)."""
+    sk = kmv_sketches(hashed)
+    a = sk.select(F.col("source").alias("source_a"), F.col("kmin").alias("ka"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("kmin").alias("kb"))
+    merged = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, K)
+    est = (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .withColumn("m", merged)
+        .select(
+            "source_a",
+            "source_b",
+            F.when(F.size("m") < K, F.size("m").cast("long"))
+            .otherwise(
+                F.floor(F.lit(float((K - 1) * P)) / F.element_at("m", K)).cast(
+                    "long"
+                )
+            )
+            .alias("est_union"),
+            F.size(
+                F.array_except(F.array_intersect("m", "ka"), "kb")
+            ).cast("long").alias("k_only_a"),
+            F.size("m").cast("long").alias("k_union"),
+        )
+    )
+    sizes = hashed.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    ga = hashed.select(F.col("source").alias("source_a"), "h")
+    gb = hashed.select(F.col("source").alias("source_b"), "h")
+    common = (
+        ga.join(gb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    est_only = F.expr("(est_union * k_only_a) div k_union")
+    exact_only = F.col("na") - F.coalesce("n_common", F.lit(0))
+    return (
+        est.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(common, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            est_only.cast("long").alias("est_only_a"),
+            exact_only.cast("long").alias("exact_only_a"),
+            F.round(
+                F.abs(est_only - exact_only).cast("double")
+                / F.greatest(exact_only, F.lit(1)),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source_a", "source_b")
+    )

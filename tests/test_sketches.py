@@ -300,3 +300,32 @@ def test_logbin_maintenance_stream_matches_batch(spark, tmp_path):
     assert hist_map(read_logbin_state(spark, sketch_dir)) == want
     live = [d for d in os.listdir(sketch_dir) if d.startswith("batch=")]
     assert any(d.startswith("batch=c") for d in live)
+
+
+def test_kmv_difference_estimator_branch(spark):
+    """The m[K] estimator path never fires on the test corpus (vocab <
+    K makes the sketch exact), so drive it with a synthetic universe:
+    two 4000-element sets overlapping by 2000. The estimate must land
+    within 35% of |A \\ B| = 2000 and the exact leg must be exact."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        _ID_HASH_A,
+        _ID_HASH_B,
+        K,
+        P,
+        kmv_difference_report,
+    )
+
+    rows = [("A", i) for i in range(4000)] + [("B", i) for i in range(2000, 8000)]
+    hashed = (
+        spark.createDataFrame(rows, "source string, i long")
+        .selectExpr("source", f"(i * {_ID_HASH_A} + {_ID_HASH_B}) % {P} AS h")
+        .localCheckpoint(eager=True)
+    )
+    out = kmv_difference_report(hashed).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert r.exact_only_a == 2000
+    assert abs(r.est_only_a - 2000) <= 0.35 * 2000, r.est_only_a
+    # the estimator really ran (the union is far past K)
+    assert r.est_only_a != r.exact_only_a or K >= 8000
