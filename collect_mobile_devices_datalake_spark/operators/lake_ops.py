@@ -715,3 +715,109 @@ def q_zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time travel over the manifest lake (ingest/manifest.py) as a VALUE-ORACLED
+# query: three commits — append, append, rewrite — each read back `as_of`.
+
+_TT_LAKE_CACHE: dict[str, str] = {}
+
+
+def _time_travel_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) a manifest-committed lake with a three-txn
+    history over `orders`:
+
+    - ``tt1`` appends orderkeys ≡0 (mod 3);
+    - ``tt2`` appends orderkeys ≡1 (mod 3);
+    - ``tt3`` REWRITES the table (compaction: same rows, new files,
+      ``removes`` listing every pre-rewrite file).
+
+    Cached by corpus path + the orders file's identity, mirroring the ANN
+    index cache's key discipline (similarity.py): two scale factors can
+    never collide.
+    """
+    import os
+    import tempfile
+
+    from ..ingest import manifest
+
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    path = _TT_LAKE_CACHE.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix="tt_lake_")
+    orders = load_table(spark, "orders", sf_dir)
+    n1 = manifest.stage_write(
+        orders.filter(F.col("o_orderkey") % 3 == 0), path, "orders", "tt1"
+    )
+    manifest.publish(path, "tt1", {"orders": n1})
+    n2 = manifest.stage_write(
+        orders.filter(F.col("o_orderkey") % 3 == 1), path, "orders", "tt2"
+    )
+    manifest.publish(path, "tt2", {"orders": n2})
+    # rewrite: read the CURRENT committed snapshot, compact it into fresh
+    # files, and publish with `removes` — content-identical by construction
+    cur = manifest.read_committed(spark, path, "orders")
+    n3 = manifest.stage_write(cur.repartition(2), path, "orders", "tt3")
+    manifest.publish(path, "tt3", {"orders": n3}, removes={"orders": n1 + n2})
+    _TT_LAKE_CACHE[key] = path
+    return path
+
+
+@register(
+    "lake_time_travel",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+    ),
+    agg2 AS (
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY o_orderstatus
+    )
+    SELECT 'tt1' AS snapshot, o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_price FROM agg
+    UNION ALL
+    SELECT 'tt2', o_orderstatus, CAST(n_orders AS BIGINT),
+           CAST(CAST(total AS VARCHAR) AS DOUBLE) FROM agg2
+    UNION ALL
+    SELECT 'tt3', o_orderstatus, CAST(n_orders AS BIGINT),
+           CAST(CAST(total AS VARCHAR) AS DOUBLE) FROM agg2
+    """,
+    doc="Time travel on the atomic-manifest lake (ingest/manifest.py): the "
+    "same per-status aggregate read `as_of` each of three commits — two "
+    "appends and a compacting REWRITE whose manifest lists `removes`. "
+    "The oracle recomputes every snapshot from the source table, so "
+    "value parity certifies (a) `as_of` resolves exactly the files "
+    "committed at that point in publish order, (b) the rewrite swaps "
+    "files without changing a single value (tt3 == tt2 row-for-row), "
+    "and (c) replaced files stay readable for pre-rewrite pins — the "
+    "reproducibility contract a training run relies on when it records "
+    "a txn id (the reference's saved_list checkpoint, app.js:449, has "
+    "no analogue: history there is overwritten in place). Snapshot "
+    "resolution is manifest-file work, O(commits), independent of data "
+    "volume; the three reads share one decimal-exact aggregate shape.",
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ingest import manifest
+
+    lake = _time_travel_lake(spark, sf_dir)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    outs = []
+    for snap in ("tt1", "tt2", "tt3"):
+        df = manifest.read_committed(spark, lake, "orders", as_of=snap)
+        outs.append(
+            df.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), F.sum(dec).alias("total"))
+            .select(
+                F.lit(snap).alias("snapshot"),
+                "o_orderstatus",
+                F.col("n").cast("long").alias("n_orders"),
+                F.col("total").cast("double").alias("total_price"),
+            )
+        )
+    return outs[0].unionAll(outs[1]).unionAll(outs[2])

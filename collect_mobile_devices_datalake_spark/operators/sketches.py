@@ -816,7 +816,7 @@ def q_kmv_vocab_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmv_difference_report(hashed: DataFrame) -> DataFrame:
-    """The pairwise |A \ B| sketch estimate + exact calibration over any
+    r"""The pairwise |A \ B| sketch estimate + exact calibration over any
     (source, h) distinct-pair frame — factored out so tests can drive
     the m[K] estimator branch with a universe larger than K (the test
     corpus' per-source vocabularies are smaller than K, which makes the

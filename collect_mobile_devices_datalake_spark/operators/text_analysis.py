@@ -642,3 +642,77 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "doc_heaps_law",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    cps AS (
+      SELECT CAST(k AS BIGINT) AS decile, (m * k) // 10 AS cut_doc_id
+      FROM mx, range(1, 11) AS t(k)
+    ),
+    first AS (
+      SELECT word, MIN(doc_id) AS fd FROM (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
+      ) GROUP BY word
+    )
+    SELECT c.decile, c.cut_doc_id,
+           (SELECT COUNT(*) FROM documents d
+             WHERE d.doc_id <= c.cut_doc_id) AS n_docs,
+           (SELECT COUNT(*) FROM first f
+             WHERE f.fd <= c.cut_doc_id) AS vocab
+    FROM cps c
+    """,
+    doc="Vocabulary-growth (Heaps'-law) checkpoints: distinct-token count "
+    "of every doc-id-prefix decile of the corpus — the curve tokenizer "
+    "sizing and OOV budgeting read (V(n) ~ K*n^beta; sublinear growth "
+    "flattening early signals a repetitive corpus). Exact, windowless: "
+    "per-token FIRST occurrence is a plain min-aggregate, and each "
+    "checkpoint's vocabulary is the count of tokens whose first "
+    "occurrence falls at-or-before the cut, computed by broadcasting "
+    "the 10-row checkpoint list against the vocabulary table (vocab x "
+    "10 map-side rows, one 10-group aggregate). No global sort, no "
+    "running-distinct window; at 100 TB the vocabulary table is the "
+    "only shuffle and it is the same one doc_vocabulary already pays.",
+)
+def q_doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    cps = (
+        d.agg(F.max("doc_id").alias("m"))
+        .select(
+            F.explode(F.array([F.lit(k) for k in range(1, 11)])).alias("decile"), "m"
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.expr("(m * decile) div 10").alias("cut_doc_id"),
+        )
+    )
+    first = (
+        d.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab = (
+        first.join(F.broadcast(cps), F.col("fd") <= F.col("cut_doc_id"))
+        .groupBy("decile", "cut_doc_id")
+        .agg(F.count("*").alias("v"))
+    )
+    ndocs = (
+        d.select("doc_id")
+        .join(F.broadcast(cps), F.col("doc_id") <= F.col("cut_doc_id"))
+        .groupBy("decile", "cut_doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    # checkpoints below the smallest doc_id must surface as zero rows
+    # (structural, not fixture-dependent), so build from the full list
+    return (
+        cps.join(ndocs, ["decile", "cut_doc_id"], "left")
+        .join(vocab, ["decile", "cut_doc_id"], "left")
+        .select(
+            "decile",
+            "cut_doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("v", F.lit(0)).cast("long").alias("vocab"),
+        )
+    )
