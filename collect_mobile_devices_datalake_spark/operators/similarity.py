@@ -31,16 +31,25 @@ def _queries_df(emb: DataFrame) -> DataFrame:
     "knn_bruteforce",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
-    scored AS (
+    parts AS (
+      -- num/den split so the zero-norm guard below matches the Spark
+      -- side's ``WHEN qnrm*nrm == 0 THEN 0.0`` (an all-zero embedding
+      -- must score 0, not NaN/Inf — structural, not fixture-dependent)
       SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
              list_reduce(list_transform(range(1, len(q.qv) + 1),
                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)
-             / (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+             AS num,
+             (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
               * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
-             AS cos
+             AS den
       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+             CASE WHEN den = 0 THEN 0.0 ELSE num / den END AS cos
+      FROM parts
     )
     SELECT query_id, neighbor_id, label, round(cos, 6) AS cosine, rk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
@@ -370,16 +379,26 @@ def bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _persisted_index(spark, "lsh", sf_dir, f"t{N_TABLES}p{p}", build)
 
 
-def _cos_sql_pair(a: str, b: str) -> str:
-    """DuckDB cosine fragment over two array expressions, mirroring
-    ``cosine_similarity``'s sequential left-to-right fold bit for bit."""
-    return f"""
-             list_reduce(list_transform(range(1, len({a}) + 1),
-                         i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(1, len({a}) + 1),
+def _cos_norm_sql(a: str, b: str) -> str:
+    """Norm-product (denominator) fragment for `_cos_sql_pair`."""
+    return f"""(sqrt(list_reduce(list_transform(range(1, len({a}) + 1),
                          i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
               * sqrt(list_reduce(list_transform(range(1, len({b}) + 1),
-                         i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+                         i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))"""
+
+
+def _cos_sql_pair(a: str, b: str) -> str:
+    """DuckDB cosine fragment over two array expressions, mirroring
+    ``cosine_similarity``'s sequential left-to-right fold bit for bit —
+    including its ``WHEN denom == 0 THEN 0.0`` zero-norm guard, so parity
+    is structural rather than fixture-dependent (an all-zero embedding
+    must score 0, not NaN/Inf; the retrieval.py oracles carry the same
+    guard)."""
+    return f"""
+             CASE WHEN {_cos_norm_sql(a, b)} = 0 THEN 0.0 ELSE
+             list_reduce(list_transform(range(1, len({a}) + 1),
+                         i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+             / {_cos_norm_sql(a, b)} END
 """
 
 

@@ -173,3 +173,42 @@ def test_nsw_delta_matches_full_build_for_batch(spark):
         for r in REGISTRY["nsw_graph_delta"].spark(spark, SF).collect()
     }
     assert delta == full and len(delta) > 0
+
+
+def test_zero_norm_cosine_guard_both_engines():
+    """An all-zero embedding must score cosine 0.0 — not NaN/Inf — on BOTH
+    engines, so Spark/DuckDB parity is structural rather than dependent on
+    the fixture corpus happening to contain no zero vectors. Drives the
+    CASE-guard branch of `_cos_sql_pair` (the fixture corpus never does)."""
+    import duckdb
+
+    from collect_mobile_devices_datalake_spark.operators.similarity import _cos_sql_pair
+
+    frag = _cos_sql_pair("a.v", "b.v")
+    got = duckdb.sql(
+        f"""
+        WITH a AS (SELECT [0.0, 0.0, 0.0] AS v),
+             b AS (SELECT [1.0, 2.0, 3.0] AS v)
+        SELECT {frag} AS cz, (
+          SELECT {_cos_sql_pair('x.v', 'y.v')}
+          FROM (SELECT [1.0, 0.0] AS v) x, (SELECT [1.0, 0.0] AS v) y
+        ) AS cu
+        FROM a, b
+        """
+    ).fetchall()[0]
+    assert got[0] == 0.0, got
+    assert abs(got[1] - 1.0) < 1e-12, got
+
+
+def test_zero_norm_cosine_guard_spark(spark):
+    from pyspark.sql import functions as F
+
+    from collect_mobile_devices_datalake_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0], [1.0, 2.0, 3.0]), ([1.0, 0.0, 0.0], [1.0, 0.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(cosine_similarity("a", "b").alias("c")).collect()
+    assert rows[0]["c"] == 0.0
+    assert abs(rows[1]["c"] - 1.0) < 1e-12
