@@ -762,3 +762,78 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_grain(spark, rollup, derived, "day").filter(
         F.col("event_type") != "sentinel"
     )
+
+
+def _surv_stream_oracle() -> str:
+    """Compose the batch survivorship oracle verbatim — the stream must
+    converge to EXACTLY the batch answer. Importing the provider module
+    here (not relying on registry load order) keeps this module
+    standalone-importable (the retrieval.py lesson)."""
+    from ..registry import REGISTRY
+    from . import advanced  # noqa: F401  (registers golden_record_survivorship)
+
+    return REGISTRY["golden_record_survivorship"].oracle
+
+
+@register(
+    "streaming_survivorship_state",
+    oracle=_surv_stream_oracle(),
+    doc="The streaming argmax lattice, driver-gated at value level: "
+    "events are fed through the ACTUAL survivorship maintenance stream "
+    "(streaming/survivorship_maintenance.py — foreachBatch writes one "
+    "bounded per-user partial per batch) in two availableNow runs "
+    "against ONE checkpoint (the second run resumes the stream over "
+    "late-arriving files, certifying checkpoint recovery), the state is "
+    "then compacted (the fold written back as one partition) and read. "
+    "The oracle is the registered BATCH golden_record_survivorship SQL "
+    "verbatim, so equality proves the argmax-by-okey merge lattice — "
+    "across batch partials, a restart boundary, AND the compaction "
+    "fold — composes to exactly the one-shot batch aggregation "
+    "(idempotent join-semilattice for the argmax/max legs; the "
+    "n_events SUM leg is exact here because file-source + checkpoint "
+    "delivers each batch once). Second streaming family certified by "
+    "the driver alongside the sum-lattice rollup chain.",
+)
+def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.survivorship_maintenance import (
+        SURV_EVENTS_SCHEMA,
+        compact_survivorship_state,
+        read_survivorship_state,
+        start_survivorship_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="surv_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # first tranche: ~3/4 of the corpus over several files -> several
+    # foreachBatch partials under maxFilesPerTrigger
+    ev.filter(F.col("event_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    # late tranche lands after the stream stopped; the SAME checkpoint
+    # resumes and absorbs only the new files (restart certification)
+    ev.filter(F.col("event_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+    q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    # fold every batch partial into one partition, then read (reading is
+    # merging — after compaction the merge is over the single partition)
+    compact_survivorship_state(spark, state)
+    return (
+        read_survivorship_state(spark, state)
+        .select(
+            "user_id",
+            F.col("golden_k").cast("long").alias("golden_k"),
+            F.col("golden_event_id").cast("long").alias("golden_event_id"),
+            "golden_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "last_ts",
+        )
+        .orderBy("user_id")
+    )
