@@ -291,29 +291,15 @@ def clear_index_cache() -> None:
 
 
 def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the embeddings source: sorted
-    (relpath, size, mtime_ns) over every file under ``embeddings.parquet``.
-    Folded into the index cache key, so regenerating the corpus in place
-    (e.g. a test fixture rewriting the same path) can never be served a
-    stale index built from the previous bytes.
+    """Cheap content fingerprint of the embeddings source (shared
+    ``session.table_fingerprint`` discipline). Folded into the index
+    cache key, so regenerating the corpus in place (e.g. a test fixture
+    rewriting the same path) can never be served a stale index built
+    from the previous bytes.
     """
-    import hashlib
-    import os
+    from ..session import table_fingerprint
 
-    root = os.path.join(sf_dir, "embeddings.parquet")
-    h = hashlib.sha1()
-    if os.path.isdir(root):
-        for dirpath, _dirs, files in sorted(os.walk(root)):
-            for fn in sorted(files):
-                p = os.path.join(dirpath, fn)
-                st = os.stat(p)
-                h.update(
-                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns};".encode()
-                )
-    else:
-        st = os.stat(root)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:12]
+    return table_fingerprint(sf_dir, "embeddings")
 
 
 def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, build) -> DataFrame:

@@ -118,6 +118,33 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return out
 
 
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Cheap content fingerprint of one source table: sorted
+    (relpath, size, mtime_ns) over every file under ``{table}.parquet``.
+    Folded into plan-probe / index cache keys so regenerating a corpus in
+    place (a test fixture rewriting the same path) can never be served
+    stale cached state built from the previous bytes. Metadata-only — no
+    file reads, no Spark job; at 100 TB the same identity comes from the
+    lake manifest's snapshot id.
+    """
+    import hashlib
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.sha1()
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns};".encode()
+                )
+    else:
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 from contextlib import contextmanager  # noqa: E402
 
 
