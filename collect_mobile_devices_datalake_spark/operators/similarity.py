@@ -379,12 +379,17 @@ def _cos_sql_pair(a: str, b: str) -> str:
     including its ``WHEN denom == 0 THEN 0.0`` zero-norm guard, so parity
     is structural rather than fixture-dependent (an all-zero embedding
     must score 0, not NaN/Inf; the retrieval.py oracles carry the same
-    guard)."""
+    guard). Spelled ``COALESCE(num / NULLIF(den, 0), 0.0)`` so the
+    sqrt/list_reduce norm fold is written (and evaluated) ONCE per pair
+    even if DuckDB does not CSE across CASE branches — these fragments
+    sit inside the O(n^2) self-join oracles that dominate parity-suite
+    time. den >= 0 by construction (product of sqrts), so NULLIF only
+    fires on the exact zero-norm case the guard targets."""
     return f"""
-             CASE WHEN {_cos_norm_sql(a, b)} = 0 THEN 0.0 ELSE
-             list_reduce(list_transform(range(1, len({a}) + 1),
-                         i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-             / {_cos_norm_sql(a, b)} END
+             COALESCE(
+               list_reduce(list_transform(range(1, len({a}) + 1),
+                           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+               / NULLIF({_cos_norm_sql(a, b)}, 0), 0.0)
 """
 
 

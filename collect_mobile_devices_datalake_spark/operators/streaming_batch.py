@@ -16,6 +16,20 @@ from ..registry import register
 from ..session import load_table
 from .relational import dsum
 
+
+def _await_or_fail(q, timeout: int = 300) -> None:
+    """An availableNow maintenance run must FINISH before anything reuses
+    its checkpoint: starting a second query against the same checkpoint
+    while the first is still active fails (or worse, races the
+    foreachBatch state writes) with an error far from the cause. So check
+    ``awaitTermination``'s boolean — on timeout, stop the straggler and
+    raise HERE, naming the real problem."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming maintenance query did not finish within {timeout}s"
+        )
+
 SESSION_GAP = "30 minutes"
 
 
@@ -745,7 +759,7 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, src, rollup, ckpt, schema,
             max_files_per_trigger=100, derived_dir=derived,
         )
-        q.awaitTermination(300)
+        _await_or_fail(q)
 
     run()
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
@@ -816,12 +830,12 @@ def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFram
     # foreachBatch partials under maxFilesPerTrigger
     ev.filter(F.col("event_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
     q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    q.awaitTermination(300)
+    _await_or_fail(q)
     # late tranche lands after the stream stopped; the SAME checkpoint
     # resumes and absorbs only the new files (restart certification)
     ev.filter(F.col("event_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
     q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    q.awaitTermination(300)
+    _await_or_fail(q)
     # fold every batch partial into one partition, then read (reading is
     # merging — after compaction the merge is over the single partition)
     compact_survivorship_state(spark, state)
