@@ -98,35 +98,22 @@ def idle_closed_sessions(events: DataFrame) -> DataFrame:
 
 # --- transformWithState: the Spark 4 arbitrary-state API --------------------
 #
-# Same running-totals semantics as applyInPandasWithState above, on the
-# NEWER transformWithStateInPandas engine: state is declared as named,
-# schema'd variables on a handle (value/list/map state, TTL, timers)
-# instead of one opaque tuple, which is what production pipelines should
-# target going forward.
-
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
-
-
-class _RunningTotalsProcessor(StatefulProcessor):
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._totals = handle.getValueState("totals", STATE_SCHEMA)
-
-    def handleInputRows(self, key, rows, timerValues):
-        n, total = self._totals.get() or (0, 0.0)
-        for pdf in rows:
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        self._totals.update((n, total))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
-        )
-
-    def close(self) -> None:
-        pass
-
+# NOT carried here. ``applyInPandasWithState`` above is the supported
+# arbitrary-state path in this repo: transformWithStateInPandas — the
+# newer engine with named, schema'd state variables (value/list/map
+# state, TTL, timers) — maps 1:1 onto the same operator (a
+# StatefulProcessor whose handleInputRows folds each batch into a
+# "totals" value state), but its Python driver worker imports
+# google.protobuf at query init, which this environment does not ship
+# and cannot install. A twin implementation existed through round 7 and
+# was removed rather than kept permanently skipped: dead-in-environment
+# code cannot be regression-tested, so it would rot silently. Porting
+# forward when protobuf is available: groupBy(key)
+# .transformWithStateInPandas(statefulProcessor=..., outputStructType=
+# OUTPUT_SCHEMA, outputMode="update", timeMode="none"), started inside
+# ``with rocksdb_state_store(spark):`` — TWS runs only on the RocksDB
+# state store (the default HDFS-backed provider lacks its
+# column-family API).
 
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 _ROCKSDB_PROVIDER = (
@@ -158,24 +145,3 @@ def rocksdb_state_store(spark: SparkSession):
             spark.conf.set(_PROVIDER_KEY, prev)
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """``running_user_totals`` on ``transformWithStateInPandas`` (update
-    mode, no time semantics) — the modern arbitrary-state operator.
-
-    transformWithState runs only on the RocksDB state store (the provider
-    production clusters use anyway for large keyed state: spill-to-disk,
-    changelog checkpointing); the default HDFS-backed provider does not
-    implement its column-family API. Start the returned query inside
-    ``with rocksdb_state_store(spark):`` — building the plan here does NOT
-    mutate the session conf (the provider is only read at query start).
-    NOTE: the TWS Python driver worker imports google.protobuf at startup;
-    in environments without it (this container) the query fails at init —
-    the test gates on that import, and ``running_user_totals`` above
-    provides the same semantics on applyInPandasWithState.
-    """
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_RunningTotalsProcessor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="update",
-        timeMode="none",
-    )

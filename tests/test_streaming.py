@@ -527,35 +527,13 @@ def test_stream_static_enrichment_join(spark, tmp):
     assert got == want and len(want) > 0
 
 
-def test_stateful_running_totals_transform_with_state(spark, tmp):
-    """transformWithStateInPandas twin of the applyInPandasWithState op:
-    same per-user running totals, modern named-state API. The TWS driver
-    worker imports google.protobuf (not shipped in this container) — skip
-    when absent; the applyInPandasWithState op above covers the semantics."""
-    pytest.importorskip("google.protobuf.descriptor")
-    from collect_mobile_devices_datalake_spark.streaming.stateful import (
-        rocksdb_state_store,
-        running_user_totals_tws,
-    )
-
-    d, ev = _events_dir(spark, tmp)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
-    name = f"s_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    with rocksdb_state_store(spark):
-        _run_to_memory(running_user_totals_tws(stream), name, "update")
-    # the override must not leak past the context
-    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) == prev
-    got = spark.table(name)
-    w_latest = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
-    want = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
-    assert {tuple(r) for r in w_latest.collect()} == {tuple(r) for r in want.collect()}
-
-
 def test_rocksdb_state_store_context_restores_conf(spark):
     """The provider override must apply inside the context and be fully
     restored after — both from the unset default and from an explicit
-    previous value (runs everywhere; the TWS query test is import-gated)."""
+    previous value. (The context exists for transformWithStateInPandas
+    queries, which this environment cannot run — see the documented-
+    unsupported note in streaming/stateful.py — but the conf scoping is
+    environment-independent and guards any future TWS port.)"""
     from collect_mobile_devices_datalake_spark.streaming.stateful import (
         _PROVIDER_KEY,
         _ROCKSDB_PROVIDER,
