@@ -851,3 +851,151 @@ def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id")
     )
+
+
+def _cms_stream_oracle() -> str:
+    """The batch CMS build SQL over the whole documents table — the
+    streaming sum-lattice state must converge to EXACTLY the one-shot
+    sketch. Imported from the provider module (not the registry) so the
+    fragments stay single-sourced and this module stays
+    standalone-importable (the retrieval.py lesson)."""
+    from .cms import _TOKEN_STREAM_SQL, _sketch_sql, WIDTH
+
+    return f"""
+    WITH stream AS ({_TOKEN_STREAM_SQL})
+    SELECT CAST(row_j AS INT) AS row_j,
+           CAST(cell AS BIGINT) AS cell,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM ({_sketch_sql(WIDTH)})
+    ORDER BY row_j, cell
+    """
+
+
+@register(
+    "streaming_cms_state",
+    oracle=_cms_stream_oracle(),
+    doc="The streaming Count-Min maintenance chain, driver-gated at "
+    "value level: documents are fed through the ACTUAL CMS maintenance "
+    "stream (streaming/sketch_maintenance.py — foreachBatch writes one "
+    "bounded depth*width partial per batch) in two availableNow runs "
+    "against ONE checkpoint (the second run resumes over late-arriving "
+    "files, certifying checkpoint recovery), the partials are folded "
+    "through the manifest-committed compaction (write-then-rename: an "
+    "uncommitted generation is invisible, so the non-idempotent SUM "
+    "lattice stays crash-safe), and the state is read back. The oracle "
+    "is the one-shot batch cms_sketch SQL over the same corpus, so "
+    "equality proves per-batch partials + a restart boundary + the "
+    "compaction fold compose to exactly the batch sketch — the "
+    "cell-wise-additive twin of the KMV lattice's idempotent-merge "
+    "certification.",
+)
+def q_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.sketch_maintenance import (
+        compact_cms_state,
+        read_cms_state,
+        start_cms_maintenance_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="cms_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    # first tranche over several files -> several bounded partials
+    d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    _await_or_fail(q)
+    # late tranche after the stream stopped; the SAME checkpoint resumes
+    d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+    q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    _await_or_fail(q)
+    # fold the partials into one committed generation, then read
+    compact_cms_state(spark, state)
+    return (
+        read_cms_state(spark, state)
+        .select(
+            F.col("row_j").cast("int").alias("row_j"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("row_j", "cell")
+    )
+
+
+def _logbin_stream_oracle() -> str:
+    """Batch log-binned histogram SQL over orders' total price in cents
+    — shares the shift/bkey/width arithmetic with the registered
+    logbin_quantile_sketch oracle (same constants, same integer bins)."""
+    from .sketches import QSKETCH_SUBBITS
+
+    return f"""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    keyed AS (
+      SELECT c, GREATEST(length(to_base(c, 2)) - 1 - {QSKETCH_SUBBITS}, 0) AS shift
+      FROM c
+    )
+    SELECT CAST(shift AS INT) AS shift,
+           c // CAST(power(2, shift) AS BIGINT) AS bkey,
+           CAST(power(2, shift) AS BIGINT) AS width,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           (c // CAST(power(2, shift) AS BIGINT))
+             * CAST(power(2, shift) AS BIGINT) AS lower
+    FROM keyed GROUP BY shift, c // CAST(power(2, shift) AS BIGINT)
+    ORDER BY lower
+    """
+
+
+@register(
+    "streaming_logbin_state",
+    oracle=_logbin_stream_oracle(),
+    doc="The streaming quantile-histogram maintenance chain, "
+    "driver-gated at value level: orders are fed through the ACTUAL "
+    "log-bin maintenance stream (streaming/sketch_maintenance.py — the "
+    "second instance of the SUM-lattice batch-partition protocol, "
+    "sharing read/compact/crash-safety code with the CMS stream) in "
+    "two availableNow runs against ONE checkpoint (restart "
+    "certification), compacted through the manifest commit, and read "
+    "back with the lower bound rebuilt. The oracle is the one-shot "
+    "batch histogram SQL (the build stage of logbin_quantile_sketch, "
+    "same integer bin arithmetic), so equality proves the streaming "
+    "partial/restart/compaction chain converges to exactly the batch "
+    "histogram a quantile read-off would consume.",
+)
+def q_streaming_logbin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.sketch_maintenance import (
+        compact_logbin_state,
+        read_logbin_state,
+        start_logbin_maintenance_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="logbin_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    o.filter(F.col("o_orderkey") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    _await_or_fail(q)
+    o.filter(F.col("o_orderkey") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+    q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    _await_or_fail(q)
+    compact_logbin_state(spark, state)
+    return (
+        read_logbin_state(spark, state)
+        .select(
+            F.col("shift").cast("int").alias("shift"),
+            F.col("bkey").cast("long").alias("bkey"),
+            F.col("width").cast("long").alias("width"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("lower").cast("long").alias("lower"),
+        )
+        .orderBy("lower")
+    )
