@@ -56,6 +56,20 @@ HEADLINE = [
     "curated_mix_manifest",
 ]
 
+# Streaming maintenance guard set (added r8): each runs a REAL
+# Structured Streaming query (availableNow trigger(s) against a fresh
+# checkpoint) plus compaction, so wall time is dominated by fixed
+# foreachBatch/checkpoint machinery, not data volume. Timed SINGLE-RUN
+# (a second run would re-pay the whole stream, not reveal steady-state
+# codegen the way the batch best-of-2 does) and listed separately so
+# a regression pins to the streaming protocol, not the batch plans.
+STREAMING = [
+    "streaming_rollup_day_grain",
+    "streaming_survivorship_state",
+    "streaming_cms_state",
+    "streaming_logbin_state",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,6 +105,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
+
+    for name in STREAMING:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        took = time.perf_counter() - t0
+        timings[name] = round(took, 3)
+        total += took
 
     print(
         json.dumps(
