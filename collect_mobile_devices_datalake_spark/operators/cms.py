@@ -258,7 +258,13 @@ def _sweep_leg_sql(width: int) -> str:
     "shrink ~linearly in width (the measured sf0.01 run: 53k → 1.7k → "
     "0.9k total over widths 8→32→128; one unlucky token stays paired "
     "in all 4 rows at 128 — the P ≈ (V/W)^depth residual the bound "
-    "prices in, not a defect). Same calibration-as-a-query pattern as "
+    "prices in, not a defect). The sweep costs ONE stream aggregation, "
+    "not three: because every sweep width divides the largest, "
+    "cell_w = cell_wmax % w exactly, so the width-8/32 tables are "
+    "mod-folds of the single width-128 sketch (the dyadic-fold "
+    "corollary of cell-wise mergeability — at 100 TB this is also how "
+    "one wide checkpointed sketch serves every narrower error budget "
+    "for free). Same calibration-as-a-query pattern as "
     "minhash_estimate_quality / bloom_fp_report: the sketch's error "
     "knob is a measured column, not a claim.",
 )
@@ -269,11 +275,20 @@ def q_cms_width_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = stream.groupBy("t").agg(
         F.max("h").alias("h"), F.count("*").alias("exact_count")
     )
+    w_max = max(SWEEP_WIDTHS)
+    assert all(w_max % w == 0 for w in SWEEP_WIDTHS), "widths must divide max"
+    # one stream-sized aggregation; <= DEPTH * w_max rows thereafter
+    base = cms_sketch(stream, width=w_max).localCheckpoint(eager=True)
     legs = []
     for w in SWEEP_WIDTHS:
-        est = cms_estimate(
-            vocab.select("t", "h", "exact_count"), cms_sketch(stream, width=w), width=w
+        sketch = (
+            base
+            if w == w_max
+            else base.groupBy("row_j", (F.col("cell") % w).alias("cell")).agg(
+                F.sum("cnt").alias("cnt")
+            )
         )
+        est = cms_estimate(vocab.select("t", "h", "exact_count"), sketch, width=w)
         over = F.col("est_count") - F.col("exact_count")
         legs.append(
             est.agg(
