@@ -164,3 +164,24 @@ def test_cms_second_compaction_no_double_count(spark, tmp_path):
     assert _state_map(read_cms_state(spark, sketch_dir)) == want2
     compact_cms_state(spark, sketch_dir)  # no-op on a single generation
     assert _state_map(read_cms_state(spark, sketch_dir)) == want2
+
+
+def test_dyadic_width_fold_identity(spark):
+    """A width-w sketch is EXACTLY the mod-w cell-fold of a width-kw
+    sketch built with the same row hashes — the invariant
+    q_cms_width_calibration now relies on to serve three widths from
+    one stream aggregation (cell = (affine(h) % P) % width, and
+    (x % kw) % w == x % w whenever w | kw)."""
+    stream = _stream(spark)
+    w_max = max(SWEEP_WIDTHS)
+    base = cms_sketch(stream, width=w_max)
+    for w in SWEEP_WIDTHS:
+        if w == w_max:
+            continue
+        assert w_max % w == 0  # the divisibility the fold needs
+        folded = base.groupBy("row_j", (F.col("cell") % w).alias("cell")).agg(
+            F.sum("cnt").alias("cnt")
+        )
+        direct = cms_sketch(stream, width=w)
+        assert folded.exceptAll(direct).count() == 0
+        assert direct.exceptAll(folded).count() == 0
