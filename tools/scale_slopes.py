@@ -79,6 +79,18 @@ KERNELS = [
     # aggregation (one user-keyed shuffle, output rows ~ users)
     ("bm25_search", "documents_disjoint"),
     ("golden_record_survivorship", "events"),
+    # round-8 widening: the three remaining quadratic-risk production
+    # paths with clean expansion semantics — train/test shingle-hash
+    # decontamination join, the persisted-LSH ANN probe (query count
+    # grows with the corpus; per-query cost must stay bucket-bounded),
+    # and the full SemDeDup chain (LSH pairs -> label propagation ->
+    # survivor assignment). hybrid_search_rrf is deliberately absent:
+    # its vector leg is the documented EXACT baseline (broadcast
+    # queries x corpus), quadratic by spec, so a slope would measure
+    # the spec, not a defect.
+    ("split_contamination", "documents"),
+    ("knn_lsh_probe", "embeddings"),
+    ("semantic_cluster_survivors", "embeddings"),
 ]
 
 
