@@ -36,8 +36,10 @@ measurement can't separate algorithm cost from output size:
   magnitude ~0.5 per element — far beyond the near-dup cosine band, so
   cross-replica vectors are not mutual neighbors by construction.
 
-Run: python tools/scale_slopes.py [sf_dir] [mults] [out_json]
-Defaults: /root/testdata/sf0.1  1,3,10  docs/SCALE_SLOPES.json
+Run: python tools/scale_slopes.py [sf_dir] [mults] [out_json] [only]
+Defaults: /root/testdata/sf0.1  1,3,10  docs/SCALE_SLOPES.json  (all)
+``only`` is a comma-separated kernel-key subset; prior results for the
+same src+mults are preserved and merged in the output JSON.
 """
 
 from __future__ import annotations
