@@ -93,6 +93,12 @@ KERNELS = [
     ("split_contamination", "documents"),
     ("knn_lsh_probe", "embeddings"),
     ("semantic_cluster_survivors", "embeddings"),
+    # the flagship lexical dedup chain (MinHash -> LSH bands -> pairs ->
+    # label-prop clusters) and the CCNet perplexity-tertile selection
+    # (train/apply vocab-keyed joins) — the last two heavily-composed
+    # document paths without a slope row
+    ("dedup_clusters", "documents"),
+    ("ccnet_lm_buckets", "documents"),
 ]
 
 
