@@ -59,10 +59,15 @@ HEADLINE = [
 # Streaming maintenance guard set (added r8): each runs a REAL
 # Structured Streaming query (availableNow trigger(s) against a fresh
 # checkpoint) plus compaction, so wall time is dominated by fixed
-# foreachBatch/checkpoint machinery, not data volume. Timed SINGLE-RUN
-# (a second run would re-pay the whole stream, not reveal steady-state
-# codegen the way the batch best-of-2 does) and listed separately so
-# a regression pins to the streaming protocol, not the batch plans.
+# foreachBatch/checkpoint machinery, not data volume. Timed BEST-OF-2
+# since r9 (BASELINE.md §C): each run pays the whole protocol again —
+# fresh source copy, fresh checkpoint — so best-of-2 here measures the
+# same fixed machinery twice and takes the quieter sample, making the
+# 2x gate meaningful against the single-run variance these four showed
+# in r7/r8 (rollup 27.8 -> 29.3 s across rounds with unchanged code).
+# Listed separately so a regression pins to the streaming protocol, not
+# the batch plans. Temp source/state/checkpoint roots are cleaned after
+# every run (they are ~hundreds of MB each at sf0.1).
 STREAMING = [
     "streaming_rollup_day_grain",
     "streaming_survivorship_state",
@@ -106,13 +111,24 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    from collect_mobile_devices_datalake_spark.operators.streaming_batch import (
+        cleanup_stream_temp_roots,
+        sweep_stale_stream_temp_roots,
+    )
+
+    # clear any roots stranded by a prior crashed bench/driver process
+    # before adding our own
+    sweep_stale_stream_temp_roots()
     for name in STREAMING:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
-        took = time.perf_counter() - t0
-        timings[name] = round(took, 3)
-        total += took
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            cleanup_stream_temp_roots()
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(

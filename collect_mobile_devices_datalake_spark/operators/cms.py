@@ -276,7 +276,18 @@ def q_cms_width_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("h"), F.count("*").alias("exact_count")
     )
     w_max = max(SWEEP_WIDTHS)
-    assert all(w_max % w == 0 for w in SWEEP_WIDTHS), "widths must divide max"
+    # Hard precondition of the dyadic fold below (cell % w is only an
+    # exact mod-fold when w | w_max); raise, don't assert — asserts are
+    # stripped under `python -O` and a silent violation would produce a
+    # wrong folded sketch rather than an error.
+    bad = [w for w in SWEEP_WIDTHS if w_max % w != 0]
+    if bad:
+        raise ValueError(
+            f"SWEEP_WIDTHS {bad} do not divide max width {w_max}; the "
+            "dyadic mod-fold requires every sweep width to divide the "
+            "largest (use cms_sketch(stream, width=w) directly for "
+            "non-divisor widths)"
+        )
     # one stream-sized aggregation; <= DEPTH * w_max rows thereafter
     base = cms_sketch(stream, width=w_max).localCheckpoint(eager=True)
     legs = []

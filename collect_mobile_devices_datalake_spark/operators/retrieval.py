@@ -52,8 +52,9 @@ FUSE_TOPK = 10  # fused results surfaced per query
 
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
-_RRF_ORACLE = f"""
-WITH tf AS (
+# lexical-leg CTE chain shared verbatim by _RRF_ORACLE and
+# _RRF_INDEXED_ORACLE (same leg, same shortlist depth)
+_LEX_CTES = f"""tf AS (
   SELECT doc_id, word, COUNT(*) AS tf FROM (
     SELECT doc_id, unnest({_TOKENS_SQL}) AS word FROM documents
   ) GROUP BY doc_id, word
@@ -71,7 +72,27 @@ lex AS (
                                  ORDER BY lex_score DESC, doc_id) AS rk
     FROM lex_scored
   ) WHERE rk <= {LEG_TOPN}
-),
+)"""
+
+# RRF fusion + final cut, shared verbatim by both hybrid oracles
+_FUSE_SQL = f"""fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(l.lex_rk, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(v.vec_rk, 0) AS BIGINT) AS vec_rank,
+         COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rk), 0)
+         + COALESCE({RRF_SCALE} // ({RRF_K} + v.vec_rk), 0) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= {FUSE_TOPK}"""
+
+_RRF_ORACLE = f"""
+WITH {_LEX_CTES},
 vec_parts AS (
   -- num/den split so the zero-norm guard below matches the Spark
   -- implementation's ``WHEN qnrm*nrm == 0 THEN 0.0`` exactly (a
@@ -101,21 +122,7 @@ vec AS (
     FROM vec_scored
   ) WHERE rk <= {LEG_TOPN}
 ),
-fused AS (
-  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-         COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         CAST(COALESCE(l.lex_rk, 0) AS BIGINT) AS lex_rank,
-         CAST(COALESCE(v.vec_rk, 0) AS BIGINT) AS vec_rank,
-         COALESCE({RRF_SCALE} // ({RRF_K} + l.lex_rk), 0)
-         + COALESCE({RRF_SCALE} // ({RRF_K} + v.vec_rk), 0) AS rrf_score
-  FROM lex l FULL OUTER JOIN vec v
-    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
-)
-SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY rrf_score DESC, doc_id) AS rk
-  FROM fused
-) WHERE rk <= {FUSE_TOPK}
+{_FUSE_SQL}
 """
 
 
@@ -131,13 +138,12 @@ SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rk FROM (
     "leg's shortlist). The fused score is a BIGINT sum — exact, "
     "order-independent, engine-portable.",
 )
-def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lex_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical leg shared by both hybrid variants: inverted-index
+    tf-dot-product, per-query top-LEG_TOPN as (query_id, doc_id, lex_rk).
+    The query-side postings are tiny (|queries| x |vocab|) -> broadcast;
+    the corpus side shuffles by token only into the aggregation."""
     docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
-    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-
-    # Lexical leg: inverted-index join. The query-side postings are tiny
-    # (|queries| x |vocab|) -> broadcast; the corpus side shuffles by
-    # token only into the aggregation.
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("word"))
         .groupBy("doc_id", "word")
@@ -154,11 +160,39 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("qtf") * F.col("tf")).alias("lex_score"))
     )
     w_lex = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), "doc_id")
-    lex = (
+    return (
         lex_scored.withColumn("lex_rk", F.row_number().over(w_lex))
         .filter(F.col("lex_rk") <= LEG_TOPN)
         .select("query_id", "doc_id", "lex_rk")
     )
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """RRF fusion shared by both hybrid variants: outer-join the two
+    shortlists per (query, doc); an absent leg contributes 0. Integer
+    div keeps the fused sum exact in any accumulation order."""
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("lex_rk"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("vec_rk"), F.lit(0)).cast("long").alias("vec_rank"),
+        (
+            F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rk)"), F.lit(0))
+            + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rk)"), F.lit(0))
+        ).alias("rrf_score"),
+    )
+    w_fuse = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w_fuse))
+        .filter(F.col("rk") <= FUSE_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_score", "rk")
+    )
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+
+    lex = _lex_shortlist(spark, sf_dir)
 
     # Vector leg: exact cosine (norms projected once per side, one array
     # fold per pair). At scale this leg is served by the persisted
@@ -188,24 +222,79 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "vec_rk")
     )
 
-    # RRF fusion: outer-join the shortlists per (query, doc); absent leg
-    # contributes 0. Integer div keeps the sum exact in any order.
-    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        F.coalesce(F.col("lex_rk"), F.lit(0)).cast("long").alias("lex_rank"),
-        F.coalesce(F.col("vec_rk"), F.lit(0)).cast("long").alias("vec_rank"),
-        (
-            F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + lex_rk)"), F.lit(0))
-            + F.coalesce(F.expr(f"{RRF_SCALE} div ({RRF_K} + vec_rk)"), F.lit(0))
-        ).alias("rrf_score"),
+    return _rrf_fuse(lex, vec)
+
+
+# Indexed-vector-leg oracle: the lexical CTEs and RRF fusion are the
+# shared fragments above; the vector shortlist comes from the SAME
+# deterministic multi-table LSH multiprobe the knn_lsh_probe oracle
+# pins (similarity._PLANES_SQL / _MT_BUCKET_SQL / Hamming-1 probes),
+# cut at LEG_TOPN instead of 10.
+def _rrf_indexed_oracle() -> str:
+    from .similarity import N_TABLES, _cos_sql_pair, _MT_BUCKET_SQL, _PLANES_SQL
+
+    return f"""
+WITH {_LEX_CTES},
+pl AS ({_PLANES_SQL}),
+bk AS (
+  SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
+  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
+),
+probes AS (
+  SELECT bk.vec_id AS query_id, bk.t,
+         CASE WHEN f.f = 0 THEN bucket
+              ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+  FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
+  WHERE bk.vec_id % {QUERY_MOD} = 0
+),
+vcand AS (
+  SELECT DISTINCT p.query_id, y.vec_id AS doc_id
+  FROM probes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.query_id
+),
+vec_scored AS (
+  SELECT vcand.query_id, vcand.doc_id, {_cos_sql_pair('qa.embedding', 'nb.embedding')} AS cos
+  FROM vcand
+  JOIN embeddings qa ON qa.vec_id = vcand.query_id
+  JOIN embeddings nb ON nb.vec_id = vcand.doc_id
+),
+vec AS (
+  SELECT query_id, doc_id, rk AS vec_rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id) AS rk
+    FROM vec_scored
+  ) WHERE rk <= {LEG_TOPN}
+),
+{_FUSE_SQL}
+"""
+
+
+@register(
+    "hybrid_search_rrf_indexed",
+    oracle=_rrf_indexed_oracle(),
+    doc="hybrid_search_rrf with the vector leg riding the PERSISTED "
+    "multi-table LSH index (similarity.lsh_scored_pairs: bucket-join "
+    "candidate generation + exact cosine re-rank, top-20 shortlist) "
+    "instead of the exact brute-force scorer — the measured-linear twin "
+    "of the deliberately-quadratic exact baseline. Fusion is identical "
+    "(integer RRF, BIGINT sums); only the vector shortlist membership "
+    "may differ where LSH multiprobe misses a true neighbor, which is "
+    "exactly the recall trade the ann_recall_report family prices. At "
+    "100 TB this is the production shape: candidate generation never "
+    "scans the corpus, the lexical leg shuffles 8-byte token keys, and "
+    "both legs are rank-only inputs to an integer fusion.",
+)
+def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import lsh_scored_pairs
+
+    lex = _lex_shortlist(spark, sf_dir)
+    w_vec = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    vec = (
+        lsh_scored_pairs(spark, sf_dir)
+        .withColumn("vec_rk", F.row_number().over(w_vec))
+        .filter(F.col("vec_rk") <= LEG_TOPN)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "vec_rk")
     )
-    w_fuse = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), "doc_id")
-    return (
-        fused.withColumn("rk", F.row_number().over(w_fuse))
-        .filter(F.col("rk") <= FUSE_TOPK)
-        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_score", "rk")
-    )
+    return _rrf_fuse(lex, vec)
 
 
 TRUNC_DIMS = (8, 16, 32, 64)

@@ -379,17 +379,20 @@ def _cos_sql_pair(a: str, b: str) -> str:
     including its ``WHEN denom == 0 THEN 0.0`` zero-norm guard, so parity
     is structural rather than fixture-dependent (an all-zero embedding
     must score 0, not NaN/Inf; the retrieval.py oracles carry the same
-    guard). Spelled ``COALESCE(num / NULLIF(den, 0), 0.0)`` so the
-    sqrt/list_reduce norm fold is written (and evaluated) ONCE per pair
-    even if DuckDB does not CSE across CASE branches — these fragments
-    sit inside the O(n^2) self-join oracles that dominate parity-suite
-    time. den >= 0 by construction (product of sqrts), so NULLIF only
-    fires on the exact zero-norm case the guard targets."""
+    guard). The denominator is bound once as a one-element list and the
+    guard applied inside a lambda: the sqrt/list_reduce norm fold is
+    written (and evaluated) ONCE per pair even if DuckDB does not CSE
+    across CASE branches — these fragments sit inside the O(n^2)
+    self-join oracles that dominate parity-suite time — while NULL
+    propagation matches Spark's ``when(den == 0, 0.0).otherwise(num /
+    den)`` exactly (NULL den or NULL num → NULL, never coalesced to
+    0.0; verified over all five num/den NULL-zero combinations)."""
     return f"""
-             COALESCE(
+             list_transform([{_cos_norm_sql(a, b)}],
+               d -> CASE WHEN d = 0 THEN 0.0 ELSE
                list_reduce(list_transform(range(1, len({a}) + 1),
                            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-               / NULLIF({_cos_norm_sql(a, b)}, 0), 0.0)
+               / d END)[1]
 """
 
 
@@ -431,6 +434,23 @@ def _cos_sql_pair(a: str, b: str) -> str:
     "hyperplanes term-for-term, so the driver gate is value-level.",
 )
 def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = lsh_scored_pairs(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+def lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cos) for the standard query set
+    (vec_id % QUERY_MOD == 0), scored over multi-table LSH multiprobe
+    candidates — the shared shortlist generator behind ``knn_lsh_probe``
+    (top-10 surface) and ``hybrid_search_rrf_indexed``'s vector leg
+    (top-LEG_TOPN shortlist). Factored so the scalable candidate path is
+    ONE implementation: candidates come from the persisted bucket index
+    (never a corpus scan), embeddings join in only at the exact re-rank."""
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # the 64-plane signature feeds BOTH the corpus index and the query
     # probes; it lives in a persisted table built once per corpus (see
@@ -485,16 +505,10 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(F.col("qn") * F.col("nn") == 0, F.lit(0.0)).otherwise(
         dot_product("qv", "nv") / (F.col("qn") * F.col("nn"))
     )
-    scored = (
+    return (
         cand.join(F.broadcast(qe), "query_id")
         .join(ne, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
 
 

@@ -32,6 +32,49 @@ def _await_or_fail(q, timeout: int = 300) -> None:
 
 SESSION_GAP = "30 minutes"
 
+# Temp roots created by the streaming maintenance kernels below. Each
+# kernel copies its input table into a throwaway source dir and writes
+# state/checkpoint dirs next to it — hundreds of MB per invocation at
+# sf0.1 — and the returned DataFrame reads LAZILY from those dirs, so
+# the kernel itself cannot delete them. Callers that fully consume the
+# result (bench.py, the parity suite) call cleanup_stream_temp_roots()
+# afterwards; stale roots from crashed runs are also sweepable by prefix.
+STREAM_TEMP_PREFIXES = ("roll_day_", "surv_stream_", "cms_stream_", "logbin_stream_")
+_STREAM_TEMP_ROOTS: list[str] = []
+
+
+def _stream_temp_root(prefix: str) -> str:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_TEMP_ROOTS.append(base)
+    return base
+
+
+def cleanup_stream_temp_roots() -> None:
+    """Remove every temp source/state/checkpoint root created by the
+    streaming kernels in this process. Only call AFTER the returned
+    DataFrames have been fully consumed — they read lazily from these
+    dirs, and a re-evaluation after cleanup would see an empty source."""
+    import shutil
+
+    while _STREAM_TEMP_ROOTS:
+        shutil.rmtree(_STREAM_TEMP_ROOTS.pop(), ignore_errors=True)
+
+
+def sweep_stale_stream_temp_roots() -> None:
+    """Best-effort removal of known-prefix roots left by PRIOR processes
+    (a crashed bench/driver run can strand its dirs under /tmp)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    for prefix in STREAM_TEMP_PREFIXES:
+        for path in glob.glob(os.path.join(tmp, prefix + "*")):
+            shutil.rmtree(path, ignore_errors=True)
+
 
 @register(
     "events_tumbling_hourly",
@@ -733,14 +776,13 @@ def q_funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.rollup_maintenance import (
         read_grain,
         start_rollup_maintenance_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="roll_day_")
+    base = _stream_temp_root("roll_day_")
     src = os.path.join(base, "in")
     rollup = os.path.join(base, "hour")
     derived = os.path.join(base, "dm")
@@ -810,7 +852,6 @@ def _surv_stream_oracle() -> str:
 )
 def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.survivorship_maintenance import (
         SURV_EVENTS_SCHEMA,
@@ -819,7 +860,7 @@ def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFram
         start_survivorship_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="surv_stream_")
+    base = _stream_temp_root("surv_stream_")
     src = os.path.join(base, "in")
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
@@ -891,7 +932,6 @@ def _cms_stream_oracle() -> str:
 )
 def q_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.sketch_maintenance import (
         compact_cms_state,
@@ -899,7 +939,7 @@ def q_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_cms_maintenance_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="cms_stream_")
+    base = _stream_temp_root("cms_stream_")
     src = os.path.join(base, "in")
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
@@ -968,7 +1008,6 @@ def _logbin_stream_oracle() -> str:
 )
 def q_streaming_logbin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..streaming.sketch_maintenance import (
         compact_logbin_state,
@@ -976,7 +1015,7 @@ def q_streaming_logbin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_logbin_maintenance_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="logbin_stream_")
+    base = _stream_temp_root("logbin_stream_")
     src = os.path.join(base, "in")
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")

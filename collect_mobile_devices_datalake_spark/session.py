@@ -120,28 +120,46 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 
 def table_fingerprint(sf_dir: str, table: str) -> str:
     """Cheap content fingerprint of one source table: sorted
-    (relpath, size, mtime_ns) over every file under ``{table}.parquet``.
-    Folded into plan-probe / index cache keys so regenerating a corpus in
-    place (a test fixture rewriting the same path) can never be served
-    stale cached state built from the previous bytes. Metadata-only — no
-    file reads, no Spark job; at 100 TB the same identity comes from the
-    lake manifest's snapshot id.
+    (relpath, size, mtime_ns, tail-bytes) over every file under
+    ``{table}.parquet``. Folded into plan-probe / index cache keys so
+    regenerating a corpus in place (a test fixture rewriting the same
+    path) can never be served stale cached state built from the previous
+    bytes. The 16-byte tail sample (a parquet file's footer-length +
+    magic plus the end of its serialized metadata) defends against
+    rewrites that preserve size AND mtime (``cp -p`` / ``rsync -t`` /
+    archive extraction) — metadata alone can't distinguish those. One
+    seek+read per file, no Spark job; at 100 TB the same identity comes
+    from the lake manifest's snapshot id.
     """
     import hashlib
+
+    def _tail(p: str, n: int = 16) -> bytes:
+        try:
+            with open(p, "rb") as f:
+                if os.path.getsize(p) >= n:
+                    f.seek(-n, os.SEEK_END)
+                return f.read(n)
+        except OSError:
+            return b""
 
     root = os.path.join(sf_dir, f"{table}.parquet")
     h = hashlib.sha1()
     if os.path.isdir(root):
+        n_files = 0
         for dirpath, _dirs, files in sorted(os.walk(root)):
             for fn in sorted(files):
+                n_files += 1
                 p = os.path.join(dirpath, fn)
                 st = os.stat(p)
                 h.update(
-                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns};".encode()
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}:".encode()
+                    + _tail(p)
+                    + b";"
                 )
+        h.update(f"#{n_files}".encode())
     else:
         st = os.stat(root)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        h.update(f"{st.st_size}:{st.st_mtime_ns}:".encode() + _tail(root))
     return h.hexdigest()[:12]
 
 

@@ -39,3 +39,37 @@ def test_fan_out_without_keys_round_robins(spark):
     f = fan_out(d)
     assert f.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert f.count() == d.count()
+
+
+def test_table_fingerprint_detects_preserved_mtime_rewrite(tmp_path):
+    """A corpus rewritten in place with size AND mtime preserved (cp -p,
+    rsync -t, archive extraction) must still change the fingerprint —
+    the 16-byte tail sample catches what metadata alone cannot. Stale
+    fingerprints would serve cached PPJoin mode / doc counts built from
+    the previous bytes (ADVICE r8)."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.session import table_fingerprint
+
+    root = tmp_path / "documents.parquet"
+    root.mkdir()
+    f = root / "part-0.parquet"
+    f.write_bytes(b"A" * 64)
+    st = os.stat(f)
+    fp1 = table_fingerprint(str(tmp_path), "documents")
+
+    # same size, same mtime, different trailing bytes
+    f.write_bytes(b"A" * 48 + b"B" * 16)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp2 = table_fingerprint(str(tmp_path), "documents")
+    assert fp1 != fp2
+
+    # identical bytes + restored mtime -> identical fingerprint (cache
+    # hits survive a byte-identical rewrite)
+    f.write_bytes(b"A" * 64)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert table_fingerprint(str(tmp_path), "documents") == fp1
+
+    # file-count changes are folded in even when tails/sizes repeat
+    (root / "part-1.parquet").write_bytes(b"A" * 64)
+    assert table_fingerprint(str(tmp_path), "documents") != fp1

@@ -223,6 +223,19 @@ def main() -> None:
                 prior = json.load(f)
             if prior.get("src") == src and prior.get("mults") == mults:
                 report["kernels"].update(prior.get("kernels", {}))
+            elif only is not None:
+                # A subset run can only MERGE into a prior file measured
+                # under the same src/mults — otherwise the write below
+                # would silently discard every kernel not in `only`.
+                # Refuse rather than destroy prior results; a full run
+                # (no subset) legitimately replaces the file.
+                raise SystemExit(
+                    f"refusing subset run: {out_path} was measured with "
+                    f"src={prior.get('src')!r} mults={prior.get('mults')} "
+                    f"but this run uses src={src!r} mults={mults}; its other "
+                    "kernels would be dropped. Re-run without a kernel "
+                    "subset (full replace) or match the prior src/mults."
+                )
         for key, tables in KERNELS:
             if only is not None and key not in only:
                 continue
