@@ -126,18 +126,6 @@ vec AS (
 """
 
 
-@register(
-    "hybrid_search_rrf",
-    oracle=_RRF_ORACLE,
-    doc="Hybrid retrieval: a lexical leg (inverted-index tf-dot-product "
-    "over whitespace tokens) and a vector leg (cosine over the paired "
-    "embedding, doc_id = vec_id) each produce a per-query top-20 "
-    "shortlist; the legs are fused by reciprocal-rank fusion with "
-    "integer contributions (1e12 div (60 + rank)), and the fused top-10 "
-    "per query is surfaced with both leg ranks (0 = absent from that "
-    "leg's shortlist). The fused score is a BIGINT sum — exact, "
-    "order-independent, engine-portable.",
-)
 def _lex_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical leg shared by both hybrid variants: inverted-index
     tf-dot-product, per-query top-LEG_TOPN as (query_id, doc_id, lex_rk).
@@ -189,6 +177,18 @@ def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_search_rrf",
+    oracle=_RRF_ORACLE,
+    doc="Hybrid retrieval: a lexical leg (inverted-index tf-dot-product "
+    "over whitespace tokens) and a vector leg (cosine over the paired "
+    "embedding, doc_id = vec_id) each produce a per-query top-20 "
+    "shortlist; the legs are fused by reciprocal-rank fusion with "
+    "integer contributions (1e12 div (60 + rank)), and the fused top-10 "
+    "per query is surfaced with both leg ranks (0 = absent from that "
+    "leg's shortlist). The fused score is a BIGINT sum — exact, "
+    "order-independent, engine-portable.",
+)
 def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
 
@@ -232,6 +232,18 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cut at LEG_TOPN instead of 10.
 def _rrf_indexed_oracle() -> str:
     from .similarity import N_TABLES, _cos_sql_pair, _MT_BUCKET_SQL, _PLANES_SQL
+    from .similarity import QUERY_MOD as _SIM_QUERY_MOD
+
+    # The Spark side's vector leg (similarity.lsh_scored_pairs) filters
+    # queries on similarity.QUERY_MOD; this oracle must use the SAME
+    # modulus or the two query sets silently desynchronize. Today the
+    # constants are equal (25 == 25) — pin that invariant here so a
+    # future edit to either one fails loudly at import time.
+    assert _SIM_QUERY_MOD == QUERY_MOD, (
+        f"retrieval.QUERY_MOD ({QUERY_MOD}) != similarity.QUERY_MOD "
+        f"({_SIM_QUERY_MOD}): hybrid_search_rrf_indexed oracle and Spark "
+        "implementation would select different query sets"
+    )
 
     return f"""
 WITH {_LEX_CTES},

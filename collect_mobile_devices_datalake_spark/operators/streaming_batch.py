@@ -37,16 +37,20 @@ SESSION_GAP = "30 minutes"
 # state/checkpoint dirs next to it — hundreds of MB per invocation at
 # sf0.1 — and the returned DataFrame reads LAZILY from those dirs, so
 # the kernel itself cannot delete them. Callers that fully consume the
-# result (bench.py, the parity suite) call cleanup_stream_temp_roots()
-# afterwards; stale roots from crashed runs are also sweepable by prefix.
+# result (bench.py, and the pytest session via a conftest finalizer)
+# call cleanup_stream_temp_roots() afterwards; stale roots from crashed
+# runs are swept by prefix+pid-liveness in sweep_stale_stream_temp_roots.
 STREAM_TEMP_PREFIXES = ("roll_day_", "surv_stream_", "cms_stream_", "logbin_stream_")
 _STREAM_TEMP_ROOTS: list[str] = []
 
 
 def _stream_temp_root(prefix: str) -> str:
+    import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix=prefix)
+    # Embed the owning pid so a concurrent sweep from another process can
+    # tell live roots from stranded ones (see sweep_stale_stream_temp_roots).
+    base = tempfile.mkdtemp(prefix=f"{prefix}pid{os.getpid()}_")
     _STREAM_TEMP_ROOTS.append(base)
     return base
 
@@ -62,17 +66,47 @@ def cleanup_stream_temp_roots() -> None:
         shutil.rmtree(_STREAM_TEMP_ROOTS.pop(), ignore_errors=True)
 
 
-def sweep_stale_stream_temp_roots() -> None:
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def sweep_stale_stream_temp_roots(min_age_sec: float = 3600.0) -> None:
     """Best-effort removal of known-prefix roots left by PRIOR processes
-    (a crashed bench/driver run can strand its dirs under /tmp)."""
+    (a crashed bench/driver run can strand its dirs under /tmp).
+
+    A root whose name embeds ``pid<N>_`` is skipped while process N is
+    alive — a concurrent pytest or second bench must not have its live
+    stream source/checkpoint dirs deleted mid-run. Legacy roots without
+    a pid marker are only removed once older than ``min_age_sec``."""
     import glob
     import os
+    import re
     import shutil
     import tempfile
+    import time
 
     tmp = tempfile.gettempdir()
+    now = time.time()
     for prefix in STREAM_TEMP_PREFIXES:
         for path in glob.glob(os.path.join(tmp, prefix + "*")):
+            m = re.match(re.escape(prefix) + r"pid(\d+)_", os.path.basename(path))
+            if m:
+                if _pid_alive(int(m.group(1))):
+                    continue
+            else:
+                try:
+                    if now - os.path.getmtime(path) < min_age_sec:
+                        continue
+                except OSError:
+                    continue
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -12,6 +12,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("pytest")
     yield s
+    # The streaming maintenance kernels copy their input under /tmp and
+    # read from it lazily; once the session's queries are all consumed,
+    # reclaim those roots (hundreds of MB per kernel run at sf0.1).
+    from collect_mobile_devices_datalake_spark.operators.streaming_batch import (
+        cleanup_stream_temp_roots,
+    )
+
+    cleanup_stream_temp_roots()
 
 
 @pytest.fixture(scope="session")

@@ -105,3 +105,27 @@ def test_first_seen_ledger_is_complete():
     stale = [k for k in ledger if k not in REGISTRY]
     assert not missing, f"run tools/update_first_seen.py: missing {missing}"
     assert not stale, f"run tools/update_first_seen.py: stale {stale}"
+
+
+def test_spark_columns_match_oracle_columns(spark):
+    """The driver's compare sorts columns BY NAME before hashing, so a
+    registered spark fn whose output columns differ from its oracle's
+    SELECT list is guaranteed red — catch it schema-only, without
+    executing either side. This is the invariant the round-9
+    hybrid_search_rrf regression violated: a refactor left the
+    @register decorator on the lexical-shortlist helper, so the
+    registry served (query_id, doc_id, lex_rk) against an oracle
+    projecting the fused 6-column schema."""
+    from tests.oracle_harness import duckdb_conn
+
+    con = duckdb_conn("/root/testdata/sf0.001")
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        spark_cols = set(spec.spark(spark, "/root/testdata/sf0.001").columns)
+        oracle_cols = set(con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0").columns)
+        if spark_cols != oracle_cols:
+            offenders[name] = {
+                "spark_only": sorted(spark_cols - oracle_cols),
+                "oracle_only": sorted(oracle_cols - spark_cols),
+            }
+    assert not offenders, f"spark/oracle column mismatch: {offenders}"
