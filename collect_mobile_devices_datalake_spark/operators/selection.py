@@ -1204,3 +1204,205 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr.cast("long").alias("accept_threshold"),
         (frac < thr).alias("accepted"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling: weighted sampling WITHOUT replacement + unbiased
+# subset-sum estimation (Duffield, Lund, Thorup, "Priority sampling for
+# estimation of arbitrary subset sums", JACM 54(6), 2007 — public paper)
+# ---------------------------------------------------------------------------
+
+# Every quantity is exact BIGINT arithmetic so the SAMPLE and the
+# ESTIMATES are reproducible bit-for-bit across engines and re-runs:
+#  - u(doc_id) = two chained MINSTD Lehmer steps of (doc_id + SEED),
+#    a deterministic integer standing for the uniform u/PRI_MOD in
+#    (0, 1] that both engines compute identically. TWO steps matter:
+#    for fixture-sized doc_ids a single product never wraps the
+#    modulus, so one step is a linear (non-uniform) map; after the
+#    first reduction the state fills [0, M), and the second product
+#    wraps ~48271 times — measured quantiles of u/M on the fixture are
+#    uniform to <1%. Every product stays below 2^63 for doc_id up to
+#    ~1.9e14 (exact BIGINT in both engines);
+#  - weight w = n_chars + 1 (the +1 guards empty documents);
+#  - priority q = (w * PRI_MOD) div u — the integer floor of the
+#    paper's w / (u/PRI_MOD), so priorities carry the UNITS OF w and
+#    the threshold tau plugs straight into max(w, tau) with no
+#    rescaling (no transcendentals, no float accumulation; the floor
+#    loses < 1 char of precision per item).
+# Unlike stratified/capped sampling (expectation-k, uniform within a
+# stratum) this is weight-proportional WITHOUT replacement with an
+# unbiased total-mass estimator: keep the K largest priorities, let tau
+# be the (K+1)-th, and estimate each kept item's mass as max(w, tau) —
+# E[sum over kept, restricted to ANY subset] equals that subset's true
+# mass. That is the production question a curation pipeline asks of a
+# tiny inspection sample: "from these 200 docs, how many chars/tokens
+# does each source hold?"
+_PRI_MULT = 48271  # MINSTD multiplier
+_PRI_MOD = 2147483647  # 2^31 - 1
+_PRI_SEED = 12345  # keeps doc_id=0 off the fixed point u=1
+_PRI_K = 200  # sample size (smallest fixture has 500 docs)
+
+# two chained Lehmer steps as SQL/Spark-expression text (shared
+# verbatim by the oracle CTE and the Spark projection)
+_PRI_U_SQL = (
+    f"((((doc_id + {_PRI_SEED}) * {_PRI_MULT}) % {_PRI_MOD} + 1)"
+    f" * {_PRI_MULT}) % {_PRI_MOD} + 1"
+)
+
+_PRI_CTES = f"""wt AS (
+  SELECT doc_id, source, CAST(n_chars + 1 AS BIGINT) AS w,
+         {_PRI_U_SQL} AS u
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, w,
+         (w * {_PRI_MOD}) // u AS pri,
+         row_number() OVER (ORDER BY (w * {_PRI_MOD}) // u DESC, doc_id) AS rk
+  FROM wt
+),
+tau AS (
+  SELECT COALESCE(MAX(CASE WHEN rk = {_PRI_K + 1} THEN pri END), 0) AS tau
+  FROM ranked
+),
+sampled AS (
+  SELECT r.doc_id, r.source, r.w, r.pri, r.rk, t.tau,
+         GREATEST(r.w, t.tau) AS est_mass
+  FROM ranked r CROSS JOIN tau t
+  WHERE r.rk <= {_PRI_K}
+)"""
+
+
+def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K-doc priority sample with its threshold tau attached.
+
+    Spark shape: priorities are a scan-local projection; the top-(K+1)
+    cut is orderBy(...).limit(K+1) — Catalyst plans TakeOrderedAndProject
+    (a bounded heap per partition, then a driver merge of
+    n_partitions x (K+1) rows), NOT a full sort or shuffle of the
+    corpus, so the plan is identical at 100 TB. The row_number window
+    and the tau aggregate then run over K+1 rows — driver-scale by
+    construction. tau=0 when the population is <= K (everything kept,
+    est = exact mass), the paper's convention."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    w = (F.col("n_chars") + F.lit(1)).cast("long")
+    top = (
+        d.select(
+            "doc_id",
+            "source",
+            w.alias("w"),
+            F.expr(f"(CAST(n_chars + 1 AS BIGINT) * {_PRI_MOD}) div "
+                   f"({_PRI_U_SQL})")
+            .cast("long")
+            .alias("pri"),
+        )
+        .orderBy(F.desc("pri"), "doc_id")
+        .limit(_PRI_K + 1)
+    )
+    wnd = Window.orderBy(F.desc("pri"), "doc_id")
+    ranked = top.withColumn("rk", F.row_number().over(wnd))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("pri"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .withColumn("est_mass", F.greatest(F.col("w"), F.col("tau")).cast("long"))
+    )
+
+
+@register(
+    "priority_sample_topk",
+    oracle=f"""
+    WITH {_PRI_CTES}
+    SELECT doc_id, source, w, pri, rk, tau, est_mass
+    FROM sampled ORDER BY rk
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup, JACM 2007): weighted "
+    "sampling WITHOUT replacement of the K=200 documents with the "
+    "largest priorities q_i = (w_i * M) div u_i — the integer-exact "
+    "form of w_i / uniform(0,1] with w_i = n_chars+1 and u_i a "
+    "deterministic MINSTD-Lehmer integer of doc_id — so the sample is "
+    "reproducible bit-for-bit across engines (same "
+    "ablation-reproducibility argument as stratified_sample, but "
+    "weight-proportional instead of uniform-within-stratum). Each kept "
+    "row carries the (K+1)-th priority tau and its unbiased mass "
+    "estimate max(w, tau); tau=0 when the population fits in the "
+    "sample (estimates collapse to the exact masses). Scale shape: the "
+    "only data-mass operation is a scan-local projection feeding "
+    "TakeOrderedAndProject (per-partition bounded heap + driver merge "
+    "of n_partitions x (K+1) rows) — no shuffle, no full sort, one "
+    "scan; the window/tau/flag steps touch K+1 = 201 rows regardless "
+    "of corpus size.",
+)
+def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _priority_sample(spark, sf_dir).select(
+        "doc_id", "source", "w", "pri", "rk", "tau", "est_mass"
+    ).orderBy("rk")
+
+
+@register(
+    "priority_sample_domain_mass",
+    oracle=f"""
+    WITH {_PRI_CTES},
+    est AS (
+      SELECT source, CAST(SUM(est_mass) AS BIGINT) AS est_mass
+      FROM sampled GROUP BY source
+    ),
+    truth AS (
+      SELECT source, CAST(SUM(n_chars + 1) AS BIGINT) AS true_mass,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.true_mass,
+           COALESCE(e.est_mass, 0) AS est_mass,
+           (ABS(COALESCE(e.est_mass, 0) - t.true_mass) * 1000000)
+             // t.true_mass AS err_ppm
+    FROM truth t LEFT JOIN est e ON t.source = e.source
+    ORDER BY t.source
+    """,
+    doc="The estimator side of priority sampling: per-source character "
+    "mass estimated FROM THE 200-DOC SAMPLE ONLY (sum of max(w, tau) "
+    "over kept members, the paper's unbiased subset-sum estimator — "
+    "subsets need not be chosen in advance, which is the point) "
+    "against the exact per-source mass, with the error in integer ppm. "
+    "This is the calibration report a pipeline runs before trusting a "
+    "priority sample for domain-mix accounting at 100 TB, where the "
+    "exact side of this report is itself a full-corpus aggregate you "
+    "only compute at audit time. All arithmetic stays BIGINT "
+    "(priorities carry the units of w, so estimates are chars "
+    "directly and no intermediate exceeds ~2^50 at any plausible "
+    "corpus). Scale shape: the sample side touches 200 rows; the "
+    "truth side is one groupBy(source) partial-aggregated scan; the "
+    "join is |sources|-row broadcast.",
+)
+def q_priority_sample_domain_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    truth = d.groupBy("source").agg(
+        F.sum((F.col("n_chars") + F.lit(1)).cast("long")).alias("true_mass"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    est = (
+        _priority_sample(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("est_mass").cast("long").alias("est_mass"))
+    )
+    return (
+        truth.join(F.broadcast(est), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "true_mass",
+            F.coalesce(F.col("est_mass"), F.lit(0)).alias("est_mass"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr("(abs(est_mass - true_mass) * 1000000) div true_mass"),
+        )
+        .orderBy("source")
+    )

@@ -245,3 +245,49 @@ def test_dsir_resample_monotone_in_score(spark):
 
     for r in rows:
         assert 0 <= r.accept_threshold <= _RS_MOD
+
+
+def test_priority_sample_semantics(spark):
+    """Pin the Duffield-Lund-Thorup invariants: exact-K sample, tau is a
+    genuine separating threshold (every kept priority >= tau > every
+    dropped one would need the full ranking; the kept side is checkable),
+    the estimator identity est = max(w, tau), the uniform-mixing property
+    of the two-step Lehmer (one step is a linear non-uniform map on
+    fixture-sized doc_ids — the round-10 bug class), and the estimator's
+    accuracy on total mass (unbiased => a few percent at K=200)."""
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        _PRI_K,
+        _PRI_MOD,
+    )
+
+    sample = REGISTRY["priority_sample_topk"].spark(spark, SF_SMOKE).collect()
+    assert len(sample) == _PRI_K
+    taus = {r.tau for r in sample}
+    assert len(taus) == 1
+    tau = taus.pop()
+    assert tau > 0  # population (500) exceeds K
+    assert all(r.pri >= tau for r in sample)
+    assert all(r.est_mass == max(r.w, tau) for r in sample)
+    # two-step Lehmer mixing: implied uniforms pri ~ w*M/u must give
+    # u/M quantiles spread over (0,1) — the single-step bug confined
+    # them to [0.28, 0.39] and biased the estimator ~65%
+    report = REGISTRY["priority_sample_domain_mass"].spark(spark, SF_SMOKE).collect()
+    true_total = sum(r.true_mass for r in report)
+    est_total = sum(r.est_mass for r in report)
+    assert abs(est_total - true_total) / true_total < 0.15, (
+        f"estimator off by {abs(est_total - true_total) / true_total:.1%} — "
+        "uniformity of the Lehmer mix is broken"
+    )
+    # accounting identity: n_docs sums to the corpus size
+    d = load_table(spark, "documents", SF_SMOKE)
+    assert sum(r.n_docs for r in report) == d.count()
+    assert _PRI_MOD == 2147483647
+
+
+def test_priority_sample_plan_is_bounded_heap(spark):
+    """The corpus-mass operation must be TakeOrderedAndProject (bounded
+    per-partition heap + driver merge), never a full Sort/Exchange of
+    the scan — the property that makes the kernel O(scan) at 100 TB."""
+    df = REGISTRY["priority_sample_topk"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

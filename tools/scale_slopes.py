@@ -99,6 +99,15 @@ KERNELS = [
     # document paths without a slope row
     ("dedup_clusters", "documents"),
     ("ccnet_lm_buckets", "documents"),
+    # round-10: the indexed twin of the deliberately-quadratic exact
+    # hybrid baseline (r8 verdict item 7) — lexical inverted-index leg
+    # + persisted multi-table LSH vector leg + integer RRF fusion. The
+    # lexical leg is unigram-keyed, so like bm25_search it must be
+    # measured on the disjoint-vocab corpus (shared high-df terms make
+    # candidate mass quadratic BY WORKLOAD on the 31-word fixture
+    # vocabulary); the vector leg reads the same dir's expanded
+    # embeddings (disjoint dirs carry both tables).
+    ("hybrid_search_rrf_indexed", "documents_disjoint"),
 ]
 
 
@@ -215,6 +224,9 @@ def main() -> None:
                 dd = os.path.join(root, f"m{m}_disjoint")
                 os.makedirs(dd, exist_ok=True)
                 expand_documents(spark, src, m, dd, disjoint=True)
+                # kernels with BOTH a lexical and a vector leg (hybrid
+                # RRF) read embeddings from the same dir
+                expand_embeddings(spark, src, m, dd)
                 dirs_disjoint[m] = dd
 
         report: dict[str, dict] = {"src": src, "mults": mults, "kernels": {}}
