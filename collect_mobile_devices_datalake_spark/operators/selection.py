@@ -1406,3 +1406,97 @@ def q_priority_sample_domain_mass(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# Per-group priority sampling: the same DLT machinery applied WITHIN
+# each source independently (K_G docs per source, per-source threshold
+# tau_g, per-source unbiased estimates). The plan story differs from
+# the global kernel: a per-group top-k cannot ride
+# TakeOrderedAndProject, so the scale-honest shape is Spark's
+# WindowGroupLimit pushdown (SPARK-37099, in Spark >= 3.5): the
+# rk <= K_G+1 filter over row_number() is rewritten into bounded
+# per-partition group-limit heaps BEFORE the shuffle, so only
+# ~K_G+1 rows per (source, input partition) move — not the corpus.
+_PRI_KG = 16  # per-source sample size (smallest fixture: 25 docs/source)
+
+
+@register(
+    "priority_sample_per_source",
+    oracle=f"""
+    WITH wt AS (
+      SELECT doc_id, source, CAST(n_chars + 1 AS BIGINT) AS w,
+             {_PRI_U_SQL} AS u
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, w,
+             (w * {_PRI_MOD}) // u AS pri,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY (w * {_PRI_MOD}) // u DESC, doc_id) AS rk
+      FROM wt
+    ),
+    taus AS (
+      SELECT source,
+             COALESCE(MAX(CASE WHEN rk = {_PRI_KG + 1} THEN pri END), 0) AS tau
+      FROM ranked WHERE rk <= {_PRI_KG + 1} GROUP BY source
+    )
+    SELECT r.source, r.doc_id, r.w, r.pri, r.rk, t.tau,
+           GREATEST(r.w, t.tau) AS est_mass
+    FROM ranked r JOIN taus t ON r.source = t.source
+    WHERE r.rk <= {_PRI_KG}
+    ORDER BY r.source, r.rk
+    """,
+    doc="Priority sampling applied independently WITHIN each source: the "
+    "K_G=16 largest-priority documents per source, each with the "
+    "per-source threshold tau_g (the (K_G+1)-th priority in that "
+    "source, 0 when the source fits in the sample) and the unbiased "
+    "per-item mass estimate max(w, tau_g) — the exact-k "
+    "weight-proportional counterpart of stratified_sample's "
+    "expectation-k uniform draw, and the sample a curation pipeline "
+    "pulls when every domain must be inspected at equal depth "
+    "regardless of its size. Same all-BIGINT two-step-Lehmer "
+    "determinism as priority_sample_topk. Scale shape: a per-group "
+    "top-k cannot use TakeOrderedAndProject, so the kernel leans on "
+    "WindowGroupLimit pushdown (SPARK-37099): the rank filter becomes "
+    "bounded per-partition group-limit heaps BEFORE the source-keyed "
+    "shuffle — per input partition only ~K_G+1 rows per source move, "
+    "not the corpus (plan-asserted in tests); the tau join is "
+    "|sources|-row broadcast.",
+)
+def q_priority_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") + F.lit(1)).cast("long").alias("w"),
+        F.expr(f"(CAST(n_chars + 1 AS BIGINT) * {_PRI_MOD}) div ({_PRI_U_SQL})")
+        .cast("long")
+        .alias("pri"),
+    )
+    wnd = Window.partitionBy("source").orderBy(F.desc("pri"), "doc_id")
+    ranked = scored.withColumn("rk", F.row_number().over(wnd)).filter(
+        F.col("rk") <= _PRI_KG + 1
+    )
+    taus = ranked.groupBy("source").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _PRI_KG + 1, F.col("pri"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRI_KG)
+        .join(F.broadcast(taus), "source")
+        .select(
+            "source",
+            "doc_id",
+            "w",
+            "pri",
+            "rk",
+            "tau",
+            F.greatest(F.col("w"), F.col("tau")).cast("long").alias("est_mass"),
+        )
+        .orderBy("source", "rk")
+    )

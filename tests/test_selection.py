@@ -291,3 +291,24 @@ def test_priority_sample_plan_is_bounded_heap(spark):
     df = REGISTRY["priority_sample_topk"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_per_source_pushes_group_limit(spark):
+    """The per-group rank filter must compile to WindowGroupLimit
+    (SPARK-37099) — bounded per-partition heaps ahead of the
+    source-keyed shuffle — or the kernel shuffles the whole corpus."""
+    df = REGISTRY["priority_sample_per_source"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # per-source DLT invariants: exact K_G per (large-enough) source,
+    # single tau per source, estimator identity
+    from collect_mobile_devices_datalake_spark.operators.selection import _PRI_KG
+
+    rows = df.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, grp in by_src.items():
+        assert len(grp) == _PRI_KG  # every fixture source has > K_G docs
+        assert len({r.tau for r in grp}) == 1
+        assert all(r.est_mass == max(r.w, r.tau) for r in grp)
