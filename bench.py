@@ -73,6 +73,7 @@ STREAMING = [
     "streaming_survivorship_state",
     "streaming_cms_state",
     "streaming_logbin_state",
+    "streaming_priority_sample_state",
 ]
 
 

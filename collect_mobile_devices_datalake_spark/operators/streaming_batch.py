@@ -40,7 +40,13 @@ SESSION_GAP = "30 minutes"
 # result (bench.py, and the pytest session via a conftest finalizer)
 # call cleanup_stream_temp_roots() afterwards; stale roots from crashed
 # runs are swept by prefix+pid-liveness in sweep_stale_stream_temp_roots.
-STREAM_TEMP_PREFIXES = ("roll_day_", "surv_stream_", "cms_stream_", "logbin_stream_")
+STREAM_TEMP_PREFIXES = (
+    "roll_day_",
+    "surv_stream_",
+    "cms_stream_",
+    "logbin_stream_",
+    "psamp_stream_",
+)
 _STREAM_TEMP_ROOTS: list[str] = []
 
 
@@ -1071,4 +1077,91 @@ def q_streaming_logbin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lower").cast("long").alias("lower"),
         )
         .orderBy("lower")
+    )
+
+
+def _psamp_stream_oracle() -> str:
+    """Compose the batch priority_sample_topk oracle verbatim — the
+    stream must converge to EXACTLY the batch sample (top-K-by-priority
+    is order-insensitive and priorities are pure functions of the row).
+    Import the provider module explicitly (the retrieval.py lesson)."""
+    from ..registry import REGISTRY
+    from . import selection  # noqa: F401  (registers priority_sample_topk)
+
+    return REGISTRY["priority_sample_topk"].oracle
+
+
+@register(
+    "streaming_priority_sample_state",
+    oracle=_psamp_stream_oracle(),
+    doc="The streaming weighted-sample lattice, driver-gated at value "
+    "level: documents are fed through the ACTUAL priority-sample "
+    "maintenance stream (streaming/sample_maintenance.py — foreachBatch "
+    "writes one bounded top-(K+1)-by-priority partial per batch, "
+    "TakeOrderedAndProject inside the batch) in two availableNow runs "
+    "against ONE checkpoint (the second run resumes over late-arriving "
+    "files, certifying checkpoint recovery), the partials are folded by "
+    "the manifest-free idempotent compaction (k-extreme lattices share "
+    "the KMV guarantee: priorities are pure functions of the row, so "
+    "re-absorbed partials collapse in the doc_id dedup), and the state "
+    "is read back and priced (rank, tau, unbiased mass estimates). The "
+    "oracle is the one-shot batch priority_sample_topk SQL over the "
+    "same corpus — equality proves per-batch bounded partials + a "
+    "restart boundary + the idempotent fold compose to exactly the "
+    "batch sample, i.e. the 100 TB sample is MAINTAINED incrementally "
+    "(K+1 rows of state per batch), never recomputed.",
+)
+def q_streaming_priority_sample_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.window import Window
+
+    from ..operators.selection import _PRI_K
+    from ..streaming.sample_maintenance import (
+        compact_sample_state,
+        read_sample_state,
+        start_sample_maintenance_stream,
+    )
+
+    base = _stream_temp_root("psamp_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    # first tranche: ~3/4 of the corpus over several files -> several
+    # bounded top-(K+1) partials under maxFilesPerTrigger
+    d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    _await_or_fail(q)
+    # late tranche after the stream stopped; the SAME checkpoint resumes
+    d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+    q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+    _await_or_fail(q)
+    # fold the partials into one K+1-row partition, then price the sample
+    compact_sample_state(spark, state)
+    merged = read_sample_state(spark, state)
+    wnd = Window.orderBy(F.desc("pri"), "doc_id")
+    ranked = merged.withColumn("rk", F.row_number().over(wnd))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("pri"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            "pri",
+            "rk",
+            "tau",
+            F.greatest(F.col("w"), F.col("tau")).cast("long").alias("est_mass"),
+        )
+        .orderBy("rk")
     )

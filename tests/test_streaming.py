@@ -975,3 +975,57 @@ def test_survivorship_stream_matches_batch_and_redelivery(spark, tmp):
     assert gold(got) == before_gold and counts(got) == before_counts
     parts = [d for d in os.listdir(st_dir) if d.startswith("batch=")]
     assert parts == ["batch=compacted"]
+
+
+def test_priority_sample_state_idempotent_merge(spark, tmp_path):
+    """The k-extreme lattice guarantee: re-absorbing a partial that was
+    already merged (wholesale producer re-delivery under a fresh batch
+    id) cannot move the sample — priorities are pure functions of the
+    row, so duplicates collapse in the doc_id dedup. Also pins the
+    boundedness of partials (K+1 rows each) and that the fold of
+    partial tranches equals the one-shot sample over the union."""
+    import shutil
+
+    from collect_mobile_devices_datalake_spark.operators.selection import _PRI_K
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.sample_maintenance import (
+        compact_sample_state,
+        priority_partial,
+        read_sample_state,
+    )
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source", "n_chars"
+    )
+    state = str(tmp_path / "state")
+    # two disjoint tranches -> two bounded partials
+    for i, tranche in enumerate(
+        (d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1))
+    ):
+        p = priority_partial(tranche)
+        assert p.count() <= _PRI_K + 1
+        p.write.mode("overwrite").parquet(f"{state}/batch={i}")
+    merged_once = {
+        (r.doc_id, r.pri) for r in read_sample_state(spark, state).collect()
+    }
+    # one-shot over the whole corpus must equal the fold of the tranches
+    one_shot = {
+        (r.doc_id, r.pri) for r in priority_partial(d).collect()
+    }
+    assert merged_once == one_shot
+    # wholesale re-delivery: copy batch=0 under a fresh id -> no change
+    shutil.copytree(f"{state}/batch=0", f"{state}/batch=99")
+    merged_again = {
+        (r.doc_id, r.pri) for r in read_sample_state(spark, state).collect()
+    }
+    assert merged_again == merged_once
+    # compaction folds to one partition and preserves the sample
+    compact_sample_state(spark, state)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(state) if d.startswith("batch=")
+    ) == ["batch=compacted"]
+    assert {
+        (r.doc_id, r.pri) for r in read_sample_state(spark, state).collect()
+    } == merged_once

@@ -108,6 +108,14 @@ KERNELS = [
     # vocabulary); the vector leg reads the same dir's expanded
     # embeddings (disjoint dirs carry both tables).
     ("hybrid_search_rrf_indexed", "documents_disjoint"),
+    # round-10: the priority-sampling pair's plan claims made measurable —
+    # global top-K must stay scan-bound (TakeOrderedAndProject: bounded
+    # per-partition heaps, slope ~1 from the scan alone), and the
+    # per-source variant must stay group-limit-bounded (WindowGroupLimit
+    # pushdown: only ~K_G+1 rows per (source, partition) reach the
+    # shuffle). Output sizes are K / K_G*|sources| — constant in m.
+    ("priority_sample_topk", "documents"),
+    ("priority_sample_per_source", "documents"),
 ]
 
 
