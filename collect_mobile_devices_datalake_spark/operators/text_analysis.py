@@ -720,3 +720,104 @@ def q_doc_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("v", F.lit(0)).cast("long").alias("vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per source: the rank-frequency twin of doc_heaps_law
+# ---------------------------------------------------------------------------
+
+# OLS fit of flog2(freq) against flog2(rank) — Zipf's law says
+# freq(r) ~ r^(-s), so the bit-quantized log-log regression recovers -s.
+# Every sum (n, Sx, Sy, Sxy, Sxx) is an exact BIGINT of small integer
+# products (ranks and freqs are corpus-bounded; flog2 of both is < 64),
+# so the accumulation is order-independent and engine-portable; only the
+# FINAL slope is one IEEE double division. Same integer-bits convention
+# as doc_rarity_bits / doc_bigram_surprise (selection.py:_flog2).
+_ZIPF_ORACLE = """
+WITH tf AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY source, w
+),
+ranked AS (
+  SELECT source,
+         length(to_base(row_number() OVER (PARTITION BY source
+                                           ORDER BY f DESC, w), 2)) - 1 AS x,
+         length(to_base(f, 2)) - 1 AS y
+  FROM tf
+),
+sums AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM ranked GROUP BY source
+)
+SELECT source, n_types,
+       round(CAST(-(n_types * sxy - sx * sy) AS DOUBLE)
+             / (n_types * sxx - sx * sx), 6) AS zipf_slope
+FROM sums
+WHERE n_types * sxx - sx * sx <> 0
+ORDER BY source
+"""
+
+
+@register(
+    "doc_zipf_slope",
+    oracle=_ZIPF_ORACLE,
+    doc="Per-source Zipf slope: the rank-frequency power-law exponent "
+    "fitted by OLS over bit-quantized logs — flog2(freq) against "
+    "flog2(rank of the token by frequency) — the twin diagnostic of "
+    "doc_heaps_law (type growth) for comparing sources' token "
+    "distributions: natural text sits near slope ~1, templated or "
+    "synthetic text flattens or steepens. All five regression sums are "
+    "exact BIGINTs of bounded integer products (order-independent, "
+    "engine-portable — the same integer-bits convention as "
+    "doc_rarity_bits); only the final slope is one IEEE double "
+    "division, identical in both engines. Degenerate sources (all "
+    "ranks in one bit bucket) are excluded by the zero-variance guard. "
+    "Scale shape: one token-keyed aggregation (the shuffle every "
+    "vocabulary kernel pays), a per-source rank window over the "
+    "VOCABULARY (not the corpus), and a |sources|-row final aggregate.",
+)
+def q_doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .selection import _flog2
+
+    d = load_table(spark, "documents", sf_dir)
+    tf = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    wnd = Window.partitionBy("source").orderBy(F.desc("f"), "w")
+    xy = tf.select(
+        "source",
+        _flog2(F.row_number().over(wnd)).cast("long").alias("x"),
+        _flog2(F.col("f")).cast("long").alias("y"),
+    )
+    sums = xy.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.filter(den != 0)
+        .select(
+            "source",
+            "n_types",
+            F.round(
+                (-(F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")))
+                .cast("double")
+                / den,
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
