@@ -133,3 +133,43 @@ def test_middle_pair_sum_is_twice_the_median(vals):
     n = len(srt)
     want = Fraction(str(srt[(n - 1) // 2])) + Fraction(str(srt[n // 2]))
     assert Fraction(med2) == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 500)),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_priority_sample_matches_python_reference(spark, corpus):
+    """The DLT sample is a pure function of (doc_id, n_chars): a plain
+    Python reimplementation of the two-step-Lehmer priority and the
+    top-K cut must select the SAME documents with the SAME tau and
+    estimates for any corpus, including populations smaller than K
+    (tau = 0, estimates collapse to exact masses)."""
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        _PRI_K,
+        _PRI_MOD,
+        _PRI_MULT,
+        _PRI_SEED,
+    )
+    from collect_mobile_devices_datalake_spark.streaming.sample_maintenance import (
+        priority_partial,
+    )
+
+    def u2(doc_id: int) -> int:
+        u1 = ((doc_id + _PRI_SEED) * _PRI_MULT) % _PRI_MOD
+        return ((u1 + 1) * _PRI_MULT) % _PRI_MOD + 1
+
+    expect = sorted(
+        ((((n + 1) * _PRI_MOD) // u2(d), d) for d, n in corpus),
+        key=lambda t: (-t[0], t[1]),
+    )[: _PRI_K + 1]
+    df = spark.createDataFrame(
+        [(d, "s", n) for d, n in corpus], "doc_id long, source string, n_chars long"
+    )
+    got = [(r.pri, r.doc_id) for r in priority_partial(df).collect()]
+    assert got == expect
