@@ -14,6 +14,7 @@ HEADLINE = [
     "knn_self_join", "decontam_bloom_report",
     "hybrid_search_rrf", "rollup_reuse_hierarchy", "order_overlap_stats",
     "source_token_drift", "event_rate_anomalies", "ivm_nation_revenue",
+    "priority_sample_topk", "priority_sample_per_source", "doc_zipf_slope",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
