@@ -1179,3 +1179,203 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BM25_TOPK)
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection recall: the third member of the
+# embedding-eval triad (prefix truncation / PQ codes / random projection)
+# ---------------------------------------------------------------------------
+
+JL_DIMS = (4, 8, 16, 32)  # projected dimensions evaluated
+JL_TOPK = 10
+_JL_C1 = 2654435761  # Knuth multiplicative constant (input-dim mixing)
+_JL_C2 = 48271  # MINSTD multiplier (output-dim mixing)
+_JL_MOD = 2147483647  # 2^31 - 1
+_JL_D = 64  # source embedding dimensionality
+
+# The +-1 sign matrix is a deterministic pure function of (i, j):
+# u = (i*C2 + j*C1 + 12345) % M, sign = +1 iff (u*u) % M is even —
+# exact BIGINT both engines compute identically (u < M so u*u < 2^62).
+# The SQUARE is load-bearing: any purely LINEAR index hash (one or
+# many Lehmer/LCG steps) maps the dense (i, j) grid to constant-stride
+# progressions mod M whose PARITY stays strongly correlated between
+# output columns — measured pairwise column agreement up to 0.94,
+# collapsing the projection to effective rank ~2 and recall to noise.
+# Squaring the mixed index breaks the arithmetic-progression structure
+# (consecutive inputs step by 2u+1, not a constant): measured column
+# agreement is binomial noise around 0.5 (the same mixing-not-just-
+# determinism lesson as the priority-sampling Lehmer fix, NOTES r10).
+# The projection fold and the cosine folds run left-to-right over the
+# index (Spark aggregate-with-0.0-init vs DuckDB 2-arg list_reduce,
+# the convention every cosine oracle in this repo already relies on),
+# so projected scores are bit-identical across engines.
+
+
+def _jl_recall_oracle() -> str:
+    from ..registry import REGISTRY
+
+    base = REGISTRY["knn_bruteforce"].oracle
+    sign = (
+        f"(((i - 1) * {_JL_C2} + j * {_JL_C1} + 12345) % {_JL_MOD})"
+        f" * (((i - 1) * {_JL_C2} + j * {_JL_C1} + 12345) % {_JL_MOD})"
+        f" % {_JL_MOD} % 2 = 0"
+    )
+    return f"""
+WITH dims AS (SELECT unnest([{", ".join(str(d) for d in JL_DIMS)}]) AS dim),
+proj AS (
+  SELECT dm.dim, e.vec_id,
+         list_transform(range(0, dm.dim), j -> list_reduce(
+             list_transform(range(1, {_JL_D} + 1), i ->
+                 CASE WHEN {sign}
+                      THEN CAST(e.embedding[i] AS DOUBLE)
+                      ELSE -CAST(e.embedding[i] AS DOUBLE) END),
+             (a, b) -> a + b)) AS p
+  FROM embeddings e CROSS JOIN dims dm
+),
+pairs AS (
+  SELECT q.dim, q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, q.dim + 1),
+                     i -> q.p[i] * e.p[i]), (a, b) -> a + b) AS num,
+         sqrt(list_reduce(list_transform(range(1, q.dim + 1),
+                     i -> q.p[i] * q.p[i]), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform(range(1, q.dim + 1),
+                     i -> e.p[i] * e.p[i]), (a, b) -> a + b)) AS den
+  FROM proj q JOIN proj e ON q.dim = e.dim AND e.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT dim, query_id, neighbor_id,
+         CASE WHEN den = 0 THEN 0.0 ELSE num / den END AS cos
+  FROM pairs
+),
+topk AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {JL_TOPK}
+),
+base AS (SELECT query_id, neighbor_id FROM ({base})),
+base_n AS (SELECT COUNT(*) AS n FROM base)
+SELECT t.dim,
+       CAST(COUNT(b.neighbor_id) AS BIGINT) AS hits,
+       CAST(MIN(base_n.n) AS BIGINT) AS n_baseline,
+       round(COUNT(b.neighbor_id) / CAST(MIN(base_n.n) AS DOUBLE), 4) AS recall
+FROM topk t
+LEFT JOIN base b ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+CROSS JOIN base_n
+GROUP BY t.dim
+ORDER BY t.dim
+"""
+
+
+@register(
+    "jl_projection_recall",
+    oracle=_jl_recall_oracle(),
+    doc="Johnson-Lindenstrauss random-projection evaluation: each "
+    "embedding is projected to d' dims (d' in "
+    f"{JL_DIMS}) by a deterministic +-1 sign matrix (sign(i, j) from "
+    "exact integer arithmetic on the index pair — no stored projection "
+    "matrix, any worker regenerates it), then brute-force cosine "
+    "top-10 in the PROJECTED space is scored as recall against the "
+    "exact full-dimension baseline (the registered knn_bruteforce "
+    "oracle composed verbatim). Completes the embedding-eval triad — "
+    "prefix truncation (embedding_truncation_recall) / product "
+    "quantization (knn_ivfpq_probe + ann_recall_report) / random "
+    "projection (this) — the three cheap-index-tier transforms a "
+    "pipeline prices before shipping 100 TB of vectors. Scale shape: "
+    "the projection is a scan-local map (each vector projected once "
+    "per d', not per pair); the pair scoring here is the documented "
+    "exact baseline over the 4%% query set (same shape as "
+    "knn_bruteforce); at scale the projected vectors feed the "
+    "persisted LSH/IVF index instead and only the projection map "
+    "changes. Fold order is fixed (left-to-right over the index), so "
+    "projected cosines are bit-identical across engines.",
+)
+def q_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q_knn_bruteforce
+
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    withdim = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(d) for d in JL_DIMS])).alias("dim"),
+    )
+    p = F.transform(
+        F.sequence(F.lit(0), F.col("dim") - 1),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.lit(_JL_D - 1)),
+                lambda v, i: F.when(
+                    (
+                        (
+                            (i * F.lit(_JL_C2) + j * F.lit(_JL_C1) + F.lit(12345))
+                            % F.lit(_JL_MOD)
+                        )
+                        * (
+                            (i * F.lit(_JL_C2) + j * F.lit(_JL_C1) + F.lit(12345))
+                            % F.lit(_JL_MOD)
+                        )
+                    )
+                    % F.lit(_JL_MOD)
+                    % 2
+                    == 0,
+                    v.cast("double"),
+                ).otherwise(-v.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    proj = withdim.select("vec_id", "dim", p.alias("p"))
+    corpus = proj.select("vec_id", "dim", "p", l2_norm("p").alias("nrm"))
+    qv = corpus.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dim").alias("qdim"),
+        F.col("p").alias("qp"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(qv)
+        .join(corpus, F.col("qdim") == F.col("dim"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "dim",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.when(F.col("qnrm") * F.col("nrm") == 0, F.lit(0.0))
+            .otherwise(dot_product("qp", "p") / (F.col("qnrm") * F.col("nrm")))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(F.desc("cos"), "neighbor_id")
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= JL_TOPK)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    base = q_knn_bruteforce(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("base_neighbor")
+    )
+    base_n = base.agg(F.count("*").alias("n"))
+    hits = (
+        topk.join(
+            base,
+            (topk.query_id == base.query_id)
+            & (topk.neighbor_id == base.base_neighbor),
+            "left",
+        )
+        .groupBy("dim")
+        .agg(F.count("base_neighbor").cast("long").alias("hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(base_n))
+        .select(
+            "dim",
+            "hits",
+            F.col("n").cast("long").alias("n_baseline"),
+            F.round(F.col("hits") / F.col("n").cast("double"), 4).alias("recall"),
+        )
+        .orderBy("dim")
+    )

@@ -266,3 +266,47 @@ def test_bm25_shape_and_invariants(spark):
         assert len(rows) <= BM25_TOPK
         scores = [r.bm25_score for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_jl_sign_matrix_mixes():
+    """The square in the JL sign hash is load-bearing: any purely linear
+    index hash maps the dense (i, j) grid to constant-stride progressions
+    mod M whose parity stays column-correlated (agreement up to ~0.94
+    measured), collapsing the projection to effective rank ~2. Pin the
+    mixing: pairwise column agreement must sit in the binomial-noise band
+    around 0.5, and the overall +1 fraction near 0.5."""
+    import itertools
+
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        _JL_C1,
+        _JL_C2,
+        _JL_D,
+        _JL_MOD,
+    )
+
+    def sign(i: int, j: int) -> int:
+        u = (i * _JL_C2 + j * _JL_C1 + 12345) % _JL_MOD
+        return (u * u) % _JL_MOD % 2
+
+    agrees = []
+    for j1, j2 in itertools.combinations(range(16), 2):
+        agrees.append(
+            sum(sign(i, j1) == sign(i, j2) for i in range(_JL_D)) / _JL_D
+        )
+    # binomial(64, 0.5) 4-sigma band
+    assert all(0.25 <= a <= 0.75 for a in agrees), (min(agrees), max(agrees))
+    total = sum(sign(i, j) for i in range(_JL_D) for j in range(32)) / (_JL_D * 32)
+    assert 0.45 <= total <= 0.55
+
+
+def test_jl_recall_monotone_in_dim(spark):
+    """More projected dimensions cannot systematically hurt: recall must
+    be non-decreasing across the JL_DIMS sweep on the fixture (a strict
+    inversion signals a broken sign matrix or fold)."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    from .conftest import SF_ORACLE
+
+    rows = REGISTRY["jl_projection_recall"].spark(spark, SF_ORACLE).collect()
+    rec = [r.recall for r in sorted(rows, key=lambda r: r.dim)]
+    assert rec == sorted(rec), rec
