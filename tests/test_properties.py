@@ -173,3 +173,66 @@ def test_priority_sample_matches_python_reference(spark, corpus):
     )
     got = [(r.pri, r.doc_id) for r in priority_partial(df).collect()]
     assert got == expect
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-2.0, 2.0, allow_nan=False, width=32), min_size=64, max_size=64),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_jl_projection_matches_python_reference(spark, vecs):
+    """The JL projected vector is a pure function of the embedding: a
+    plain-Python reimplementation of the nonlinear sign hash and the
+    left-to-right fold must reproduce Spark's projection bit-for-bit
+    (the property the DuckDB oracle relies on)."""
+    from collect_mobile_devices_datalake_spark.operators.retrieval import (
+        _JL_C1,
+        _JL_C2,
+        _JL_D,
+        _JL_MOD,
+        JL_DIMS,
+    )
+
+    def sign(i: int, j: int) -> float:
+        u = (i * _JL_C2 + j * _JL_C1 + 12345) % _JL_MOD
+        return 1.0 if (u * u) % _JL_MOD % 2 == 0 else -1.0
+
+    dp = JL_DIMS[-1]
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(dp - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.lit(_JL_D - 1)),
+                lambda v, i: F.when(
+                    (
+                        ((i * F.lit(_JL_C2) + j * F.lit(_JL_C1) + F.lit(12345)) % F.lit(_JL_MOD))
+                        * ((i * F.lit(_JL_C2) + j * F.lit(_JL_C1) + F.lit(12345)) % F.lit(_JL_MOD))
+                    )
+                    % F.lit(_JL_MOD)
+                    % 2
+                    == 0,
+                    v.cast("double"),
+                ).otherwise(-v.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    got = {r.vec_id: r.p for r in df.select("vec_id", proj.alias("p")).collect()}
+    import numpy as np
+
+    for k, v in enumerate(vecs):
+        v32 = [float(np.float32(x)) for x in v]  # array<float> storage rounding
+        for j in range(dp):
+            acc = 0.0
+            for i in range(_JL_D):
+                acc = acc + sign(i, j) * v32[i]
+            assert got[k][j] == acc, (k, j, got[k][j], acc)
