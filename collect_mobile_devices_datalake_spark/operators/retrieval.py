@@ -44,7 +44,11 @@ from ..session import fan_out, load_table, scoped_shuffle_width
 # collected in isolation).
 from . import similarity as _similarity  # noqa: F401  (registers knn_* + near-dup keys)
 
-QUERY_MOD = 25  # doc_id % 25 == 0 → 20 query docs over the 500-row table
+# Single-sourced from similarity so the hybrid kernels' lexical/vector
+# legs and every oracle in this module can never select different query
+# sets (the r9-advice coupling, resolved by removing the duplicate
+# rather than asserting equality).
+QUERY_MOD = _similarity.QUERY_MOD  # doc_id % 25 == 0 → 20 query docs / 500 rows
 RRF_K = 60  # the standard RRF damping constant
 RRF_SCALE = 1_000_000_000_000  # integer contribution = SCALE div (K + rank)
 LEG_TOPN = 20  # per-leg shortlist depth fed into fusion
@@ -232,18 +236,6 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cut at LEG_TOPN instead of 10.
 def _rrf_indexed_oracle() -> str:
     from .similarity import N_TABLES, _cos_sql_pair, _MT_BUCKET_SQL, _PLANES_SQL
-    from .similarity import QUERY_MOD as _SIM_QUERY_MOD
-
-    # The Spark side's vector leg (similarity.lsh_scored_pairs) filters
-    # queries on similarity.QUERY_MOD; this oracle must use the SAME
-    # modulus or the two query sets silently desynchronize. Today the
-    # constants are equal (25 == 25) — pin that invariant here so a
-    # future edit to either one fails loudly at import time.
-    assert _SIM_QUERY_MOD == QUERY_MOD, (
-        f"retrieval.QUERY_MOD ({QUERY_MOD}) != similarity.QUERY_MOD "
-        f"({_SIM_QUERY_MOD}): hybrid_search_rrf_indexed oracle and Spark "
-        "implementation would select different query sets"
-    )
 
     return f"""
 WITH {_LEX_CTES},
@@ -1286,7 +1278,7 @@ ORDER BY t.dim
     "pipeline prices before shipping 100 TB of vectors. Scale shape: "
     "the projection is a scan-local map (each vector projected once "
     "per d', not per pair); the pair scoring here is the documented "
-    "exact baseline over the 4%% query set (same shape as "
+    "exact baseline over the 4% query set (same shape as "
     "knn_bruteforce); at scale the projected vectors feed the "
     "persisted LSH/IVF index instead and only the projection map "
     "changes. Fold order is fixed (left-to-right over the index), so "

@@ -1272,6 +1272,34 @@ sampled AS (
 )"""
 
 
+def price_sample(top: DataFrame) -> DataFrame:
+    """DLT pricing of a candidate set of AT MOST K+1 rows
+    (doc_id, source, w, pri): rank by (priority desc, doc_id), read tau
+    off the (K+1)-th row (0 when the population fits in the sample —
+    everything kept, est = exact mass, the paper's convention), keep the
+    top K, attach est_mass = max(w, tau). The window/tau/flag steps all
+    run over <= K+1 rows — driver-scale by construction. Shared by the
+    batch kernels here and the streaming k-extreme lattice
+    (streaming/sample_maintenance.py) so tau semantics and tie-breaking
+    can never diverge between the two."""
+    from pyspark.sql.window import Window
+
+    wnd = Window.orderBy(F.desc("pri"), "doc_id")
+    ranked = top.withColumn("rk", F.row_number().over(wnd))
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("pri"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRI_K)
+        .crossJoin(F.broadcast(tau))
+        .withColumn("est_mass", F.greatest(F.col("w"), F.col("tau")).cast("long"))
+    )
+
+
 def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The K-doc priority sample with its threshold tau attached.
 
@@ -1279,12 +1307,7 @@ def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut is orderBy(...).limit(K+1) — Catalyst plans TakeOrderedAndProject
     (a bounded heap per partition, then a driver merge of
     n_partitions x (K+1) rows), NOT a full sort or shuffle of the
-    corpus, so the plan is identical at 100 TB. The row_number window
-    and the tau aggregate then run over K+1 rows — driver-scale by
-    construction. tau=0 when the population is <= K (everything kept,
-    est = exact mass), the paper's convention."""
-    from pyspark.sql.window import Window
-
+    corpus, so the plan is identical at 100 TB."""
     d = load_table(spark, "documents", sf_dir)
     w = (F.col("n_chars") + F.lit(1)).cast("long")
     top = (
@@ -1300,20 +1323,7 @@ def _priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pri"), "doc_id")
         .limit(_PRI_K + 1)
     )
-    wnd = Window.orderBy(F.desc("pri"), "doc_id")
-    ranked = top.withColumn("rk", F.row_number().over(wnd))
-    tau = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("pri"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("tau")
-    )
-    return (
-        ranked.filter(F.col("rk") <= _PRI_K)
-        .crossJoin(F.broadcast(tau))
-        .withColumn("est_mass", F.greatest(F.col("w"), F.col("tau")).cast("long"))
-    )
+    return price_sample(top)
 
 
 @register(
@@ -1361,8 +1371,9 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.source, t.n_docs, t.true_mass,
            COALESCE(e.est_mass, 0) AS est_mass,
-           (ABS(COALESCE(e.est_mass, 0) - t.true_mass) * 1000000)
-             // t.true_mass AS err_ppm
+           CAST(floor(CAST(ABS(COALESCE(e.est_mass, 0) - t.true_mass) AS DOUBLE)
+                      * 1000000.0 / CAST(t.true_mass AS DOUBLE)) AS BIGINT)
+             AS err_ppm
     FROM truth t LEFT JOIN est e ON t.source = e.source
     ORDER BY t.source
     """,
@@ -1374,10 +1385,13 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "This is the calibration report a pipeline runs before trusting a "
     "priority sample for domain-mix accounting at 100 TB, where the "
     "exact side of this report is itself a full-corpus aggregate you "
-    "only compute at audit time. All arithmetic stays BIGINT "
-    "(priorities carry the units of w, so estimates are chars "
-    "directly and no intermediate exceeds ~2^50 at any plausible "
-    "corpus). Scale shape: the sample side touches 200 rows; the "
+    "only compute at audit time. Sample and estimates stay exact "
+    "BIGINT (priorities carry the units of w, so estimates are chars "
+    "directly); the ppm ratio alone is computed in DOUBLE with a "
+    "final floor — single IEEE multiply+divide, identical in both "
+    "engines, and immune to the int64 overflow an integer "
+    "(diff * 1e6) div total would hit on a multi-TB source. Scale "
+    "shape: the sample side touches 200 rows; the "
     "truth side is one groupBy(source) partial-aggregated scan; the "
     "join is |sources|-row broadcast.",
 )
@@ -1402,7 +1416,10 @@ def q_priority_sample_domain_mass(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .withColumn(
             "err_ppm",
-            F.expr("(abs(est_mass - true_mass) * 1000000) div true_mass"),
+            F.expr(
+                "CAST(floor(CAST(abs(est_mass - true_mass) AS DOUBLE)"
+                " * 1000000.0 / CAST(true_mass AS DOUBLE)) AS BIGINT)"
+            ),
         )
         .orderBy("source")
     )

@@ -1114,9 +1114,7 @@ def _psamp_stream_oracle() -> str:
 def q_streaming_priority_sample_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from pyspark.sql.window import Window
-
-    from ..operators.selection import _PRI_K
+    from ..operators.selection import price_sample
     from ..streaming.sample_maintenance import (
         compact_sample_state,
         read_sample_state,
@@ -1139,29 +1137,9 @@ def q_streaming_priority_sample_state(spark: SparkSession, sf_dir: str) -> DataF
     d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
     q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
     _await_or_fail(q)
-    # fold the partials into one K+1-row partition, then price the sample
+    # fold the partials into one K+1-row partition, then price the
+    # sample with the SAME shared pricing block the batch kernel uses
     compact_sample_state(spark, state)
-    merged = read_sample_state(spark, state)
-    wnd = Window.orderBy(F.desc("pri"), "doc_id")
-    ranked = merged.withColumn("rk", F.row_number().over(wnd))
-    tau = ranked.agg(
-        F.coalesce(
-            F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("pri"))), F.lit(0)
-        )
-        .cast("long")
-        .alias("tau")
-    )
-    return (
-        ranked.filter(F.col("rk") <= _PRI_K)
-        .crossJoin(F.broadcast(tau))
-        .select(
-            "doc_id",
-            "source",
-            "w",
-            "pri",
-            "rk",
-            "tau",
-            F.greatest(F.col("w"), F.col("tau")).cast("long").alias("est_mass"),
-        )
-        .orderBy("rk")
-    )
+    return price_sample(read_sample_state(spark, state)).select(
+        "doc_id", "source", "w", "pri", "rk", "tau", "est_mass"
+    ).orderBy("rk")

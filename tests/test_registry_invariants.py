@@ -115,12 +115,20 @@ def test_spark_columns_match_oracle_columns(spark):
     hybrid_search_rrf regression violated: a refactor left the
     @register decorator on the lexical-shortlist helper, so the
     registry served (query_id, doc_id, lex_rk) against an oracle
-    projecting the fused 6-column schema."""
+    projecting the fused 6-column schema.
+
+    The streaming_* kernels are excluded: their builders are EAGER
+    (copy source files, run real availableNow streams, compact) just to
+    produce a DataFrame, so reading .columns would execute five full
+    streaming pipelines per session. Their column parity is still fully
+    covered — the oracle-parity suite executes and hash-compares them."""
     from tests.oracle_harness import duckdb_conn
 
     con = duckdb_conn("/root/testdata/sf0.001")
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
+        if name.startswith("streaming_"):
+            continue
         spark_cols = set(spec.spark(spark, "/root/testdata/sf0.001").columns)
         oracle_cols = set(con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0").columns)
         if spark_cols != oracle_cols:
