@@ -84,14 +84,21 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
-def sweep_stale_stream_temp_roots(min_age_sec: float = 3600.0) -> None:
+def sweep_stale_stream_temp_roots(
+    min_age_sec: float = 3600.0, hard_ttl_sec: float = 7 * 86400.0
+) -> None:
     """Best-effort removal of known-prefix roots left by PRIOR processes
     (a crashed bench/driver run can strand its dirs under /tmp).
 
-    A root whose name embeds ``pid<N>_`` is skipped while process N is
-    alive — a concurrent pytest or second bench must not have its live
-    stream source/checkpoint dirs deleted mid-run. Legacy roots without
-    a pid marker are only removed once older than ``min_age_sec``."""
+    pid liveness alone is not trustworthy: pids are recycled, and
+    ``os.kill(pid, 0)`` answers for THIS pid namespace, not the one the
+    marker was written in (containers). So a pid-marked root is removed
+    only when its pid looks dead AND the root is older than
+    ``min_age_sec`` (a recycled-dead pid can't strand a fresh live run's
+    dirs — those are younger than an hour), and removed UNCONDITIONALLY
+    once older than ``hard_ttl_sec`` (a recycled-alive pid held by an
+    unrelated long-lived daemon can't pin a stranded root forever).
+    Legacy roots without a pid marker use the ``min_age_sec`` bar."""
     import glob
     import os
     import re
@@ -103,16 +110,16 @@ def sweep_stale_stream_temp_roots(min_age_sec: float = 3600.0) -> None:
     now = time.time()
     for prefix in STREAM_TEMP_PREFIXES:
         for path in glob.glob(os.path.join(tmp, prefix + "*")):
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
             m = re.match(re.escape(prefix) + r"pid(\d+)_", os.path.basename(path))
-            if m:
-                if _pid_alive(int(m.group(1))):
+            if m and age < hard_ttl_sec:
+                if _pid_alive(int(m.group(1))) or age < min_age_sec:
                     continue
-            else:
-                try:
-                    if now - os.path.getmtime(path) < min_age_sec:
-                        continue
-                except OSError:
-                    continue
+            elif not m and age < min_age_sec:
+                continue
             shutil.rmtree(path, ignore_errors=True)
 
 

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from .pipeline import _parquet_exists
+from .fsutil import dir_has_parquet, list_batch_dirs
 
 DOCS_SCHEMA = "doc_id bigint, text string"
 
@@ -49,12 +49,9 @@ def _maintain_batch(matches_dir: str, sf_dir: str):
         matches = incremental_matches_for_batch(spark_b, sf_dir, batch)
         others = [
             os.path.join(matches_dir, d)
-            for d in (
-                sorted(os.listdir(matches_dir)) if os.path.isdir(matches_dir) else []
-            )
-            if d.startswith("batch=")
-            and d != f"batch={batch_id}"
-            and _parquet_exists(os.path.join(matches_dir, d))
+            for d in list_batch_dirs(spark_b, matches_dir)
+            if d != f"batch={batch_id}"
+            and dir_has_parquet(spark_b, os.path.join(matches_dir, d))
         ]
         if others:
             existing = spark_b.read.parquet(*others).select(

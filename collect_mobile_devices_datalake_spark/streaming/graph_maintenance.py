@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from .pipeline import _parquet_exists
+from .fsutil import dir_has_parquet, list_batch_dirs
 
 VECTORS_SCHEMA = "vec_id bigint, embedding array<float>"
 
@@ -48,10 +48,9 @@ def _maintain_batch(graph_dir: str, sf_dir: str):
         #    instead of this scan.
         others = [
             os.path.join(graph_dir, d)
-            for d in (sorted(os.listdir(graph_dir)) if os.path.isdir(graph_dir) else [])
-            if d.startswith("batch=")
-            and d != f"batch={batch_id}"
-            and _parquet_exists(os.path.join(graph_dir, d))
+            for d in list_batch_dirs(spark_b, graph_dir)
+            if d != f"batch={batch_id}"
+            and dir_has_parquet(spark_b, os.path.join(graph_dir, d))
         ]
         if others:
             existing = spark_b.read.parquet(*others).select("src").distinct()

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.selection import _PRI_K, _PRI_MOD, _PRI_U_SQL
-from .pipeline import _parquet_exists
+from .fsutil import delete_dir, dir_has_parquet, list_batch_dirs
 
 DOCS_SCHEMA = "doc_id bigint, source string, n_chars bigint"
 
@@ -78,11 +78,14 @@ def _maintain_sample_batch(state_dir: str):
 def read_sample_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The current global top-(K+1): fold of every batch partial.
     Reading IS merging — union, dedup by doc_id (priorities are pure
-    functions of the row, so duplicates are identical), re-rank, cut."""
+    functions of the row, so duplicates are identical), re-rank, cut.
+
+    Partials are enumerated through the Hadoop FileSystem API (fsutil),
+    so a state_dir on HDFS/S3 behaves like the local-disk test path."""
     parts = [
         os.path.join(state_dir, d)
-        for d in (sorted(os.listdir(state_dir)) if os.path.isdir(state_dir) else [])
-        if d.startswith("batch=") and _parquet_exists(os.path.join(state_dir, d))
+        for d in list_batch_dirs(spark, state_dir)
+        if dir_has_parquet(spark, os.path.join(state_dir, d))
     ]
     if not parts:
         return spark.createDataFrame([], _STATE_SCHEMA)
@@ -98,20 +101,14 @@ def compact_sample_state(spark: SparkSession, state_dir: str) -> None:
     """Fold all partials into one K+1-row partition. Idempotent merge →
     the KMV-style sweep: a crash between write and cleanup only leaves
     EXTRA partials whose re-absorption is a no-op."""
-    import shutil
-
-    parts = [
-        d
-        for d in (sorted(os.listdir(state_dir)) if os.path.isdir(state_dir) else [])
-        if d.startswith("batch=")
-    ]
+    parts = list_batch_dirs(spark, state_dir)
     if len(parts) <= 1:
         return
     merged = read_sample_state(spark, state_dir).localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, "batch=compacted"))
     for d in parts:
         if d != "batch=compacted":
-            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+            delete_dir(spark, os.path.join(state_dir, d))
 
 
 def start_sample_maintenance_stream(

@@ -35,7 +35,7 @@ from ..operators.sketches import (
     kmv_kmin,
     token_hash_pairs,
 )
-from .pipeline import _parquet_exists
+from .fsutil import delete_dir, dir_has_parquet, list_batch_dirs
 
 DOCS_SCHEMA = "doc_id bigint, text string, source string"
 EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint"
@@ -80,8 +80,8 @@ def read_kmv_state(
     """
     parts = [
         os.path.join(sketch_dir, d)
-        for d in (sorted(os.listdir(sketch_dir)) if os.path.isdir(sketch_dir) else [])
-        if d.startswith("batch=") and _parquet_exists(os.path.join(sketch_dir, d))
+        for d in list_batch_dirs(spark, sketch_dir)
+        if dir_has_parquet(spark, os.path.join(sketch_dir, d))
     ]
     if not parts:
         return spark.createDataFrame([], f"{key} {key_type}, kmin array<bigint>")
@@ -100,17 +100,11 @@ def compact_kmv_state(
     partition is written first; a crash before the sweep leaves extra
     partials whose re-absorption is a no-op (idempotent merge)."""
     merged = read_kmv_state(spark, sketch_dir, k, key).localCheckpoint(eager=True)
-    olds = [
-        d
-        for d in (sorted(os.listdir(sketch_dir)) if os.path.isdir(sketch_dir) else [])
-        if d.startswith("batch=")
-    ]
+    olds = list_batch_dirs(spark, sketch_dir)
     merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, "batch=compacted"))
-    import shutil
-
     for d in olds:
         if d != "batch=compacted":
-            shutil.rmtree(os.path.join(sketch_dir, d), ignore_errors=True)
+            delete_dir(spark, os.path.join(sketch_dir, d))
 
 
 def start_sketch_maintenance_stream(
@@ -191,14 +185,25 @@ def _maintain_cms_batch(sketch_dir: str, depth: int = DEPTH, width: int = WIDTH)
 _CMS_MANIFEST = "compaction.json"
 
 
-def _cms_live_parts(sketch_dir: str) -> list[str]:
+def _cms_live_parts(spark: SparkSession, sketch_dir: str) -> list[str]:
     """The live partition set under the compaction manifest rule:
     numeric ``batch=N`` dirs (stream-owned) are live unless the manifest
     lists them as absorbed; ``batch=c<gen>`` dirs (compaction-owned) are
     live ONLY when the manifest names them — an uncommitted compacted
     partition is invisible, which is what makes the non-idempotent sum
     lattice crash-safe (same write-then-rename-manifest protocol as the
-    ingest lake's atomic appends)."""
+    ingest lake's atomic appends).
+
+    Partition dirs are enumerated through the Hadoop FileSystem API
+    (fsutil) so HDFS/S3 sketch roots work. The manifest JSON itself is
+    read/committed with local-FS primitives (open/os.replace) because
+    os.replace's overwrite-atomicity IS the commit point of the
+    non-idempotent sum lattice — Hadoop's FileSystem.rename does not
+    overwrite, and delete-then-rename opens a window where readers see
+    no manifest and double-count. A cluster deployment keeps the same
+    protocol but moves the manifest commit to a store with atomic
+    conditional put (HDFS FileContext rename-OVERWRITE, a table row, or
+    S3 if-none-match), exactly like the ingest lake manifest."""
     import json
 
     absorbed: set[str] = set()
@@ -210,12 +215,12 @@ def _cms_live_parts(sketch_dir: str) -> list[str]:
         absorbed = set(m.get("absorbed", []))
         compacted = m.get("compacted_dir")
     out = []
-    for d in sorted(os.listdir(sketch_dir)) if os.path.isdir(sketch_dir) else []:
-        if not d.startswith("batch=") or d in absorbed:
+    for d in list_batch_dirs(spark, sketch_dir):
+        if d in absorbed:
             continue
         if d.startswith("batch=c") and d != compacted:
             continue  # uncommitted (or superseded) compaction output
-        if _parquet_exists(os.path.join(sketch_dir, d)):
+        if dir_has_parquet(spark, os.path.join(sketch_dir, d)):
             out.append(d)
     return out
 
@@ -227,7 +232,7 @@ def _read_sum_state(
     partial over ``keys``. Reading IS merging, same as read_kmv_state;
     shared by the CMS and logbin-histogram streams (identical protocol,
     different cell keys)."""
-    parts = [os.path.join(sketch_dir, d) for d in _cms_live_parts(sketch_dir)]
+    parts = [os.path.join(sketch_dir, d) for d in _cms_live_parts(spark, sketch_dir)]
     if not parts:
         return spark.createDataFrame([], empty_schema)
     return spark.read.parquet(*parts).groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
@@ -284,9 +289,8 @@ def _compact_sum_state(
     and the absorbed dirs are dead regardless of whether the GC sweep
     below finished. Never a double count in any window."""
     import json
-    import shutil
 
-    live = _cms_live_parts(sketch_dir)
+    live = _cms_live_parts(spark, sketch_dir)
     if len(live) <= 1:
         return
     merged = (
@@ -297,8 +301,8 @@ def _compact_sum_state(
     )
     gens = [
         int(d[len("batch=c"):])
-        for d in os.listdir(sketch_dir)
-        if d.startswith("batch=c") and d[len("batch=c"):].isdigit()
+        for d in list_batch_dirs(spark, sketch_dir, prefix="batch=c")
+        if d[len("batch=c"):].isdigit()
     ]
     new_dir = f"batch=c{max(gens, default=-1) + 1}"
     merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, new_dir))
@@ -317,7 +321,7 @@ def _compact_sum_state(
     os.replace(tmp, mpath)  # the commit point
 
     for d in live:  # GC; crash-safe (manifest already excludes them)
-        shutil.rmtree(os.path.join(sketch_dir, d), ignore_errors=True)
+        delete_dir(spark, os.path.join(sketch_dir, d))
 
 
 # --- log-binned quantile-histogram maintenance -------------------------------

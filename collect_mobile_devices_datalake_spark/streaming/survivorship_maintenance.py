@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.advanced import survivorship_golden, survivorship_keyed
-from .pipeline import _parquet_exists
+from .fsutil import delete_dir, dir_has_parquet, list_batch_dirs
 
 SURV_EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -78,8 +78,8 @@ def read_survivorship_state(spark: SparkSession, state_dir: str) -> DataFrame:
     IS merging — argmax-by-okey across partials per user; n_events sums."""
     parts = [
         os.path.join(state_dir, d)
-        for d in (sorted(os.listdir(state_dir)) if os.path.isdir(state_dir) else [])
-        if d.startswith("batch=") and _parquet_exists(os.path.join(state_dir, d))
+        for d in list_batch_dirs(spark, state_dir)
+        if dir_has_parquet(spark, os.path.join(state_dir, d))
     ]
     if not parts:
         return spark.createDataFrame(
@@ -104,13 +104,7 @@ def compact_survivorship_state(spark: SparkSession, state_dir: str) -> None:
     """Fold all partials into one partition. The merged partition must
     keep okey (the merge key) — re-derive it as the max okey per user —
     so later batches keep comparing correctly."""
-    import shutil
-
-    parts = [
-        d
-        for d in (sorted(os.listdir(state_dir)) if os.path.isdir(state_dir) else [])
-        if d.startswith("batch=")
-    ]
+    parts = list_batch_dirs(spark, state_dir)
     if len(parts) <= 1:
         return
     merged = (
@@ -129,7 +123,7 @@ def compact_survivorship_state(spark: SparkSession, state_dir: str) -> None:
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, "batch=compacted"))
     for d in parts:
         if d != "batch=compacted":
-            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+            delete_dir(spark, os.path.join(state_dir, d))
 
 
 def start_survivorship_stream(

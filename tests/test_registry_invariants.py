@@ -122,18 +122,23 @@ def test_spark_columns_match_oracle_columns(spark):
     produce a DataFrame, so reading .columns would execute five full
     streaming pipelines per session. Their column parity is still fully
     covered — the oracle-parity suite executes and hash-compares them."""
+    from tests.conftest import SF_SMOKE
     from tests.oracle_harness import duckdb_conn
 
-    con = duckdb_conn("/root/testdata/sf0.001")
+    con = duckdb_conn(SF_SMOKE)
     offenders = {}
     for name, spec in sorted(REGISTRY.items()):
         if name.startswith("streaming_"):
             continue
-        spark_cols = set(spec.spark(spark, "/root/testdata/sf0.001").columns)
-        oracle_cols = set(con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0").columns)
+        # Multiset compare (sorted lists, not sets): a spark fn with a
+        # duplicated output column, or one that drops a column the oracle
+        # repeats, must fail here too — the driver hashes positionally
+        # after a by-name sort, so multiplicity matters.
+        spark_cols = sorted(spec.spark(spark, SF_SMOKE).columns)
+        oracle_cols = sorted(con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0").columns)
         if spark_cols != oracle_cols:
             offenders[name] = {
-                "spark_only": sorted(spark_cols - oracle_cols),
-                "oracle_only": sorted(oracle_cols - spark_cols),
+                "spark": spark_cols,
+                "oracle": oracle_cols,
             }
     assert not offenders, f"spark/oracle column mismatch: {offenders}"

@@ -300,13 +300,18 @@ def test_jl_sign_matrix_mixes():
 
 
 def test_jl_recall_monotone_in_dim(spark):
-    """More projected dimensions cannot systematically hurt: recall must
-    be non-decreasing across the JL_DIMS sweep on the fixture (a strict
-    inversion signals a broken sign matrix or fold)."""
+    """More projected dimensions should not systematically hurt. Random-
+    projection recall is NOT theoretically monotone in the projected
+    dimension (a single fixture can invert adjacent dims by chance), so
+    assert the trend, not strict order: each step may dip by at most a
+    small tolerance, and the largest dim must clearly beat the smallest
+    (a broken sign matrix or fold flattens or inverts the whole sweep)."""
     from collect_mobile_devices_datalake_spark.registry import REGISTRY
 
     from .conftest import SF_ORACLE
 
     rows = REGISTRY["jl_projection_recall"].spark(spark, SF_ORACLE).collect()
     rec = [r.recall for r in sorted(rows, key=lambda r: r.dim)]
-    assert rec == sorted(rec), rec
+    eps = 0.05
+    assert all(b >= a - eps for a, b in zip(rec, rec[1:])), rec
+    assert rec[-1] >= rec[0] + 0.10, rec
