@@ -390,6 +390,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_W = 4  # fingerprint window: one fingerprint per w consecutive grams
 _POS_PACK = 4294967296  # 2^32: pack (h, pos) -> h*2^32 + (2^32 - pos)
+_WINNOW_MAX_DF = 10  # MOSS -m: ignore fingerprints in >= this many docs
 
 
 @register(
@@ -433,41 +434,55 @@ _POS_PACK = 4294967296  # 2^32: pack (h, pos) -> h*2^32 + (2^32 - pos)
     f"{_WINNOW_W} (ties to the rightmost position), distinct selected "
     "(hash, position) pairs per doc. Guarantees a shared fingerprint for "
     "any sufficiently long verbatim overlap — the local-dedup primitive "
-    "exact hashing misses and MinHash only answers globally. Both "
-    "windows key on doc_id (one hash exchange); output is ~|grams|/w "
-    "8-byte rows per doc.",
+    "exact hashing misses and MinHash only answers globally. Winnowing "
+    "is per-document arithmetic, so the whole selection runs MAP-SIDE "
+    "as array HOFs (gram hashes -> packed keys -> sliding array_min -> "
+    "array_distinct): zero exchanges, vs the naive shape that explodes "
+    "|grams| rows through two doc_id windows and a distinct (measured "
+    "8x slower at 10x sf0.1). Two localCheckpoint barriers pin the "
+    "token and packed-key arrays so CollapseProject cannot inline them "
+    "into downstream lambdas (the repo's documented HOF re-evaluation "
+    "trap, O(len^2) otherwise). Output is ~|grams|/w 8-byte rows/doc.",
 )
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from ..functions.text import rolling_hash, word_ngrams
+    from ..session import fan_out
 
     d = load_table(spark, "documents", sf_dir)
-    grams = d.select(
-        "doc_id", F.posexplode(word_ngrams("text", 3)).alias("pos0", "g")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
-    h = grams.select("doc_id", "pos", rolling_hash("g").alias("hh"))
-    key = F.col("hh") * _POS_PACK + (F.lit(_POS_PACK) - F.col("pos"))
-    w_run = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WINNOW_W - 1)
+    toks = (
+        fan_out(d, "doc_id")
+        .select("doc_id", tokens("text").alias("w"))
+        .localCheckpoint(eager=True)
     )
-    w_doc = Window.partitionBy("doc_id")
-    wins = h.select(
+    n_grams = F.size("w") - F.lit(2)
+    grams = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice("w", i, 3), " "),
+        )
+    )
+    # pack (h asc, pos desc) into one BIGINT so the window rule "min hash,
+    # ties -> rightmost" is a plain array_min (same packing as the oracle)
+    keys = F.zip_with(
+        F.transform(grams, lambda g: rolling_hash(g)),
+        F.when(n_grams <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(1), n_grams)
+        ),
+        lambda h, i: h * _POS_PACK + (F.lit(_POS_PACK) - i),
+    )
+    keyed = toks.select("doc_id", keys.alias("keys")).localCheckpoint(eager=True)
+    n_pos = F.greatest(F.size("keys") - _WINNOW_W + 1, F.lit(1))
+    mins = F.when(F.size("keys") == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda p: F.array_min(F.slice("keys", p, _WINNOW_W)),
+        )
+    )
+    return keyed.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("m")
+    ).select(
         "doc_id",
-        "pos",
-        F.min(key).over(w_run).alias("m"),
-        F.count("*").over(w_doc).alias("g_cnt"),
-    )
-    return (
-        wins.filter(
-            F.col("pos") <= F.greatest(F.col("g_cnt") - _WINNOW_W + 1, F.lit(1))
-        )
-        .select(
-            "doc_id",
-            F.expr(f"m div {_POS_PACK}").alias("fp_hash"),
-            (F.lit(_POS_PACK) - F.col("m") % _POS_PACK).cast("int").alias("fp_pos"),
-        )
-        .distinct()
+        F.expr(f"m div {_POS_PACK}").alias("fp_hash"),
+        (F.lit(_POS_PACK) - F.col("m") % _POS_PACK).cast("int").alias("fp_pos"),
     )
 
 
@@ -501,24 +516,43 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp AS (
       SELECT DISTINCT doc_id, m // {_POS_PACK} AS fp_hash
       FROM wins WHERE pos <= greatest(g_cnt - {_WINNOW_W} + 1, 1)
+    ),
+    fpk AS (
+      SELECT doc_id, fp_hash FROM fp
+      WHERE fp_hash IN (
+        SELECT fp_hash FROM fp GROUP BY fp_hash
+        HAVING COUNT(*) < {_WINNOW_MAX_DF}
+      )
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    FROM fpk a JOIN fpk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= 2
     """,
     doc="Local-overlap detection on top of winnowing: doc pairs sharing >= 2 "
     "selected fingerprints, with the shared count — how MOSS surfaces "
-    "verbatim passage reuse. The self-join keys on the 8-byte fingerprint "
-    "hash (bucket sizes are bounded by construction: one fingerprint per "
-    "window of {w} grams), never text; measured pair mass on this corpus "
-    "is ~18k rows before the HAVING cut.",
+    "verbatim passage reuse. Fingerprints selected in >= "
+    f"{_WINNOW_MAX_DF} distinct docs are dropped first (MOSS's own -m "
+    "knob: a passage shared THAT widely is boilerplate, not reuse) — "
+    "the df cut that bounds every join bucket, so one viral passage "
+    "cannot make a bucket quadratic at corpus scale. The self-join then "
+    "keys on the 8-byte fingerprint hash, never text; per-window "
+    "selection bounds fingerprint count to ~|grams|/w per doc.",
 )
 def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a hash can be selected at several positions within one doc; pair
     # counting is over distinct (doc, hash) like the oracle's fp CTE
     fp = q_doc_winnowing(spark, sf_dir).select("doc_id", "fp_hash").distinct()
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    hot = (
+        fp.groupBy("fp_hash")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= _WINNOW_MAX_DF)
+        .select("fp_hash")
+    )
+    # hot set is tiny by definition (head of the df distribution) —
+    # broadcast anti-join, same shape as boilerplate_removal's
+    fpk = fp.join(F.broadcast(hot), "fp_hash", "left_anti")
+    a = fpk.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fpk.select(F.col("doc_id").alias("doc_b"), "fp_hash")
     return (
         a.join(b, ["fp_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -246,12 +246,25 @@ def test_part_reassembly_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_winnowing_shares_one_doc_exchange(spark):
-    # both windows (running min, per-doc count) AND the trailing distinct
-    # must reuse ONE hashpartitioning(doc_id...) exchange — Catalyst plans
-    # the doc_id-prefixed distinct on the same partitioning
+def test_winnowing_is_map_only(spark):
+    # winnowing is per-document arithmetic: the whole selection (gram
+    # hashes -> packed keys -> sliding array_min -> array_distinct) must
+    # run as map-side array HOFs with ZERO exchanges — no doc_id window
+    # shuffle, no trailing distinct exchange (array_distinct is per-doc)
     q = REGISTRY["doc_winnowing"].spark(spark, SF)
-    assert count_exchanges(q) == 1, formatted_plan(q)
+    plan = formatted_plan(q)
+    assert count_exchanges(q) == 0, plan
+    assert "Window" not in plan, plan
+
+
+def test_winnowing_pairs_hot_fingerprints_are_anti_joined(spark):
+    # the MOSS -m df cut: fingerprints in >= _WINNOW_MAX_DF docs must be
+    # removed via a (broadcast) anti-join BEFORE the fp-keyed self-join,
+    # so no viral-passage bucket reaches the pair generation
+    q = REGISTRY["winnowing_overlap_pairs"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_rfm_is_single_partial_aggregate(spark):
