@@ -1240,10 +1240,27 @@ NSW_M = 16  # out-degree kept per node (measured: recall@10 0.845 at 2 hops
 # on sf0.01 vs 0.67 for M=8 — the wider degree beats an extra hop on both
 # recall AND candidate budget, M+M^2=272 vs 584)
 
+NSW_SHORTLIST_C = 128  # exact-cosine budget per node at BUILD time: of the
+# multiprobe co-bucket candidates, only the C with the most table
+# collisions (the AND-OR amplification signal of Lv et al.'s multi-probe
+# LSH) are exactly scored. Without this cap the scoring mass per node is
+# 8 tables x (p+1) probes x bucket occupancy — measured 2.5k pairs/node
+# (50M total, ~3.2G multiply-adds) on the 10x-sf0.1 corpus — and grows
+# UNBOUNDED once p hits its cap at ~20M vectors; with it, scoring is
+# <= C exact cosines per node at any corpus size. Measured probe
+# recall@10: C=128 gives 0.845 at sf0.001 (= uncapped) and 0.815 at
+# sf0.01 (vs 0.845 uncapped); C=64 collapsed to 0.635 — most candidates
+# tie at ncoll=1, so too small a C fills the shortlist by the arbitrary
+# dst tiebreak and displaces true once-collided neighbors.
+
 # shared oracle fragment: the deterministic graph build, unrolled —
-# Hamming-1 multiprobe co-bucket pairs -> exact cosine -> top-M per src
-# (ties by dst). Multiprobe at BUILD time is what makes the graph good:
-# exact-bucket-only edges gave recall 0.25 at the same probe budget.
+# Hamming-1 multiprobe co-bucket candidates -> collision-count shortlist
+# (top-C per src by #tables-collided, ties by dst) -> exact cosine ->
+# top-M per src (ties by dst). Multiprobe at BUILD time is what makes
+# the graph good: exact-bucket-only edges gave recall 0.25 at the same
+# probe budget. A candidate collides at most once per table (probes
+# within a table are distinct buckets), so ncoll is exactly the number
+# of tables where src and dst co-locate within Hamming distance 1.
 _NSW_GRAPH_CTES = f"""
     pl AS ({_PLANES_SQL}),
     bk AS (
@@ -1256,9 +1273,17 @@ _NSW_GRAPH_CTES = f"""
                   ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
       FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
     ),
-    gpairs AS (
-      SELECT DISTINCT p.src, y.vec_id AS dst
+    gcand AS (
+      SELECT p.src, y.vec_id AS dst, COUNT(*) AS ncoll
       FROM gprobes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.src
+      GROUP BY p.src, y.vec_id
+    ),
+    gpairs AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY ncoll DESC, dst) AS crk
+        FROM gcand
+      ) WHERE crk <= {NSW_SHORTLIST_C}
     ),
     gscored AS (
       SELECT gpairs.src, gpairs.dst, {_cos_sql_pair('sa.embedding', 'sb.embedding')} AS cos
@@ -1296,7 +1321,7 @@ def nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
             ).alias("probe"),
         )
-        pairs = (
+        cand = (
             probes.alias("x")
             .join(
                 idx.alias("y"),
@@ -1304,8 +1329,16 @@ def nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("x.probe") == F.col("y.bucket"))
                 & (F.col("y.vec_id") != F.col("x.src")),
             )
-            .select(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
-            .dropDuplicates(["src", "dst"])
+            .groupBy(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
+            .agg(F.count("*").alias("ncoll"))
+        )
+        # collision-count shortlist: only the C most-collided candidates
+        # per node get an exact cosine (bounded scoring at any corpus size)
+        wshort = Window.partitionBy("src").orderBy(F.desc("ncoll"), "dst")
+        pairs = (
+            cand.withColumn("crk", F.row_number().over(wshort))
+            .filter(F.col("crk") <= NSW_SHORTLIST_C)
+            .select("src", "dst")
         )
         se = emb.select(
             F.col("vec_id").alias("src"),
@@ -1328,7 +1361,7 @@ def nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst", "rk")
         )
 
-    return _persisted_index(spark, "nsw", sf_dir, f"m{NSW_M}", build)
+    return _persisted_index(spark, "nsw", sf_dir, f"m{NSW_M}c{NSW_SHORTLIST_C}", build)
 
 
 @register(
@@ -1525,9 +1558,17 @@ DELTA_MOD, DELTA_REM = 7, 3
       FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
       WHERE bk.vec_id % {DELTA_MOD} = {DELTA_REM}
     ),
-    dpairs AS (
-      SELECT DISTINCT p.src, y.vec_id AS dst
+    dcand AS (
+      SELECT p.src, y.vec_id AS dst, COUNT(*) AS ncoll
       FROM dprobes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.src
+      GROUP BY p.src, y.vec_id
+    ),
+    dpairs AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY ncoll DESC, dst) AS crk
+        FROM dcand
+      ) WHERE crk <= {NSW_SHORTLIST_C}
     ),
     dscored AS (
       SELECT dpairs.src, dpairs.dst, {_cos_sql_pair('sa.embedding', 'sb.embedding')} AS cos
@@ -1590,7 +1631,7 @@ def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> D
             _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
         ).alias("probe"),
     )
-    pairs = (
+    cand = (
         F.broadcast(probes.alias("x"))
         .join(
             idx.alias("y"),
@@ -1598,8 +1639,16 @@ def nsw_edges_for_batch(spark: SparkSession, sf_dir: str, batch: DataFrame) -> D
             & (F.col("x.probe") == F.col("y.bucket"))
             & (F.col("y.vec_id") != F.col("x.src")),
         )
-        .select(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        .groupBy(F.col("x.src").alias("src"), F.col("y.vec_id").alias("dst"))
+        .agg(F.count("*").alias("ncoll"))
+    )
+    # same collision-count shortlist as the full build — per-src window,
+    # so edges are chunk-independent across streamed arrivals
+    wshort = Window.partitionBy("src").orderBy(F.desc("ncoll"), "dst")
+    pairs = (
+        cand.withColumn("crk", F.row_number().over(wshort))
+        .filter(F.col("crk") <= NSW_SHORTLIST_C)
+        .select("src", "dst")
     )
     se = batch.select(
         F.col("vec_id").alias("src"),
