@@ -816,10 +816,14 @@ def q_funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every real bucket so all days close. The oracle is the plain batch "
     "day aggregation — equality proves the stream's dedup, window "
     "finalization, closure rule, and decimal re-aggregation compose to "
-    "the batch semantics. Runs a real Structured Streaming query with "
-    "three availableNow triggers against one checkpoint (i.e., two "
-    "restarts), so driver certification also exercises checkpoint "
-    "recovery.",
+    "the batch semantics. Runs a real Structured Streaming query as two "
+    "availableNow triggers against one checkpoint (a real restart "
+    "boundary, so driver certification also exercises checkpoint "
+    "recovery): the restarted run takes the two sentinels as separate "
+    "micro-batches (maxFilesPerTrigger=1) and the engine's no-data "
+    "flush batch finalizes sentinel #1's own hour — the global "
+    "watermark lags one batch, so a third sentinel RESTART would only "
+    "repeat what the restarted run's batch boundaries already certify.",
 )
 def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -843,25 +847,33 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.coalesce(4).write.mode("append").parquet(src)
 
-    def run() -> None:
+    def run(max_files_per_trigger: int) -> None:
         q = start_rollup_maintenance_stream(
             spark, src, rollup, ckpt, schema,
-            max_files_per_trigger=100, derived_dir=derived,
+            max_files_per_trigger=max_files_per_trigger, derived_dir=derived,
         )
         _await_or_fail(q)
 
-    run()
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(10**9, max_ts, 0, "sentinel", 0.0, "{}")], schema
-    )
+    run(100)
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
     # sentinel #1 closes every real hour/day; #2 finalizes #1's own hour
-    # so the derived frontier passes every real bucket
+    # so the derived frontier passes every real bucket. Both land in ONE
+    # restarted run as separate micro-batches (maxFilesPerTrigger=1):
+    # the global watermark lags a batch, so #1's emission needs a batch
+    # after #2 — the engine's no-data flush batch provides it. Built on
+    # spark.range(1), NOT createDataFrame: the local-collection plan
+    # costs ~5s per 1-row write in this session shape (measured), the
+    # range projection 0.4s.
     for hours in (960, 1920):
-        sentinel.withColumn(
-            "ts", F.col("ts") + F.expr(f"INTERVAL {hours} HOURS")
+        spark.range(1).select(
+            F.lit(10**9).cast("bigint").alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            F.lit(0).cast("bigint").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
         ).coalesce(1).write.mode("append").parquet(src)
-        run()
+    run(1)
     return read_grain(spark, rollup, derived, "day").filter(
         F.col("event_type") != "sentinel"
     )
