@@ -10,10 +10,14 @@ exactly like any file scan — at 100 TB-of-pages scale, partition count
 (not a driver-side URL list) is what bounds per-task work. Uses the
 pyspark 4 Python DataSource API (pyspark.sql.datasource).
 
-The page body is a deterministic synthetic render (same philosophy as
-sources/fixtures.py: no network by design); a real deployment swaps the
-`_render` body for an HTTP fetch and keeps every line of the
-partitioning plumbing.
+The page body is a deterministic synthetic render by default (same
+philosophy as sources/fixtures.py: no network by design). The HTTP swap
+is SHIPPED, not hypothetical: pass ``option("base_url", ...)`` and each
+partition fetches its page range with ``_fetch`` (stdlib urllib,
+executor-side, no extra dependencies) instead of rendering — the
+partitioning plumbing is identical either way. The loopback e2e test
+(tests/test_fetch_seam.py) drives a real ``http.server`` through this
+path end to end: discover -> fetch -> parse -> manifest commit.
 """
 
 from __future__ import annotations
@@ -29,6 +33,25 @@ SCHEMA = "url string, page_id bigint, status int, html string"
 class PageRange(InputPartition):
     start: int  # inclusive
     end: int  # exclusive
+
+
+def _fetch(base_url: str, source: str, page_id: int, timeout: float = 10.0) -> tuple[str, int, int, str]:
+    """Real HTTP fetch of one page — the production body of the seam.
+
+    Non-2xx responses are DATA, not errors (their status flows to the
+    ``is_accessable_url`` gate downstream, reference app.js:43-96), so
+    HTTPError is caught and surfaced as (status, body) like any row.
+    Connection-level failures raise and fail the task — Spark's retry
+    is the right layer for a dead server, unlike a 404."""
+    import urllib.error
+    import urllib.request
+
+    url = f"{base_url.rstrip('/')}/{source}/p_{page_id}"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return (url, page_id, resp.status, resp.read().decode("utf-8", "replace"))
+    except urllib.error.HTTPError as e:
+        return (url, page_id, e.code, e.read().decode("utf-8", "replace"))
 
 
 def _render(source: str, page_id: int) -> tuple[str, int, int, str]:
@@ -48,6 +71,9 @@ class PageRangeReader(DataSourceReader):
         self.end = int(options.get("end", 1000))
         self.num_partitions = int(options.get("numpartitions", 8))
         self.source = options.get("source", "gsmarena")
+        # when set, pages are FETCHED from {base_url}/{source}/p_{id}
+        # instead of synthetically rendered — the production fetch path
+        self.base_url = options.get("base_url")
 
     def partitions(self):
         n = max(1, self.num_partitions)
@@ -60,7 +86,10 @@ class PageRangeReader(DataSourceReader):
 
     def read(self, partition: PageRange):
         for page_id in range(partition.start, partition.end):
-            yield _render(self.source, page_id)
+            if self.base_url:
+                yield _fetch(self.base_url, self.source, page_id)
+            else:
+                yield _render(self.source, page_id)
 
 
 class PageRangeDataSource(DataSource):
