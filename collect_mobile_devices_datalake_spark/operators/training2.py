@@ -476,13 +476,21 @@ def _curated_mix_oracle() -> str:
 def q_curated_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.text import token_count
     from ..operators.selection import q_ccnet_lm_buckets
 
-    buckets = q_ccnet_lm_buckets(spark, sf_dir).select("doc_id", "ppl_bucket")
-    d = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    # n_tokens = n_bigrams + 1 for EVERY doc the gate scored (a doc gets
+    # a ccnet row iff it has >= 2 tokens, and then bigrams = tokens - 1),
+    # and docs without a gate row are excluded by the inner join in both
+    # engines — so the manifest derives token counts from the gate output
+    # instead of re-tokenizing the full corpus a second time. The oracle
+    # keeps the independent string-split derivation; parity certifies the
+    # identity.
+    buckets = q_ccnet_lm_buckets(spark, sf_dir).select(
+        "doc_id",
+        "ppl_bucket",
+        (F.col("n_bigrams") + 1).cast("long").alias("n_tokens"),
     )
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     kept = (
         d.join(buckets, "doc_id")
         .filter(F.col("ppl_bucket") != "tail")
