@@ -15,6 +15,7 @@ HEADLINE = [
     "hybrid_search_rrf", "rollup_reuse_hierarchy", "order_overlap_stats",
     "source_token_drift", "event_rate_anomalies", "ivm_nation_revenue",
     "priority_sample_topk", "priority_sample_per_source", "doc_zipf_slope",
+    "doc_winnowing", "winnowing_overlap_pairs", "nsw_graph_edges",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
