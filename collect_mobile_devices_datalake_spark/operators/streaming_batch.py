@@ -854,26 +854,37 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_or_fail(q)
 
-    run(100)
-    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-    # sentinel #1 closes every real hour/day; #2 finalizes #1's own hour
-    # so the derived frontier passes every real bucket. Both land in ONE
-    # restarted run as separate micro-batches (maxFilesPerTrigger=1):
-    # the global watermark lags a batch, so #1's emission needs a batch
-    # after #2 — the engine's no-data flush batch provides it. Built on
-    # spark.range(1), NOT createDataFrame: the local-collection plan
-    # costs ~5s per 1-row write in this session shape (measured), the
-    # range projection 0.4s.
-    for hours in (960, 1920):
-        spark.range(1).select(
-            F.lit(10**9).cast("bigint").alias("event_id"),
-            (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
-            F.lit(0).cast("bigint").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit("{}").alias("props"),
-        ).coalesce(1).write.mode("append").parquet(src)
-    run(1)
+    # Size the stream's state-store instance count to the data: every
+    # micro-batch pays per-partition state load/commit for BOTH stateful
+    # operators (dedup, window agg), so the session default width makes
+    # tiny batches overhead-bound (measured 17-24s at width 32 vs ~9s at
+    # the data-sized width on sf0.1). The checkpoint pins the width at
+    # the first batch — both runs sit inside one scope.
+    from ..session import scoped_shuffle_width
+
+    n_src = spark.read.parquet(src).count()
+    with scoped_shuffle_width(spark, n_src):
+        run(100)
+        max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+        # sentinel #1 closes every real hour/day; #2 finalizes #1's own
+        # hour so the derived frontier passes every real bucket. Both
+        # land in ONE restarted run as separate micro-batches
+        # (maxFilesPerTrigger=1): the global watermark lags a batch, so
+        # #1's emission needs a batch after #2 — the engine's no-data
+        # flush batch provides it. Built on spark.range(1), NOT
+        # createDataFrame: the local-collection plan costs ~5s per 1-row
+        # write in this session shape (measured), the range projection
+        # 0.4s.
+        for hours in (960, 1920):
+            spark.range(1).select(
+                F.lit(10**9).cast("bigint").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+                F.lit(0).cast("bigint").alias("user_id"),
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ).coalesce(1).write.mode("append").parquet(src)
+        run(1)
     return read_grain(spark, rollup, derived, "day").filter(
         F.col("event_type") != "sentinel"
     )
@@ -929,16 +940,23 @@ def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFram
     # first tranche: ~3/4 of the corpus over several files -> several
     # foreachBatch partials under maxFilesPerTrigger
     ev.filter(F.col("event_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    # late tranche lands after the stream stopped; the SAME checkpoint
-    # resumes and absorbs only the new files (restart certification)
-    ev.filter(F.col("event_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
-    q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    # fold every batch partial into one partition, then read (reading is
-    # merging — after compaction the merge is over the single partition)
-    compact_survivorship_state(spark, state)
+    # Data-sized shuffle width for the whole protocol (same rationale as
+    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
+    # bound at the session default width; the aggregation keys per batch
+    # number far fewer than the rows).
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+        q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # late tranche lands after the stream stopped; the SAME checkpoint
+        # resumes and absorbs only the new files (restart certification)
+        ev.filter(F.col("event_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # fold every batch partial into one partition, then read (reading
+        # is merging — after compaction the merge is over one partition)
+        compact_survivorship_state(spark, state)
     return (
         read_survivorship_state(spark, state)
         .select(
@@ -1005,14 +1023,21 @@ def q_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
     # first tranche over several files -> several bounded partials
     d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    # late tranche after the stream stopped; the SAME checkpoint resumes
-    d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
-    q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    # fold the partials into one committed generation, then read
-    compact_cms_state(spark, state)
+    # Data-sized shuffle width for the whole protocol (same rationale as
+    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
+    # bound at the session default width; the aggregation keys per batch
+    # number far fewer than the rows).
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+        q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # fold the partials into one committed generation, then read
+        compact_cms_state(spark, state)
     return (
         read_cms_state(spark, state)
         .select(
@@ -1080,12 +1105,19 @@ def q_streaming_logbin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
     o.filter(F.col("o_orderkey") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    o.filter(F.col("o_orderkey") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
-    q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    compact_logbin_state(spark, state)
+    # Data-sized shuffle width for the whole protocol (same rationale as
+    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
+    # bound at the session default width; the aggregation keys per batch
+    # number far fewer than the rows).
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+        q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        o.filter(F.col("o_orderkey") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        compact_logbin_state(spark, state)
     return (
         read_logbin_state(spark, state)
         .select(
@@ -1150,15 +1182,22 @@ def q_streaming_priority_sample_state(spark: SparkSession, sf_dir: str) -> DataF
     # first tranche: ~3/4 of the corpus over several files -> several
     # bounded top-(K+1) partials under maxFilesPerTrigger
     d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    # late tranche after the stream stopped; the SAME checkpoint resumes
-    d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
-    q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
-    _await_or_fail(q)
-    # fold the partials into one K+1-row partition, then price the
-    # sample with the SAME shared pricing block the batch kernel uses
-    compact_sample_state(spark, state)
+    # Data-sized shuffle width for the whole protocol (same rationale as
+    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
+    # bound at the session default width; the aggregation keys per batch
+    # number far fewer than the rows).
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+        q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # fold the partials into one K+1-row partition, then price the
+        # sample with the SAME shared pricing block the batch kernel uses
+        compact_sample_state(spark, state)
     return price_sample(read_sample_state(spark, state)).select(
         "doc_id", "source", "w", "pri", "rk", "tau", "est_mass"
     ).orderBy("rk")
