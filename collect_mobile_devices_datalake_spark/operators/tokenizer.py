@@ -251,6 +251,74 @@ def q_bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_corpus_encoding",
+    oracle=_bpe_oracle(
+        # leading comma: this `final` extends the unrolled chain with two
+        # more CTEs before its SELECT (the helper appends final verbatim)
+        final=f""", seg AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens
+      FROM s{BPE_MERGES + 1} GROUP BY word
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(t.word)) AS BIGINT) AS n_chars,
+           round(CAST(SUM(len(t.word)) AS DOUBLE)
+                 / SUM(s.n_bpe_tokens), 6) AS chars_per_token
+    FROM toks t JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    ),
+    doc=f"The learned tokenizer applied to the CORPUS: per document, its "
+    f"token count under the {BPE_MERGES}-merge BPE vocabulary — the "
+    "number that actually sizes training budgets, context packing, and "
+    "per-source mixes once a real tokenizer exists (whitespace counts "
+    "are a proxy; THIS is the exact count the trained model will see). "
+    "Scale shape is the tokenizer-apply idiom at 100 TB: segmentation "
+    "runs on the Zipf-bounded word-TYPE table (vocabulary-sized, "
+    "shared iterative state with bpe_learn_merges), and the corpus is "
+    "never re-segmented — each document's exploded words join the "
+    "per-type segment counts (a broadcast-sized dictionary at any "
+    "corpus scale) and sum per doc: one explode, one hash join on the "
+    "word key, one doc-keyed aggregation. Oracle = the same unrolled "
+    "merge chain joined back to the exploded corpus.",
+)
+def q_bpe_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    syms = _initial_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    with scoped_shuffle_width(spark, syms.count()):
+        for _ in range(BPE_MERGES):
+            _, syms = _one_merge(syms)
+        seg = syms.groupBy("word").agg(
+            F.count("*").cast("bigint").alias("n_bpe_tokens")
+        ).localCheckpoint(eager=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 # --- unigram-LM segmentation -------------------------------------------------
 
 UNI_MAXW = 8  # words longer than this are excluded from the report

@@ -413,6 +413,97 @@ def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@register(
+    "temperature_mix_allocation",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wt AS (
+      SELECT source, n_tokens,
+             CASE WHEN (s + 1) * (s + 1) <= n_tokens THEN s + 1
+                  WHEN s * s > n_tokens THEN s - 1
+                  ELSE s END AS weight
+      FROM (SELECT source, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s
+            FROM per)
+    ),
+    tot AS (
+      SELECT CAST(SUM(weight) AS BIGINT) AS tot_w,
+             CAST(SUM(n_tokens) AS BIGINT) * {WATERFILL_BUDGET_NUM}
+               // {WATERFILL_BUDGET_DEN} AS budget
+      FROM wt
+    )
+    SELECT w.source, w.n_tokens, w.weight,
+           round(CAST(w.weight AS DOUBLE) / t.tot_w, 6) AS p_sample,
+           CAST(t.budget * w.weight // t.tot_w AS BIGINT) AS alloc_tokens,
+           round(CAST(t.budget * w.weight // t.tot_w AS DOUBLE)
+                 / w.n_tokens, 6) AS epochs
+    FROM wt w CROSS JOIN tot t
+    ORDER BY w.source
+    """,
+    doc="Temperature-based mixture sampling (the multilingual-LM exponent "
+    "trick, tau = 1/2): each source's epoch sampling weight is "
+    "n_tokens^tau, flattening the natural distribution so head domains "
+    "stop dominating and tail domains upsample — the step AFTER "
+    "waterfilling caps absolute budgets, this picks per-epoch "
+    "probabilities. tau = 1/2 is computed as an EXACT integer sqrt "
+    "(floor(sqrt) from the IEEE double, then a +-1 integer correction, "
+    "so both engines land on the same BIGINT even when the double "
+    "rounds across a perfect square); probabilities and epoch factors "
+    "are each a single IEEE divide of exact integers (round 6); "
+    "allocated tokens are exact integer div of the shared 2/5 rational "
+    "budget. epochs > 1 on a source IS the point — upsampled tail. "
+    "Scale shape: one scan aggregates per-source token counts; "
+    "everything after runs on a |sources|-row table with the 1-row "
+    "totals broadcast (no SinglePartition window).",
+)
+def q_temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    d = load_table(spark, "documents", sf_dir)
+    per = (
+        d.select("source", token_count("text").cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    s = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    isqrt = (
+        F.when((s + 1) * (s + 1) <= F.col("n_tokens"), s + 1)
+        .when(s * s > F.col("n_tokens"), s - 1)
+        .otherwise(s)
+    )
+    wt = per.select("source", "n_tokens", isqrt.alias("weight"))
+    tot = wt.agg(
+        F.sum("weight").cast("long").alias("tot_w"),
+        F.expr(
+            f"CAST(sum(n_tokens) AS BIGINT) * {WATERFILL_BUDGET_NUM}"
+            f" div {WATERFILL_BUDGET_DEN}"
+        ).alias("budget"),
+    )
+    return (
+        wt.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "weight",
+            F.round(F.col("weight").cast("double") / F.col("tot_w"), 6).alias(
+                "p_sample"
+            ),
+            F.expr("budget * weight div tot_w").cast("long").alias("alloc_tokens"),
+            F.round(
+                F.expr("budget * weight div tot_w").cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curated-mix manifest: quality gate -> budget -> deterministic cut
 # ---------------------------------------------------------------------------

@@ -152,3 +152,43 @@ def test_curated_mix_is_budgeted_prefix_cut(spark):
         dropped = [r for r in rs if not r.in_mix]
         if kept and dropped:
             assert kept[-1].cum_tokens < dropped[0].cum_tokens
+
+
+def test_temperature_mix_flattens_and_budgets(spark):
+    """tau = 1/2 must FLATTEN the natural distribution (head/tail
+    probability ratio strictly below the head/tail token ratio), keep
+    an exact integer-sqrt weight (w^2 <= n < (w+1)^2), and never
+    allocate more than the shared 2/5 budget in total."""
+    from collect_mobile_devices_datalake_spark.operators.training2 import (
+        WATERFILL_BUDGET_DEN,
+        WATERFILL_BUDGET_NUM,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    rows = REGISTRY["temperature_mix_allocation"].spark(spark, SF).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r.weight * r.weight <= r.n_tokens < (r.weight + 1) * (r.weight + 1)
+    total_tokens = sum(r.n_tokens for r in rows)
+    budget = total_tokens * WATERFILL_BUDGET_NUM // WATERFILL_BUDGET_DEN
+    assert sum(r.alloc_tokens for r in rows) <= budget
+    assert abs(sum(r.p_sample for r in rows) - 1.0) < 1e-3
+    hi = max(rows, key=lambda r: r.n_tokens)
+    lo = min(rows, key=lambda r: r.n_tokens)
+    if hi.n_tokens > lo.n_tokens:
+        assert (hi.p_sample / lo.p_sample) < (hi.n_tokens / lo.n_tokens)
+
+
+def test_bpe_corpus_encoding_folds_to_type_table(spark):
+    """Corpus-level BPE token mass must equal the word-TYPE table's
+    freq-weighted segment counts — the encode join can neither drop nor
+    double-count words (every corpus word appears in the type table by
+    construction)."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    enc = REGISTRY["bpe_corpus_encoding"].spark(spark, SF).collect()
+    seg = REGISTRY["bpe_vocab_segmentation"].spark(spark, SF).collect()
+    assert sum(r.n_bpe_tokens for r in enc) == sum(
+        r.freq * r.n_bpe_tokens for r in seg
+    )
+    assert sum(r.n_words for r in enc) == sum(r.freq for r in seg)
