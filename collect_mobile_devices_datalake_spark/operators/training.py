@@ -219,6 +219,61 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "test_set_novelty",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {_SPLIT_BUCKET_SQL} AS b, unnest({_SHINGLES_SQL}) AS shingle
+      FROM documents
+    ),
+    tr AS (SELECT DISTINCT shingle FROM g WHERE b < 80),
+    te AS (SELECT DISTINCT doc_id, shingle FROM g WHERE b >= 90)
+    SELECT te.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_seen_in_train,
+           round(1 - SUM(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_ratio
+    FROM te LEFT JOIN tr ON tr.shingle = te.shingle
+    GROUP BY te.doc_id
+    """,
+    doc="Per-document n-gram novelty of the TEST split against the train "
+    "split: for each test doc, the fraction of its distinct 3-gram "
+    "shingles never seen anywhere in train — the memorization/leakage "
+    "audit an eval pipeline runs before trusting held-out metrics "
+    "(novelty ~0 means the benchmark leaked; split_contamination names "
+    "the offending PAIRS, this scores every test doc even when no "
+    "single train doc crosses the pair threshold). EXACT twin of the "
+    "decontam_bloom_report path: the bloom variant is the 100 TB "
+    "default (train shingle set as O(1) bits), this one is the "
+    "ground-truth join run on samples to MEASURE the bloom's false-hit "
+    "rate. Shuffle discipline: the join moves 8-byte xxhash64 shingle "
+    "keys, never n-gram text; both sides prune to distinct keys before "
+    "the join (map-side combine), and the split needs no doc join — "
+    "the bucket recomputes from doc_id arithmetic.",
+)
+def q_test_set_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    g = shingled_docs(d).select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle_h"),
+    ).withColumn("b", split_bucket("doc_id"))
+    tr = g.filter(F.col("b") < 80).select("shingle_h").distinct()
+    te = g.filter(F.col("b") >= 90).select("doc_id", "shingle_h").distinct()
+    seen = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    return (
+        te.join(tr.withColumn("hit", F.lit(1)), "shingle_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            seen.cast("long").alias("n_seen_in_train"),
+            F.round(
+                1 - seen / F.count("*").cast("double"), 6
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
     "curriculum_bins",
     oracle="""
     WITH binned AS (

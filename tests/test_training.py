@@ -192,3 +192,32 @@ def test_bpe_corpus_encoding_folds_to_type_table(spark):
         r.freq * r.n_bpe_tokens for r in seg
     )
     assert sum(r.n_words for r in enc) == sum(r.freq for r in seg)
+
+
+def test_novelty_consistent_with_contamination_pairs(spark):
+    """Cross-op invariant: a (train, test) pair flagged by
+    split_contamination (>= 3 shared shingles) implies the test doc's
+    exact seen-in-train count is at least that pair's n_shared; and the
+    novelty report covers exactly the test-split docs that have
+    shingles, with ratios in [0, 1]."""
+    from collect_mobile_devices_datalake_spark.operators.training import (
+        split_bucket,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    nov = {r.doc_id: r for r in REGISTRY["test_set_novelty"].spark(spark, SF).collect()}
+    assert nov and all(0.0 <= r.novelty_ratio <= 1.0 for r in nov.values())
+    test_ids = {
+        r.doc_id
+        for r in load_table(spark, "documents", SF)
+        .select("doc_id")
+        .withColumn("b", split_bucket("doc_id"))
+        .filter("b >= 90")
+        .collect()
+    }
+    assert set(nov) <= test_ids
+    pairs = REGISTRY["split_contamination"].spark(spark, SF).collect()
+    for p in pairs:
+        assert p.test_doc in nov
+        assert nov[p.test_doc].n_seen_in_train >= min(p.n_shared, nov[p.test_doc].n_shingles), p
