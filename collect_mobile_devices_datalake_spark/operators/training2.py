@@ -445,12 +445,16 @@ def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM wt w CROSS JOIN tot t
     ORDER BY w.source
     """,
-    doc="Temperature-based mixture sampling (the multilingual-LM exponent "
-    "trick, tau = 1/2): each source's epoch sampling weight is "
-    "n_tokens^tau, flattening the natural distribution so head domains "
-    "stop dominating and tail domains upsample — the step AFTER "
-    "waterfilling caps absolute budgets, this picks per-epoch "
-    "probabilities. tau = 1/2 is computed as an EXACT integer sqrt "
+    doc="Temperature-based mixture sampling over TOKEN mass (tau = 1/2): "
+    "each source's epoch sampling weight is n_tokens^tau, flattening "
+    "the natural distribution so head domains stop dominating and tail "
+    "domains upsample — the step AFTER waterfilling caps absolute "
+    "budgets, this picks per-epoch probabilities. The token-budget "
+    "twin of domain_temperature_sampling (which weights DOC counts and "
+    "emits per-1M-doc epoch draws): mixes are specified in tokens once "
+    "a tokenizer exists, and this variant ALLOCATES the shared 2/5 "
+    "token budget, not just probabilities. tau = 1/2 is computed as an "
+    "EXACT integer sqrt "
     "(floor(sqrt) from the IEEE double, then a +-1 integer correction, "
     "so both engines land on the same BIGINT even when the double "
     "rounds across a perfect square); probabilities and epoch factors "
