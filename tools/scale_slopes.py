@@ -116,6 +116,14 @@ KERNELS = [
     # shuffle). Output sizes are K / K_G*|sources| — constant in m.
     ("priority_sample_topk", "documents"),
     ("priority_sample_per_source", "documents"),
+    # round-11 kernels: corpus BPE encoding (word-TYPE segmentation +
+    # one broadcast dictionary join onto the exploded corpus — the apply
+    # cost must track the corpus, the segmentation cost the vocabulary)
+    # and the exact test-vs-train novelty join (distinct 8-byte shingle
+    # keys both sides; the 1-in-3 rewrite keeps replicas' shingles
+    # disjoint so join mass grows ~linearly)
+    ("bpe_corpus_encoding", "documents"),
+    ("test_set_novelty", "documents"),
 ]
 
 
