@@ -513,6 +513,123 @@ def lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contrastive_pairs_mined",
+    oracle=f"""
+    WITH pl AS ({_PLANES_SQL}),
+    bk AS (
+      SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
+    ),
+    probes AS (
+      SELECT bk.vec_id AS query_id, bk.t,
+             CASE WHEN f.f = 0 THEN bucket
+                  ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
+      FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
+      WHERE bk.vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, y.vec_id AS neighbor_id
+      FROM probes p JOIN bk y ON p.t = y.t AND p.probe = y.bucket AND y.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, qa.label AS q_label,
+             nb.label AS n_label,
+             {_cos_sql_pair('qa.embedding', 'nb.embedding')} AS cos
+      FROM cand
+      JOIN embeddings qa ON qa.vec_id = cand.query_id
+      JOIN embeddings nb ON nb.vec_id = cand.neighbor_id
+    ),
+    pos AS (
+      SELECT query_id, q_label, neighbor_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored WHERE n_label = q_label
+      ) WHERE rk = 1
+    ),
+    neg AS (
+      SELECT query_id, neighbor_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored WHERE n_label <> q_label
+      ) WHERE rk = 1
+    )
+    SELECT p.query_id AS anchor_id, p.q_label AS anchor_label,
+           p.neighbor_id AS pos_id, round(p.cos, 6) AS pos_cos,
+           n.neighbor_id AS neg_id, round(n.cos, 6) AS neg_cos,
+           round(p.cos - n.cos, 6) AS margin
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+    """,
+    doc="Contrastive training-pair mining over the persisted LSH index: "
+    "for each anchor (the standard query set), the nearest SAME-label "
+    "candidate (positive) and the nearest OTHER-label candidate (the "
+    "hard negative — the pair that actually moves a contrastive/triplet "
+    "loss), plus the margin between them; anchors missing either side "
+    "among their candidates drop out (inner join), exactly the "
+    "batch-construction rule miners apply. margin <= 0 rows are the "
+    "label-noise / hard-case audit a curation pass reviews before "
+    "training an embedding model. Scale shape: candidates come from "
+    "the SAME persisted multiprobe bucket index every probe uses "
+    "(never a corpus scan); labels ride the two re-rank joins the "
+    "shortlist already pays; the two argmaxes are per-anchor windows "
+    "over bucket-bounded candidate sets. Margin is one IEEE subtract "
+    "of fold-order-pinned cosines — engine-exact.",
+)
+def q_contrastive_pairs_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    labels = emb.select("vec_id", "label")
+    scored = (
+        lsh_scored_pairs(spark, sf_dir)
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    pos = (
+        scored.filter(F.col("n_label") == F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("q_label").alias("anchor_label"),
+            F.col("neighbor_id").alias("pos_id"),
+            F.col("cos").alias("pos_raw"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("cos").alias("neg_raw"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "pos_id",
+        F.round("pos_raw", 6).alias("pos_cos"),
+        "neg_id",
+        F.round("neg_raw", 6).alias("neg_cos"),
+        F.round(F.col("pos_raw") - F.col("neg_raw"), 6).alias("margin"),
+    )
+
+
+@register(
     "label_centroids",
     oracle="""
     WITH flat AS (

@@ -212,3 +212,29 @@ def test_zero_norm_cosine_guard_spark(spark):
     rows = df.select(cosine_similarity("a", "b").alias("c")).collect()
     assert rows[0]["c"] == 0.0
     assert abs(rows[1]["c"] - 1.0) < 1e-12
+
+
+def test_contrastive_pairs_mined_semantics(spark):
+    """The mined pair must be label-correct (positive shares the anchor's
+    label, negative doesn't), both sides must be genuine LSH candidates
+    of the anchor, and the surfaced margin must be the rounded
+    difference of the two cosines."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        lsh_scored_pairs,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    rows = REGISTRY["contrastive_pairs_mined"].spark(spark, SF).collect()
+    assert rows
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, "embeddings", SF).select("vec_id", "label").collect()
+    }
+    cands = {}
+    for r in lsh_scored_pairs(spark, SF).collect():
+        cands.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in rows:
+        assert labels[r.pos_id] == r.anchor_label == labels[r.anchor_id]
+        assert labels[r.neg_id] != r.anchor_label
+        assert {r.pos_id, r.neg_id} <= cands[r.anchor_id]
+        assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 2e-6
