@@ -74,6 +74,7 @@ STREAMING = [
     "streaming_cms_state",
     "streaming_logbin_state",
     "streaming_priority_sample_state",
+    "streaming_kmv_state",
 ]
 
 

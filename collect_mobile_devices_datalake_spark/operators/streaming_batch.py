@@ -46,6 +46,7 @@ STREAM_TEMP_PREFIXES = (
     "cms_stream_",
     "logbin_stream_",
     "psamp_stream_",
+    "kmv_stream_",
 )
 _STREAM_TEMP_ROOTS: list[str] = []
 
@@ -1201,3 +1202,79 @@ def q_streaming_priority_sample_state(spark: SparkSession, sf_dir: str) -> DataF
     return price_sample(read_sample_state(spark, state)).select(
         "doc_id", "source", "w", "pri", "rk", "tau", "est_mass"
     ).orderBy("rk")
+
+
+def _kmv_stream_oracle() -> str:
+    """The batch k-min set per source over the WHOLE corpus — the
+    stream's folded state must equal it element-for-element. Imported
+    from the provider module so the hash fragment stays single-sourced
+    (the retrieval.py lesson)."""
+    from .sketches import _SOURCE_HASHES_SQL, K
+
+    return f"""
+    WITH pairs AS ({_SOURCE_HASHES_SQL})
+    SELECT source, CAST(rk AS INTEGER) AS rk, CAST(h AS BIGINT) AS h
+    FROM (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM pairs
+    ) WHERE rk <= {K}
+    """
+
+
+@register(
+    "streaming_kmv_state",
+    oracle=_kmv_stream_oracle(),
+    doc="The streaming G-set lattice, driver-gated at value level — the "
+    "sixth and most forgiving member of the certified lattice family "
+    "(sum: rollup/CMS/logbin; argmax: survivorship; k-extreme: "
+    "priority sample; k-min G-set: this). Documents are fed through "
+    "the ACTUAL KMV maintenance stream (streaming/sketch_maintenance "
+    "— foreachBatch writes one bounded k-min partial per batch) in "
+    "two availableNow runs against ONE checkpoint (restart "
+    "certification), the state is compacted and read, and each "
+    "source's folded k-min list is exploded to (source, rk, h) rows. "
+    "The oracle is the batch k smallest DISTINCT token hashes per "
+    "source over the whole corpus — element-for-element equality "
+    "proves the k-min merge is a true idempotent lattice join across "
+    "batch partials, a restart boundary, AND compaction: re-delivered "
+    "duplicates are absorbed by the set semantics with no anti-join "
+    "anywhere (the CRDT property the module header names).",
+)
+def q_streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.sketch_maintenance import (
+        compact_kmv_state,
+        read_kmv_state,
+        start_sketch_maintenance_stream,
+    )
+
+    base = _stream_temp_root("kmv_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    # Data-sized shuffle width for the whole protocol (same rationale as
+    # the rollup chain)
+    from ..session import scoped_shuffle_width
+
+    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+        q = start_sketch_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_sketch_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        compact_kmv_state(spark, state)
+    return (
+        read_kmv_state(spark, state)
+        .select("source", F.posexplode("kmin").alias("pos", "h"))
+        .select(
+            "source",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+            F.col("h").cast("long").alias("h"),
+        )
+        .orderBy("source", "rk")
+    )
