@@ -101,6 +101,25 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Word n-grams over an ALREADY-materialized token-array column —
+    the checkpoint-friendly sibling of ``word_ngrams``, whose inline
+    tokenize re-splits the text once per position when its result is
+    consumed element-wise (the CollapseProject HOF trap, O(words²)).
+    Callers materialize the token array (localCheckpoint) and pass the
+    attribute here; empty array when fewer than ``n`` tokens. One
+    definition for every shingling site (winnowing, MinHash shingles),
+    so a tokenization fix cannot diverge between them."""
+    t = _c(toks)
+    count = F.size(t) - F.lit(n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles → ``array<string>``; empty if < n chars."""
     c = _c(col)

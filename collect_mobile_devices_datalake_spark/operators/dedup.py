@@ -65,13 +65,9 @@ def shingled_docs(docs: DataFrame) -> DataFrame:
     toks = fan_out(docs, "doc_id").select(
         "doc_id", F.split(F.trim("text"), "\\s+").alias("toks")
     ).localCheckpoint(eager=True)
-    count = F.size("toks") - 2
-    sh = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-            lambda i: F.array_join(F.slice("toks", i, 3), " "),
-        )
-    )
+    from ..functions.text import word_ngrams_from_tokens
+
+    sh = word_ngrams_from_tokens("toks", 3)
     return (
         toks.select("doc_id", F.array_distinct(sh).alias("sh"))
         .filter(F.size("sh") > 0)

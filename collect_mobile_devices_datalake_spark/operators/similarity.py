@@ -577,11 +577,13 @@ def lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contrastive_pairs_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     labels = emb.select("vec_id", "label")
+    # broadcast side pre-filtered to the QUERY set (the lsh_scored_pairs
+    # rule): broadcasting every vector's label would ship the corpus
     scored = (
         lsh_scored_pairs(spark, sf_dir)
         .join(
             F.broadcast(
-                labels.select(
+                labels.filter(F.col("vec_id") % QUERY_MOD == 0).select(
                     F.col("vec_id").alias("query_id"),
                     F.col("label").alias("q_label"),
                 )

@@ -62,6 +62,23 @@ def _stream_temp_root(prefix: str) -> str:
     return base
 
 
+def _data_sized_width(spark: SparkSession, src: str):
+    """scoped_shuffle_width sized to a copied stream source's row count —
+    the shared preamble of every streaming guard below.
+
+    Every micro-batch pays per-partition state-store/shuffle overhead
+    (the rollup chain runs TWO engine state stores), so the session
+    default width makes the guards' tiny batches overhead-bound:
+    measured 17-24 s at width 32 vs ~9 s data-sized for the rollup
+    chain at sf0.1. The checkpoint pins the width at the first batch,
+    so each guard runs its WHOLE protocol (both availableNow runs +
+    compaction) inside one scope and restarts stay consistent by
+    construction."""
+    from ..session import scoped_shuffle_width
+
+    return scoped_shuffle_width(spark, spark.read.parquet(src).count())
+
+
 def cleanup_stream_temp_roots() -> None:
     """Remove every temp source/state/checkpoint root created by the
     streaming kernels in this process. Only call AFTER the returned
@@ -855,16 +872,7 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_or_fail(q)
 
-    # Size the stream's state-store instance count to the data: every
-    # micro-batch pays per-partition state load/commit for BOTH stateful
-    # operators (dedup, window agg), so the session default width makes
-    # tiny batches overhead-bound (measured 17-24s at width 32 vs ~9s at
-    # the data-sized width on sf0.1). The checkpoint pins the width at
-    # the first batch — both runs sit inside one scope.
-    from ..session import scoped_shuffle_width
-
-    n_src = spark.read.parquet(src).count()
-    with scoped_shuffle_width(spark, n_src):
+    with _data_sized_width(spark, src):
         run(100)
         max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
         # sentinel #1 closes every real hour/day; #2 finalizes #1's own
@@ -941,13 +949,7 @@ def q_streaming_survivorship_state(spark: SparkSession, sf_dir: str) -> DataFram
     # first tranche: ~3/4 of the corpus over several files -> several
     # foreachBatch partials under maxFilesPerTrigger
     ev.filter(F.col("event_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    # Data-sized shuffle width for the whole protocol (same rationale as
-    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
-    # bound at the session default width; the aggregation keys per batch
-    # number far fewer than the rows).
-    from ..session import scoped_shuffle_width
-
-    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+    with _data_sized_width(spark, src):
         q = start_survivorship_stream(spark, src, state, ckpt, max_files_per_trigger=2)
         _await_or_fail(q)
         # late tranche lands after the stream stopped; the SAME checkpoint
@@ -1024,13 +1026,7 @@ def q_streaming_cms_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
     # first tranche over several files -> several bounded partials
     d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    # Data-sized shuffle width for the whole protocol (same rationale as
-    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
-    # bound at the session default width; the aggregation keys per batch
-    # number far fewer than the rows).
-    from ..session import scoped_shuffle_width
-
-    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+    with _data_sized_width(spark, src):
         q = start_cms_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
         _await_or_fail(q)
         # late tranche after the stream stopped; SAME checkpoint resumes
@@ -1106,13 +1102,7 @@ def q_streaming_logbin_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
     o.filter(F.col("o_orderkey") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    # Data-sized shuffle width for the whole protocol (same rationale as
-    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
-    # bound at the session default width; the aggregation keys per batch
-    # number far fewer than the rows).
-    from ..session import scoped_shuffle_width
-
-    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+    with _data_sized_width(spark, src):
         q = start_logbin_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
         _await_or_fail(q)
         o.filter(F.col("o_orderkey") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
@@ -1183,13 +1173,7 @@ def q_streaming_priority_sample_state(spark: SparkSession, sf_dir: str) -> DataF
     # first tranche: ~3/4 of the corpus over several files -> several
     # bounded top-(K+1) partials under maxFilesPerTrigger
     d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    # Data-sized shuffle width for the whole protocol (same rationale as
-    # the rollup chain: tiny foreachBatch micro-batches are task-overhead-
-    # bound at the session default width; the aggregation keys per batch
-    # number far fewer than the rows).
-    from ..session import scoped_shuffle_width
-
-    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+    with _data_sized_width(spark, src):
         q = start_sample_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
         _await_or_fail(q)
         # late tranche after the stream stopped; SAME checkpoint resumes
@@ -1256,11 +1240,7 @@ def q_streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
     d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
-    # Data-sized shuffle width for the whole protocol (same rationale as
-    # the rollup chain)
-    from ..session import scoped_shuffle_width
-
-    with scoped_shuffle_width(spark, spark.read.parquet(src).count()):
+    with _data_sized_width(spark, src):
         q = start_sketch_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
         _await_or_fail(q)
         # late tranche after the stream stopped; SAME checkpoint resumes

@@ -453,13 +453,10 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens("text").alias("w"))
         .localCheckpoint(eager=True)
     )
+    from ..functions.text import word_ngrams_from_tokens
+
     n_grams = F.size("w") - F.lit(2)
-    grams = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.array_join(F.slice("w", i, 3), " "),
-        )
-    )
+    grams = word_ngrams_from_tokens("w", 3)
     # pack (h asc, pos desc) into one BIGINT so the window rule "min hash,
     # ties -> rightmost" is a plain array_min (same packing as the oracle)
     keys = F.zip_with(

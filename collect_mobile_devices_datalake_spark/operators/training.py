@@ -253,10 +253,19 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_test_set_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
-    g = shingled_docs(d).select(
-        "doc_id",
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle_h"),
-    ).withColumn("b", split_bucket("doc_id"))
+    g = (
+        shingled_docs(d)
+        .select(
+            "doc_id",
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle_h"),
+        )
+        .withColumn("b", split_bucket("doc_id"))
+        # val-bucket rows never reach either side — prune BEFORE the
+        # barrier; checkpoint because tr and te both read this frame
+        # (the split_contamination rule)
+        .filter((F.col("b") < 80) | (F.col("b") >= 90))
+        .localCheckpoint(eager=True)
+    )
     tr = g.filter(F.col("b") < 80).select("shingle_h").distinct()
     te = g.filter(F.col("b") >= 90).select("doc_id", "shingle_h").distinct()
     seen = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))

@@ -436,14 +436,24 @@ def q_domain_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(n_tokens) AS BIGINT) * {WATERFILL_BUDGET_NUM}
                // {WATERFILL_BUDGET_DEN} AS budget
       FROM wt
+    ),
+    alloc AS (
+      -- floor(budget*w / tot) with bounded intermediates: budget*weight
+      -- overflows int64 at the corpus scale this op documents, but with
+      -- budget = q*tot + r the identity floor(budget*w/tot) =
+      -- q*w + floor(r*w/tot) holds exactly and r*w < tot*max(w)
+      SELECT w.source, w.n_tokens, w.weight,
+             t.tot_w,
+             (t.budget // t.tot_w) * w.weight
+               + (t.budget % t.tot_w) * w.weight // t.tot_w AS alloc_tokens
+      FROM wt w CROSS JOIN tot t
     )
-    SELECT w.source, w.n_tokens, w.weight,
-           round(CAST(w.weight AS DOUBLE) / t.tot_w, 6) AS p_sample,
-           CAST(t.budget * w.weight // t.tot_w AS BIGINT) AS alloc_tokens,
-           round(CAST(t.budget * w.weight // t.tot_w AS DOUBLE)
-                 / w.n_tokens, 6) AS epochs
-    FROM wt w CROSS JOIN tot t
-    ORDER BY w.source
+    SELECT source, n_tokens, weight,
+           round(CAST(weight AS DOUBLE) / tot_w, 6) AS p_sample,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs
+    FROM alloc
+    ORDER BY source
     """,
     doc="Temperature-based mixture sampling over TOKEN mass (tau = 1/2): "
     "each source's epoch sampling weight is n_tokens^tau, flattening "
@@ -488,8 +498,16 @@ def q_temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {WATERFILL_BUDGET_DEN}"
         ).alias("budget"),
     )
+    # floor(budget*w / tot) with bounded intermediates (the r10 err_ppm
+    # lesson): budget*weight overflows int64 at the documented corpus
+    # scale; with budget = q*tot + r, floor(budget*w/tot) = q*w +
+    # floor(r*w/tot) exactly, and r*w < tot_w * max(weight)
+    alloc = F.expr(
+        "(budget div tot_w) * weight + ((budget % tot_w) * weight) div tot_w"
+    )
     return (
         wt.crossJoin(F.broadcast(tot))
+        .withColumn("alloc_tokens", alloc.cast("long"))
         .select(
             "source",
             "n_tokens",
@@ -497,11 +515,9 @@ def q_temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("weight").cast("double") / F.col("tot_w"), 6).alias(
                 "p_sample"
             ),
-            F.expr("budget * weight div tot_w").cast("long").alias("alloc_tokens"),
+            "alloc_tokens",
             F.round(
-                F.expr("budget * weight div tot_w").cast("double")
-                / F.col("n_tokens"),
-                6,
+                F.col("alloc_tokens").cast("double") / F.col("n_tokens"), 6
             ).alias("epochs"),
         )
         .orderBy("source")
