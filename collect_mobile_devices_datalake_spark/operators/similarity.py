@@ -513,6 +513,62 @@ def lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_index_stats",
+    oracle=f"""
+    WITH pl AS ({_PLANES_SQL}),
+    bk AS (
+      SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
+      FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
+    ),
+    occ AS (
+      SELECT t, bucket, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM bk GROUP BY t, bucket
+    )
+    SELECT CAST(t AS INTEGER) AS t,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(occ) AS BIGINT) AS n_vectors,
+           CAST(MAX(occ) AS BIGINT) AS max_occ,
+           CAST(SUM(occ * (occ - 1) // 2) AS BIGINT) AS pair_mass
+    FROM occ GROUP BY t ORDER BY t
+    """,
+    doc="LSH index health report: per hash table, the live bucket count, "
+    "max bucket occupancy, and the exact co-bucket PAIR MASS "
+    "(sum occ*(occ-1)/2) — the quantity that prices every downstream "
+    "bucket join (near-dup pairs, probe candidates, the NSW build: this "
+    "round's 49.7M-pair root-cause was measured with exactly this sum). "
+    "A deployment checks this table before trusting probe latencies — a "
+    "viral/degenerate bucket shows up as max_occ, and plane-count drift "
+    "(the adaptive p formula vs corpus growth) shows up as pair_mass "
+    "growing superlinearly between snapshots. One groupBy over the "
+    "persisted bucket index (8-byte keys), one per-table aggregate; "
+    "all-integer arithmetic.",
+)
+def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    occ = (
+        bucket_index(spark, sf_dir)
+        .groupBy("t", "bucket")
+        .agg(F.count("*").alias("occ"))
+    )
+    return (
+        occ.groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("occ").cast("long").alias("n_vectors"),
+            F.max("occ").cast("long").alias("max_occ"),
+            F.sum(F.expr("occ * (occ - 1) div 2")).cast("long").alias("pair_mass"),
+        )
+        .select(
+            F.col("t").cast("int").alias("t"),
+            "n_buckets",
+            "n_vectors",
+            "max_occ",
+            "pair_mass",
+        )
+        .orderBy("t")
+    )
+
+
+@register(
     "contrastive_pairs_mined",
     oracle=f"""
     WITH pl AS ({_PLANES_SQL}),

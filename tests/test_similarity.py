@@ -238,3 +238,26 @@ def test_contrastive_pairs_mined_semantics(spark):
         assert labels[r.neg_id] != r.anchor_label
         assert {r.pos_id, r.neg_id} <= cands[r.anchor_id]
         assert abs(r.margin - (r.pos_cos - r.neg_cos)) < 2e-6
+
+
+def test_lsh_index_stats_accounting(spark):
+    """Every table's occupancy must sum to the corpus size, and the
+    reported pair mass must equal the brute recount over the shared
+    persisted index (the exact sum the candidate-join cost analyses in
+    this module cite)."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        bucket_index,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    n = load_table(spark, "embeddings", SF).count()
+    rows = REGISTRY["lsh_index_stats"].spark(spark, SF).collect()
+    assert len(rows) == 8 and all(r.n_vectors == n for r in rows)
+    occ = {}
+    for r in bucket_index(spark, SF).collect():
+        occ[(r.t, r.bucket)] = occ.get((r.t, r.bucket), 0) + 1
+    for r in rows:
+        per_t = [v for (t, _), v in occ.items() if t == r.t]
+        assert r.n_buckets == len(per_t)
+        assert r.max_occ == max(per_t)
+        assert r.pair_mass == sum(v * (v - 1) // 2 for v in per_t)
