@@ -54,6 +54,10 @@ HEADLINE = [
     # which exercises the longest composed chain in the registry.
     "nb_quality_classifier",
     "curated_mix_manifest",
+    # round-11 family: the winnowing local-overlap chain — map-side
+    # fingerprint selection + MOSS -m df cut + fp-keyed self-join (the
+    # round's headline scale fix; self-baseline in BASELINE.md)
+    "winnowing_overlap_pairs",
 ]
 
 # Streaming maintenance guard set (added r8): each runs a REAL
