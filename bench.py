@@ -123,8 +123,14 @@ def main() -> None:
     )
 
     # clear any roots stranded by a prior crashed bench/driver process
-    # before adding our own
+    # before adding our own (stream temp roots AND persisted ANN indexes
+    # left by prior python sessions' process-local index caches)
     sweep_stale_stream_temp_roots()
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        sweep_stale_ann_indexes,
+    )
+
+    sweep_stale_ann_indexes()
     for name in STREAMING:
         spec = REGISTRY[name]
         best = float("inf")

@@ -320,12 +320,51 @@ def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, b
     key = f"{kind}:{params}:{sf_dir}:{_corpus_fingerprint(sf_dir)}"
     path = _INDEX_CACHE.get(key)
     if path is None:
+        import os
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="ann_index_")
+        # pid-marked like the stream temp roots, so a sweep from another
+        # process can tell a live session's indexes from stranded ones
+        path = tempfile.mkdtemp(prefix=f"ann_index_pid{os.getpid()}_")
         build().write.mode("overwrite").parquet(path)
         _INDEX_CACHE[key] = path
     return spark.read.parquet(path)
+
+
+def sweep_stale_ann_indexes(
+    min_age_sec: float = 3600.0, hard_ttl_sec: float = 7 * 86400.0
+) -> None:
+    """Remove ``ann_index_*`` dirs stranded by PRIOR processes.
+
+    The index cache is process-local (``_INDEX_CACHE``), so every python
+    session that builds an index leaves its parquet dir behind — benign
+    individually, hundreds of dirs across a round of sessions. Same
+    liveness rules as ``sweep_stale_stream_temp_roots`` (pid markers are
+    untrustworthy across recycling/namespaces): dead-pid roots need
+    ``min_age_sec``, any root older than ``hard_ttl_sec`` goes, legacy
+    unmarked roots use the age bar alone."""
+    import glob
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    from .streaming_batch import _pid_alive
+
+    now = time.time()
+    for path in glob.glob(os.path.join(tempfile.gettempdir(), "ann_index_*")):
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        m = re.match(r"ann_index_pid(\d+)_", os.path.basename(path))
+        if m and age < hard_ttl_sec:
+            if _pid_alive(int(m.group(1))) or age < min_age_sec:
+                continue
+        elif not m and age < min_age_sec:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # planes per corpus, cached by the same fingerprint the index cache uses

@@ -73,3 +73,30 @@ def test_table_fingerprint_detects_preserved_mtime_rewrite(tmp_path):
     # file-count changes are folded in even when tails/sizes repeat
     (root / "part-1.parquet").write_bytes(b"A" * 64)
     assert table_fingerprint(str(tmp_path), "documents") != fp1
+
+
+def test_ann_index_sweep_liveness_rules(tmp_path, monkeypatch):
+    """Dead-pid + aged roots go; live-pid and young roots stay; unmarked
+    roots obey the age bar — the stream-temp-root rules applied to the
+    persisted ANN index dirs."""
+    import os
+    import time
+
+    import collect_mobile_devices_datalake_spark.operators.similarity as S
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    old = time.time() - 7200
+    live = tmp_path / f"ann_index_pid{os.getpid()}_x"  # me: alive
+    dead_old = tmp_path / "ann_index_pid999999999_x"
+    dead_young = tmp_path / "ann_index_pid999999998_y"
+    unmarked_old = tmp_path / "ann_index_legacy"
+    for d in (live, dead_old, dead_young, unmarked_old):
+        d.mkdir()
+    os.utime(live, (old, old))
+    os.utime(dead_old, (old, old))
+    os.utime(unmarked_old, (old, old))
+    S.sweep_stale_ann_indexes(min_age_sec=3600)
+    assert live.exists()          # alive pid, never swept inside TTL
+    assert not dead_old.exists()  # dead pid + aged
+    assert dead_young.exists()    # dead pid but young (recycling guard)
+    assert not unmarked_old.exists()  # legacy, age bar only
