@@ -317,10 +317,17 @@ def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, b
     + corpus path + corpus fingerprint — so no caller can accidentally
     collide two indexes that differ in parameters or underlying bytes.
     """
+    import os
+
     key = f"{kind}:{params}:{sf_dir}:{_corpus_fingerprint(sf_dir)}"
     path = _INDEX_CACHE.get(key)
+    if path is not None and not os.path.isdir(path):
+        # another process's sweep (or a tmp cleaner) reclaimed the dir out
+        # from under this session's cache — rebuild instead of failing every
+        # subsequent probe until process restart
+        _INDEX_CACHE.pop(key, None)
+        path = None
     if path is None:
-        import os
         import tempfile
 
         # pid-marked like the stream temp roots, so a sweep from another
@@ -359,8 +366,14 @@ def sweep_stale_ann_indexes(
         except OSError:
             continue
         m = re.match(r"ann_index_pid(\d+)_", os.path.basename(path))
-        if m and age < hard_ttl_sec:
-            if _pid_alive(int(m.group(1))) or age < min_age_sec:
+        if m:
+            # a live owning pid always wins — even past the hard TTL the
+            # session's _INDEX_CACHE may still point here (pid reuse makes
+            # this conservative, never unsafe: worst case a dir lingers
+            # until the recycled pid exits)
+            if _pid_alive(int(m.group(1))):
+                continue
+            if age < min(min_age_sec, hard_ttl_sec):
                 continue
         elif not m and age < min_age_sec:
             continue

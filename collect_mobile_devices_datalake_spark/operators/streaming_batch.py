@@ -872,28 +872,39 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_or_fail(q)
 
-    with _data_sized_width(spark, src):
-        run(100)
-        max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-        # sentinel #1 closes every real hour/day; #2 finalizes #1's own
-        # hour so the derived frontier passes every real bucket. Both
-        # land in ONE restarted run as separate micro-batches
-        # (maxFilesPerTrigger=1): the global watermark lags a batch, so
-        # #1's emission needs a batch after #2 — the engine's no-data
-        # flush batch provides it. Built on spark.range(1), NOT
-        # createDataFrame: the local-collection plan costs ~5s per 1-row
-        # write in this session shape (measured), the range projection
-        # 0.4s.
-        for hours in (960, 1920):
-            spark.range(1).select(
-                F.lit(10**9).cast("bigint").alias("event_id"),
-                (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
-                F.lit(0).cast("bigint").alias("user_id"),
-                F.lit("sentinel").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("{}").alias("props"),
-            ).coalesce(1).write.mode("append").parquet(src)
-        run(1)
+    # The trimmed two-sentinel protocol DEPENDS on the engine's no-data
+    # flush micro-batch to emit sentinel #1's hour (the global watermark
+    # lags one batch). That flush is on by default but deployment-
+    # configurable — pin it for the protocol's scope so the assumption
+    # is enforced, not inherited.
+    ndmb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_ndmb = spark.conf.get(ndmb_key, "true")
+    spark.conf.set(ndmb_key, "true")
+    try:
+        with _data_sized_width(spark, src):
+            run(100)
+            max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+            # sentinel #1 closes every real hour/day; #2 finalizes #1's
+            # own hour so the derived frontier passes every real bucket.
+            # Both land in ONE restarted run as separate micro-batches
+            # (maxFilesPerTrigger=1): the global watermark lags a batch,
+            # so #1's emission needs a batch after #2 — the engine's
+            # no-data flush batch (pinned on above) provides it. Built on
+            # spark.range(1), NOT createDataFrame: the local-collection
+            # plan costs ~5s per 1-row write in this session shape
+            # (measured), the range projection 0.4s.
+            for hours in (960, 1920):
+                spark.range(1).select(
+                    F.lit(10**9).cast("bigint").alias("event_id"),
+                    (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+                    F.lit(0).cast("bigint").alias("user_id"),
+                    F.lit("sentinel").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit("{}").alias("props"),
+                ).coalesce(1).write.mode("append").parquet(src)
+            run(1)
+    finally:
+        spark.conf.set(ndmb_key, prev_ndmb)
     return read_grain(spark, rollup, derived, "day").filter(
         F.col("event_type") != "sentinel"
     )

@@ -249,7 +249,14 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rate. Shuffle discipline: the join moves 8-byte xxhash64 shingle "
     "keys, never n-gram text; both sides prune to distinct keys before "
     "the join (map-side combine), and the split needs no doc join — "
-    "the bucket recomputes from doc_id arithmetic.",
+    "the bucket recomputes from doc_id arithmetic. Exactness caveat: "
+    "joining on xxhash64(shingle) admits a ~2^-64-per-pair hash "
+    "collision that would count a novel shingle as seen (same idiom as "
+    "split_contamination; the DuckDB oracle joins on shingle TEXT, so "
+    "driver parity doubles as a collision-absence check at test scale). "
+    "When calibrating bloom false-hit rates where even that bias "
+    "matters, join on the shingle string instead — the text join is the "
+    "strictly-exact form, at ~3x the shuffled bytes.",
 )
 def q_test_set_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)

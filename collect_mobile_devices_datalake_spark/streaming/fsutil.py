@@ -52,6 +52,20 @@ def dir_has_parquet(spark: SparkSession, dir_path: str) -> bool:
     )
 
 
+def is_local_root(path_str: str) -> bool:
+    """True when ``path_str`` resolves to the driver's local filesystem
+    (a bare path or an explicit ``file:`` scheme). Protocols whose commit
+    point is ``os.replace`` overwrite-atomicity (the sum-lattice
+    compaction manifest) must check this and fail fast on remote roots
+    rather than corrupt state mid-protocol: Hadoop ``FileSystem.rename``
+    does not overwrite, so the same manifest swap on HDFS/S3 would need a
+    store-specific atomic conditional put instead."""
+    scheme = path_str.split("://", 1)[0] if "://" in path_str else ""
+    if not scheme and path_str.startswith("file:"):
+        scheme = "file"
+    return scheme in ("", "file")
+
+
 def delete_dir(spark: SparkSession, dir_path: str) -> None:
     """Recursive, best-effort delete (the compaction sweep: a leftover
     partial is re-absorbed idempotently, so failure here is benign)."""

@@ -35,7 +35,7 @@ from ..operators.sketches import (
     kmv_kmin,
     token_hash_pairs,
 )
-from .fsutil import delete_dir, dir_has_parquet, list_batch_dirs
+from .fsutil import delete_dir, dir_has_parquet, is_local_root, list_batch_dirs
 
 DOCS_SCHEMA = "doc_id bigint, text string, source string"
 EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint"
@@ -200,10 +200,13 @@ def _cms_live_parts(spark: SparkSession, sketch_dir: str) -> list[str]:
     os.replace's overwrite-atomicity IS the commit point of the
     non-idempotent sum lattice — Hadoop's FileSystem.rename does not
     overwrite, and delete-then-rename opens a window where readers see
-    no manifest and double-count. A cluster deployment keeps the same
-    protocol but moves the manifest commit to a store with atomic
-    conditional put (HDFS FileContext rename-OVERWRITE, a table row, or
-    S3 if-none-match), exactly like the ingest lake manifest."""
+    no manifest and double-count. `_compact_sum_state` therefore FAILS
+    FAST on non-local roots (is_local_root), which keeps this local read
+    sound: on a remote root no manifest can ever exist, so every numeric
+    batch dir is live and the sum is exact. A cluster deployment keeps
+    the same protocol but moves the manifest commit to a store with
+    atomic conditional put (HDFS FileContext rename-OVERWRITE, a table
+    row, or S3 if-none-match), exactly like the ingest lake manifest."""
     import json
 
     absorbed: set[str] = set()
@@ -290,6 +293,19 @@ def _compact_sum_state(
     below finished. Never a double count in any window."""
     import json
 
+    if not is_local_root(sketch_dir):
+        # the manifest swap's atomicity comes from os.replace — on a
+        # remote root it would fail mid-protocol (the manifest is not a
+        # local file), so refuse up front; un-compacted reads stay correct
+        # (every numeric batch dir remains live). A cluster deployment
+        # supplies a store-specific atomic conditional put here (HDFS
+        # FileContext rename-OVERWRITE, a table row, S3 if-none-match).
+        raise NotImplementedError(
+            f"sum-lattice compaction needs an atomic manifest swap; the "
+            f"local-FS os.replace protocol cannot commit on {sketch_dir!r}. "
+            "Streaming appends and reads work unchanged on remote roots; "
+            "compaction requires a store-specific atomic-put strategy."
+        )
     live = _cms_live_parts(spark, sketch_dir)
     if len(live) <= 1:
         return
