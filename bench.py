@@ -41,7 +41,11 @@ HEADLINE = [
     "knn_nsw_probe",
     "bpe_learn_merges",
     "decontam_bloom_report",
-    "hybrid_search_rrf",
+    # r12: the headline hybrid-retrieval row is the INDEXED twin (the
+    # production path, linear slope −0.16/0.28); the exact twin
+    # hybrid_search_rrf stays registered as its recall-QA oracle pair,
+    # mirroring how ANN treats knn_bruteforce as baseline-not-product.
+    "hybrid_search_rrf_indexed",
     # late-r7 iterative families (self-baselines in BASELINE.md §C):
     # the unigram-LM Viterbi DP and the greedy k-center loop are the
     # two newest driver-loop algorithms — the shape most sensitive to
@@ -58,6 +62,17 @@ HEADLINE = [
     # fingerprint selection + MOSS -m df cut + fp-keyed self-join (the
     # round's headline scale fix; self-baseline in BASELINE.md)
     "winnowing_overlap_pairs",
+    # round-12 widening (r7 precedent: guard a family once it
+    # stabilizes): the r11 batch additions — tokenizer APPLICATION
+    # (greedy longest-match BPE encode over the learned merge table),
+    # the exact decontamination twin, the temperature-mix allocator,
+    # LSH hard-negative mining, and the LSH index health report.
+    # First-green self-baselines in BASELINE.md §C.
+    "bpe_corpus_encoding",
+    "test_set_novelty",
+    "temperature_mix_allocation",
+    "contrastive_pairs_mined",
+    "lsh_index_stats",
 ]
 
 # Streaming maintenance guard set (added r8): each runs a REAL
@@ -102,6 +117,22 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, t, sf_dir).count()
+
+    # Fixed calibration row: a data-independent JVM workload (sum over
+    # 8e9 synthetic longs, ~1.1s on a quiet box) timed exactly like the
+    # queries. BENCH_rN
+    # readings are taken on a shared box whose load varies round to
+    # round (r11 saw code-untouched scan queries inflate up to 2.04x) —
+    # this row carries the round's own load denominator, so a perf gate
+    # can separate "the code got slower" from "the box was busy".
+    # Excluded from the total; tools/perf_sweep.py flags rounds whose
+    # calibration drifts >1.2x from the recorded-round median.
+    calibration = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(8_000_000_000).selectExpr("sum(id)").collect()
+        calibration = min(calibration, time.perf_counter() - t0)
+    calibration = round(calibration, 3)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -150,6 +181,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration,
             }
         )
     )

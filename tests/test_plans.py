@@ -444,15 +444,24 @@ def test_registry_wide_plan_hygiene(spark):
 
     # udf_surface deliberately demonstrates the full UDF API surface,
     # including the row-at-a-time form Spark still ships
-    ROW_UDF_OK = {"q_string_funcs"} | {
+    ROW_UDF_OK = {
         k for k in REGISTRY if k.startswith("udf_") or k.startswith("udtf_")
     }
     offenders: list[str] = []
+    exercised: set[str] = set()
     for name, spec in sorted(REGISTRY.items()):
         df = spec.spark(spark, SF)
         plan = formatted_plan(df)
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
-        if "BatchEvalPython" in plan and name not in ROW_UDF_OK:
-            offenders.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        if "BatchEvalPython" in plan:
+            if name in ROW_UDF_OK:
+                exercised.add(name)
+            else:
+                offenders.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
     assert not offenders, offenders
+    # the allow-list must stay exact: an exemption whose plan no longer
+    # contains BatchEvalPython is stale and must be dropped, so the gate
+    # never silently grandfathers a future row-UDF under an old name
+    stale = sorted(ROW_UDF_OK - exercised)
+    assert not stale, f"stale ROW_UDF_OK exemptions (no BatchEvalPython): {stale}"

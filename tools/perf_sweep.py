@@ -22,6 +22,36 @@ from collect_mobile_devices_datalake_spark import registry  # noqa: E402
 from collect_mobile_devices_datalake_spark.session import get_spark  # noqa: E402
 
 
+def check_calibration_drift(repo_root: str = ".", max_ratio: float = 1.2) -> list[str]:
+    """Flag BENCH_r*.json rounds whose calibration row drifted >max_ratio
+    from the recorded-round median — those rounds measured the machine as
+    much as the code, and their per-query ratios need a clean-box re-read
+    before being treated as regressions. Returns the flagged round names
+    (also printed to stderr by main)."""
+    import glob
+    import os
+    import statistics
+
+    cals: dict[str, float] = {}
+    for p in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        c = d.get("calibration_sec")
+        if isinstance(c, (int, float)) and c > 0:
+            cals[os.path.basename(p)] = float(c)
+    if len(cals) < 2:
+        return []
+    med = statistics.median(cals.values())
+    return [
+        f"{name}: calibration {c:.2f}s vs median {med:.2f}s ({c / med:.2f}x)"
+        for name, c in cals.items()
+        if c / med > max_ratio
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
@@ -45,6 +75,12 @@ def main() -> None:
         print(f"{len(stragglers)} stragglers >= {threshold}s:", file=sys.stderr)
         for n, t in stragglers:
             print(f"  {t:7.2f}s  {n}", file=sys.stderr)
+    drifted = check_calibration_drift()
+    if drifted:
+        print("calibration drift (>1.2x of recorded-round median) — treat "
+              "these rounds' BENCH ratios as load-suspect:", file=sys.stderr)
+        for line in drifted:
+            print(f"  {line}", file=sys.stderr)
 
 
 if __name__ == "__main__":
