@@ -5,11 +5,14 @@ struct alongside — the lakehouse pattern for images/audio/video at
 100 TB (payload stays columnar+compressed; metadata predicates prune
 without touching bytes).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
+The container has no image codecs, so the IMAGE decode step is stubbed
 (deterministic fake, clearly marked); everything Spark-side — schema,
 partitioning, Arrow batch shape, UDF signatures — is real and tested.
-A production deployment swaps ``_decode_stub`` for PIL/libsndfile
-behind the same ``mapInPandas`` signature.
+A production deployment swaps ``_decode_stub`` for PIL/cv2 behind the
+same ``mapInPandas`` signature. The AUDIO leg is a REAL decode since
+r12: payloads are genuine RIFF/WAVE containers and ``frame_audio``
+parses them with stdlib ``wave`` (header + PCM frames) — one modality
+decoded for real, zero extra dependencies.
 """
 
 from __future__ import annotations
@@ -128,36 +131,104 @@ def decode_images(media: DataFrame) -> DataFrame:
     return decoded.withColumn("mean_byte", mean).drop("pixel_sum")
 
 
-AUDIO_FRAME_BYTES = 160  # 10 ms at 16 kHz 8-bit mono — the stub's frame unit
+AUDIO_FRAME_BYTES = 160  # 10 ms at 16 kHz 8-bit mono — one frame of samples
+
+WAV_SAMPLE_RATE = 16000
 
 AUDIO_FRAMES_SCHEMA = (
-    "media_id bigint, frame_idx int, n_bytes int, byte_sum bigint, sq_sum bigint"
+    "media_id bigint, sample_rate int, n_samples bigint, "
+    "frame_idx int, n_bytes int, byte_sum bigint, sq_sum bigint"
 )
 
 
-def frame_audio(media: DataFrame) -> DataFrame:
-    """mapInPandas audio framing: audio rows → fixed-size byte frames with
-    integer stats (sum + sum-of-squares per frame).
+def _wav_bytes(samples: bytes, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """A genuine RIFF/WAVE container (stdlib ``wave``): 8-bit unsigned PCM,
+    mono, ``sample_rate`` Hz, one sample per input byte. Used to build the
+    fixture WAVs that the decode path parses back — no audio libs needed,
+    and both sides are the REAL formats (44-byte RIFF header + data chunk),
+    not a stand-in."""
+    import io
+    import wave
 
-    A real build decodes PCM via libsndfile here; the raw byte stream
-    stands in, so the framing/batching plumbing is real and the values are
-    deterministic. Like decode_images, the UDF emits INTEGER stats only;
-    per-frame RMS is appended as a SQL division + sqrt outside the UDF
-    (both IEEE-correctly-rounded → bit-identical cross-engine).
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def wav_media_table(documents: DataFrame) -> DataFrame:
+    """The audio half of ``media_table`` with a REAL WAV payload: each
+    audio doc's utf-8 text bytes become the PCM samples of a genuine
+    RIFF/WAVE file (built executor-side via an Arrow-batched pandas UDF —
+    stdlib ``wave``, zero extra dependencies). This is the fixture-WAV
+    flow: payloads are real containers a soundfile tool would open, so
+    the decode leg exercises an actual codec path, not byte slicing."""
+
+    @pandas_udf("binary")
+    def wav_encode(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: _wav_bytes(t.encode("utf-8")) if t is not None else _wav_bytes(b"")
+        )
+
+    aud = documents.filter(F.col("doc_id") % 2 != 0)
+    return aud.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        wav_encode("text").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(WAV_SAMPLE_RATE).cast("int").alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def frame_audio(media: DataFrame) -> DataFrame:
+    """mapInPandas audio decode + framing: audio rows with REAL WAV
+    payloads → per-frame integer stats.
+
+    r12: this is a genuine decode, not the byte-slicing stub it replaced —
+    ``wave.open`` parses the RIFF header (fmt chunk: channels, sample
+    width, rate; data chunk length) and ``readframes`` yields the PCM
+    stream, which is then cut into 160-sample (10 ms) frames. The emitted
+    ``sample_rate``/``n_samples`` columns come FROM the parsed header, so
+    the value-level oracle (which derives them from the fixture text)
+    certifies the full encode→RIFF→decode round trip. Image codecs remain
+    the only stubbed modality (no PIL/cv2 in the container). Like
+    decode_images, the UDF emits INTEGER stats only; per-frame RMS is a
+    SQL division + sqrt outside the UDF (IEEE-correctly-rounded → bit-
+    identical cross-engine). Map-only: payload bytes never shuffle.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
         for pdf in batches:
             aud = pdf[pdf["kind"] == "audio"]
             rows = []
             for _, r in aud.iterrows():
-                b = bytes(r["payload"])
-                n_frames = (len(b) + AUDIO_FRAME_BYTES - 1) // AUDIO_FRAME_BYTES
+                with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 1:
+                        raise ValueError(
+                            f"media_id {r['media_id']}: expected 8-bit mono PCM, "
+                            f"got {w.getnchannels()}ch sampwidth={w.getsampwidth()}"
+                        )
+                    rate = w.getframerate()
+                    n_samples = w.getnframes()
+                    pcm = w.readframes(n_samples)
+                n_frames = (len(pcm) + AUDIO_FRAME_BYTES - 1) // AUDIO_FRAME_BYTES
                 for fi in range(n_frames):
-                    fr = b[fi * AUDIO_FRAME_BYTES : (fi + 1) * AUDIO_FRAME_BYTES]
+                    fr = pcm[fi * AUDIO_FRAME_BYTES : (fi + 1) * AUDIO_FRAME_BYTES]
                     rows.append(
                         {
                             "media_id": r["media_id"],
+                            "sample_rate": rate,
+                            "n_samples": n_samples,
                             "frame_idx": fi,
                             "n_bytes": len(fr),
                             "byte_sum": sum(fr),
@@ -165,7 +236,8 @@ def frame_audio(media: DataFrame) -> DataFrame:
                         }
                     )
             yield pd.DataFrame(rows, columns=[
-                "media_id", "frame_idx", "n_bytes", "byte_sum", "sq_sum"
+                "media_id", "sample_rate", "n_samples",
+                "frame_idx", "n_bytes", "byte_sum", "sq_sum",
             ])
 
     framed = media.mapInPandas(fn, AUDIO_FRAMES_SCHEMA)

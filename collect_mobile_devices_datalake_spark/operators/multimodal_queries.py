@@ -102,27 +102,32 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_audio_frames",
-    # Frames are 160-byte windows of the payload (10 ms @ 16 kHz 8-bit); the
-    # payload is the utf-8 text, so DuckDB recomputes each frame's byte sums
-    # from substring slices. RMS = sqrt(sq_sum / n) is a SQL-side IEEE
-    # division + sqrt in BOTH engines — bit-identical from integer inputs.
+    # r12: REAL decode. The Spark side builds a genuine RIFF/WAVE file per
+    # audio doc (8-bit mono 16 kHz PCM, samples = utf-8 text bytes; stdlib
+    # wave) and frame_audio parses it BACK with wave.open — header fields
+    # (sample_rate, n_samples) and the PCM stream all come from the parse.
+    # The oracle derives the same values from the fixture text (rate is the
+    # generator constant, n_samples/frames from text bytes), so parity
+    # certifies the encode -> RIFF -> decode round trip, not byte slicing.
+    # RMS = sqrt(sq_sum / n) is a SQL-side IEEE division + sqrt in BOTH
+    # engines — bit-identical from integer inputs.
     oracle="""
     WITH audio AS (
       SELECT doc_id AS media_id, text, length(text) AS len
       FROM documents WHERE doc_id % 2 <> 0
     ),
     idx AS (
-      SELECT media_id, text,
+      SELECT media_id, text, len,
              CAST(unnest(range(0, (len + 159) // 160)) AS INTEGER) AS frame_idx
       FROM audio WHERE len > 0
     ),
     fr AS (
-      SELECT media_id, frame_idx,
+      SELECT media_id, len, frame_idx,
              substring(text, frame_idx * 160 + 1, 160) AS chunk
       FROM idx
     ),
     sums AS (
-      SELECT media_id, frame_idx,
+      SELECT media_id, len, frame_idx,
              CAST(length(chunk) AS INTEGER) AS n_bytes,
              list_reduce(list_transform(range(1, length(chunk) + 1),
                i -> CAST(ascii(substring(chunk, i, 1)) AS BIGINT)),
@@ -133,20 +138,25 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                (a, b) -> a + b) AS sq_sum
       FROM fr
     )
-    SELECT media_id, frame_idx, n_bytes, byte_sum, sq_sum,
+    SELECT media_id, CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(len AS BIGINT) AS n_samples,
+           frame_idx, n_bytes, byte_sum, sq_sum,
            sqrt(sq_sum / CAST(n_bytes AS DOUBLE)) AS rms
     FROM sums
     """,
-    doc="Audio framing over the binary payload (mapInPandas, Arrow-batched): "
-    "fixed 160-byte frames -> per-frame integer stats + RMS. The audio twin "
-    "of media_decode_stats: codec stubbed, partitioning/batch plumbing and "
-    "frame arithmetic real; value-level oracle from the deterministic stub.",
+    doc="REAL audio decode (r12): genuine RIFF/WAVE payloads built from the "
+    "fixture docs (stdlib wave, 8-bit mono PCM) are parsed back executor-"
+    "side by wave.open inside mapInPandas — header fields and PCM frames "
+    "both come from the parse, and the oracle recomputes them from the "
+    "fixture text, certifying the full encode->RIFF->decode round trip. "
+    "160-sample (10 ms) frames -> integer stats + SQL-side RMS. Images "
+    "remain the only stubbed modality (no PIL/cv2 in the container).",
 )
 def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..multimodal import frame_audio
+    from ..multimodal import frame_audio, wav_media_table
 
     d = load_table(spark, "documents", sf_dir)
-    return frame_audio(media_table(d))
+    return frame_audio(wav_media_table(d))
 
 
 @register(
