@@ -837,11 +837,12 @@ def q_funnel_windowed_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the batch semantics. Runs a real Structured Streaming query as two "
     "availableNow triggers against one checkpoint (a real restart "
     "boundary, so driver certification also exercises checkpoint "
-    "recovery): the restarted run takes the two sentinels as separate "
-    "micro-batches (maxFilesPerTrigger=1) and the engine's no-data "
-    "flush batch finalizes sentinel #1's own hour — the global "
-    "watermark lags one batch, so a third sentinel RESTART would only "
-    "repeat what the restarted run's batch boundaries already certify.",
+    "recovery): the restarted run takes both sentinels in one "
+    "micro-batch and the engine's no-data flush batch (pinned on for "
+    "the protocol's scope) finalizes sentinel #1's own hour — the "
+    "watermark computed at the sentinel batch's end covers both, so "
+    "the flush emits every real hour plus #1's, which is all the "
+    "derived day frontier needs.",
 )
 def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -886,13 +887,17 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
             # sentinel #1 closes every real hour/day; #2 finalizes #1's
             # own hour so the derived frontier passes every real bucket.
-            # Both land in ONE restarted run as separate micro-batches
-            # (maxFilesPerTrigger=1): the global watermark lags a batch,
-            # so #1's emission needs a batch after #2 — the engine's
-            # no-data flush batch (pinned on above) provides it. Built on
-            # spark.range(1), NOT createDataFrame: the local-collection
-            # plan costs ~5s per 1-row write in this session shape
-            # (measured), the range projection 0.4s.
+            # Both land in ONE restarted micro-batch (r12 trim, was one
+            # batch EACH under maxFilesPerTrigger=1): the watermark
+            # computed at that batch's end covers both sentinels, and the
+            # engine's no-data flush batch (pinned on above) then emits
+            # every hour below it — including #1's own hour, which is all
+            # the derived day frontier needs. Parity-verified identical
+            # output; saves one full two-state-store micro-batch cycle
+            # (~1s) per certification. Built on spark.range(1), NOT
+            # createDataFrame: the local-collection plan costs ~5s per
+            # 1-row write in this session shape (measured), the range
+            # projection 0.4s.
             for hours in (960, 1920):
                 spark.range(1).select(
                     F.lit(10**9).cast("bigint").alias("event_id"),
@@ -902,7 +907,7 @@ def q_streaming_rollup_day_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0).alias("value"),
                     F.lit("{}").alias("props"),
                 ).coalesce(1).write.mode("append").parquet(src)
-            run(1)
+            run(100)
     finally:
         spark.conf.set(ndmb_key, prev_ndmb)
     return read_grain(spark, rollup, derived, "day").filter(

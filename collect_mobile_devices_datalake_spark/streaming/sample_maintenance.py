@@ -104,7 +104,13 @@ def compact_sample_state(spark: SparkSession, state_dir: str) -> None:
     parts = list_batch_dirs(spark, state_dir)
     if len(parts) <= 1:
         return
-    merged = read_sample_state(spark, state_dir).localCheckpoint(eager=True)
+    merged = read_sample_state(spark, state_dir)
+    if "batch=compacted" in parts:
+        # re-compaction overwrites a dir the fold is still reading from —
+        # only then is a materialization barrier needed (first compaction
+        # writes a fresh dir disjoint from every input, so the write job
+        # can stream the fold directly)
+        merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, "batch=compacted"))
     for d in parts:
         if d != "batch=compacted":

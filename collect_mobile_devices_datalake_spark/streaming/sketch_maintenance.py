@@ -99,8 +99,13 @@ def compact_kmv_state(
     Crash-safe by the same argument as manifest compaction: the merged
     partition is written first; a crash before the sweep leaves extra
     partials whose re-absorption is a no-op (idempotent merge)."""
-    merged = read_kmv_state(spark, sketch_dir, k, key).localCheckpoint(eager=True)
     olds = list_batch_dirs(spark, sketch_dir)
+    merged = read_kmv_state(spark, sketch_dir, k, key)
+    if "batch=compacted" in olds:
+        # re-compaction overwrites a dir the fold still reads — only then
+        # is a materialization barrier needed; the first compaction writes
+        # a fresh dir disjoint from every input
+        merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, "batch=compacted"))
     for d in olds:
         if d != "batch=compacted":
@@ -309,11 +314,13 @@ def _compact_sum_state(
     live = _cms_live_parts(spark, sketch_dir)
     if len(live) <= 1:
         return
+    # no materialization barrier: the merged fold is written to a FRESH
+    # batch=c<gen+1> dir that is never in `live`, so the write job streams
+    # the fold straight from the input partitions it reads
     merged = (
         spark.read.parquet(*[os.path.join(sketch_dir, d) for d in live])
         .groupBy(*keys)
         .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
     gens = [
         int(d[len("batch=c"):])

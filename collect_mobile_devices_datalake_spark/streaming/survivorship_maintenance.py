@@ -118,8 +118,12 @@ def compact_survivorship_state(spark: SparkSession, state_dir: str) -> None:
             F.sum("n_events").alias("n_events"),
             F.max("last_ts").alias("last_ts"),
         )
-        .localCheckpoint(eager=True)
     )
+    if "batch=compacted" in parts:
+        # re-compaction overwrites a dir the fold still reads — only then
+        # is a materialization barrier needed; the first compaction writes
+        # a fresh dir disjoint from every input
+        merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(os.path.join(state_dir, "batch=compacted"))
     for d in parts:
         if d != "batch=compacted":

@@ -124,6 +124,16 @@ KERNELS = [
     # disjoint so join mass grows ~linearly)
     ("bpe_corpus_encoding", "documents"),
     ("test_set_novelty", "documents"),
+    # round-12 kernels (r11 verdict item 7): the temperature-mix
+    # allocator (one domain-sized aggregate + integer isqrt weights —
+    # cost must track the corpus scan, output |domains|), LSH hard-
+    # negative mining (rides the persisted multi-table LSH probe chain,
+    # so its slope should match knn_lsh_probe's bucket-bounded shape),
+    # and the LSH index health report (bucket-occupancy aggregate over
+    # the persisted index — one index-sized groupBy, output ~ bands).
+    ("temperature_mix_allocation", "documents"),
+    ("contrastive_pairs_mined", "embeddings"),
+    ("lsh_index_stats", "embeddings"),
 ]
 
 
