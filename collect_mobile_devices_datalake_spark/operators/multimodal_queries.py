@@ -280,3 +280,81 @@ def q_media_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_audio.cast("long").alias("n_audio"),
         ((n_image > 0) & (n_audio > 0)).alias("is_cross_modal"),
     )
+
+
+@register(
+    "media_wav_silence_runs",
+    # Built on the r12 REAL WAV decode: frames come from wave.open's PCM
+    # parse, the activity gate is the integer compare sq_sum > T*n_bytes
+    # (mean-square threshold T=9800 — the fixture corpus' median frame
+    # energy — with no division and no sqrt anywhere), and runs are
+    # gaps-and-islands over frame_idx. All integers -> exact parity.
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id AS media_id, text, length(text) AS len
+      FROM documents WHERE doc_id % 2 <> 0
+    ),
+    idx AS (
+      SELECT media_id, text,
+             CAST(unnest(range(0, (len + 159) // 160)) AS INTEGER) AS frame_idx
+      FROM audio WHERE len > 0
+    ),
+    fr AS (
+      SELECT media_id, frame_idx,
+             substring(text, frame_idx * 160 + 1, 160) AS chunk
+      FROM idx
+    ),
+    gated AS (
+      SELECT media_id, frame_idx,
+             CASE WHEN list_reduce(list_transform(range(1, length(chunk) + 1),
+                    i -> CAST(ascii(substring(chunk, i, 1)) AS BIGINT)
+                       * CAST(ascii(substring(chunk, i, 1)) AS BIGINT)),
+                    (a, b) -> a + b) > 9800 * length(chunk)
+                  THEN 1 ELSE 0 END AS active
+      FROM fr
+    ),
+    runs AS (
+      SELECT media_id, active, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (
+               PARTITION BY media_id, active ORDER BY frame_idx) AS grp
+      FROM gated
+    )
+    SELECT media_id, CAST(active AS INTEGER) AS active,
+           CAST(MIN(frame_idx) AS INTEGER) AS start_frame,
+           CAST(MAX(frame_idx) AS INTEGER) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM runs GROUP BY media_id, active, grp
+    """,
+    doc="Voice-activity-style segmentation over REALLY-decoded WAV frames "
+    "(the downstream op the r12 real decode enables): each 10 ms PCM "
+    "frame is gated by the integer mean-square compare sq_sum > T * "
+    "n_bytes, then consecutive same-state frames merge into runs via "
+    "gaps-and-islands (frame_idx - row_number, the dup_substring island "
+    "idiom). The speech-pipeline primitive for silence trimming and "
+    "utterance splitting before ASR/feature extraction. Scale shape: "
+    "map-only decode (payload bytes never shuffle), per-asset windows "
+    "partitioned by media_id (frames per asset are payload-bounded), one "
+    "aggregate; output rows ~ state flips, not frames.",
+)
+def q_media_wav_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..multimodal import frame_audio, wav_media_table
+
+    d = load_table(spark, "documents", sf_dir)
+    frames = frame_audio(wav_media_table(d)).select(
+        "media_id",
+        "frame_idx",
+        F.when(F.col("sq_sum") > 9800 * F.col("n_bytes"), 1)
+        .otherwise(0)
+        .alias("active"),
+    )
+    w = Window.partitionBy("media_id", "active").orderBy("frame_idx")
+    runs = frames.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return runs.groupBy("media_id", "active", "grp").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    ).select("media_id", "active", "start_frame", "end_frame", "n_frames")

@@ -290,8 +290,8 @@ def clear_index_cache() -> None:
     _PLANES_CACHE.clear()
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the embeddings source (shared
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Cheap content fingerprint of the index's source table (shared
     ``session.table_fingerprint`` discipline). Folded into the index
     cache key, so regenerating the corpus in place (e.g. a test fixture
     rewriting the same path) can never be served a stale index built
@@ -299,10 +299,13 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     """
     from ..session import table_fingerprint
 
-    return table_fingerprint(sf_dir, "embeddings")
+    return table_fingerprint(sf_dir, table)
 
 
-def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, build) -> DataFrame:
+def _persisted_index(
+    spark: SparkSession, kind: str, sf_dir: str, params: str, build,
+    table: str = "embeddings",
+) -> DataFrame:
     """Build-once-read-many ANN index as a PERSISTED parquet table.
 
     This is the 100 TB-honest form of an index: built ONCE per corpus,
@@ -319,7 +322,7 @@ def _persisted_index(spark: SparkSession, kind: str, sf_dir: str, params: str, b
     """
     import os
 
-    key = f"{kind}:{params}:{sf_dir}:{_corpus_fingerprint(sf_dir)}"
+    key = f"{kind}:{params}:{sf_dir}:{_corpus_fingerprint(sf_dir, table)}"
     path = _INDEX_CACHE.get(key)
     if path is not None and not os.path.isdir(path):
         # another process's sweep (or a tmp cleaner) reclaimed the dir out

@@ -852,3 +852,99 @@ def q_doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "source_quality_calibration",
+    # Integer-exact end to end: the composite score uses integer `div`
+    # (Spark `div` == DuckDB `//`), the within-source percentile is a
+    # cumulative count over the tiny (source, score) aggregate, and the
+    # keep rule compares integer per-mille ranks — no doubles anywhere,
+    # so cross-engine parity is exact by construction.
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             (1000000 * {_sw_hits_sql('en')})
+               // GREATEST(len({_TOKENS_SQL}), 1)
+           + (1000000 * len(list_distinct(list_transform({_TOKENS_SQL},
+                 t -> lower(t)))))
+               // GREATEST(len({_TOKENS_SQL}), 1) AS score
+      FROM documents
+    ),
+    hist AS (
+      SELECT source, score, COUNT(*) AS c FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, score,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             SUM(c) OVER (PARTITION BY source) AS n_src
+      FROM hist
+    )
+    SELECT s.doc_id, s.source, CAST(s.score AS BIGINT) AS score,
+           CAST((1000000 * r.below) // r.n_src AS BIGINT) AS pct_micro
+    FROM scored s JOIN ranked r ON s.source = r.source AND s.score = r.score
+    WHERE (1000000 * r.below) // r.n_src >= 500000
+    """,
+    doc="Per-source quality-score calibration — the FineWeb/CCNet 'score "
+    "distributions differ per dump' problem: a single global threshold "
+    "over-prunes weak sources and under-prunes strong ones, so the cut "
+    "is taken at a WITHIN-SOURCE percentile instead. Score = integer "
+    "composite (stopword density + lexical diversity, both per-million "
+    "via integer div); rank = strictly-below cumulative count over the "
+    "tiny (source, score) histogram (the curriculum_bins scale-safe "
+    "exact-rank idiom — NO per-doc window, no single-partition sort); "
+    "docs at or above the median of their own source survive. Shuffle "
+    "discipline at 100 TB: one map-side-combined aggregate over "
+    "(source, score), a |sources x scores|-row window, and a broadcast "
+    "join back onto the scan — the corpus shuffles zero payload bytes.",
+)
+def q_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n = F.greatest(F.size(toks), F.lit(1))
+    sw = STOPWORDS["en"]
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
+    distinct_toks = F.size(F.array_distinct(F.transform(toks, F.lower)))
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            (hits.cast("bigint") * 1000000).cast("bigint")
+        ).alias("_sw_num"),
+        (
+            (distinct_toks.cast("bigint") * 1000000).cast("bigint")
+        ).alias("_dv_num"),
+        n.cast("bigint").alias("_n"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.expr("_sw_num div _n") + F.expr("_dv_num div _n")).alias("score"),
+        # both the histogram and the keep-join read this frame; checkpoint
+        # the 3-column scored projection so the token-scoring scan runs
+        # ONCE (the split_contamination rule) — ~24 bytes/doc pinned vs a
+        # second full array-ops pass over the corpus
+    ).localCheckpoint(eager=True)
+    hist = scored.groupBy("source", "score").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w_below = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "source",
+        "score",
+        F.coalesce(F.sum("c").over(w_below), F.lit(0)).alias("below"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n_src"),
+    ).withColumn("pct_micro", F.expr("(1000000 * below) div n_src"))
+    return (
+        scored.join(
+            F.broadcast(ranked.filter(F.col("pct_micro") >= 500000)),
+            ["source", "score"],
+        )
+        .select("doc_id", "source", "score", "pct_micro")
+    )

@@ -465,3 +465,32 @@ def test_registry_wide_plan_hygiene(spark):
     # never silently grandfathers a future row-UDF under an old name
     stale = sorted(ROW_UDF_OK - exercised)
     assert not stale, f"stale ROW_UDF_OK exemptions (no BatchEvalPython): {stale}"
+
+
+def test_source_quality_calibration_plan(spark):
+    """The per-source calibration must rank via the tiny (source, score)
+    histogram — broadcast join back onto the scan, NO per-doc window and
+    no sort-merge join of the corpus."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["source_quality_calibration"].spark(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_media_wav_silence_runs_plan(spark):
+    """VAD runs: map-only decode (payload never shuffles before the frame
+    projection), islands via media-keyed window, no row-at-a-time UDF."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["media_wav_silence_runs"].spark(spark, SF)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the only exchanges are the window partition + the run aggregate —
+    # both carry integer frame stats, never payload bytes
+    assert count_exchanges(df) <= 3, plan
