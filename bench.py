@@ -118,9 +118,10 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, t, sf_dir).count()
 
-    # Fixed calibration row: a data-independent JVM workload (sum over
-    # 8e9 synthetic longs, ~1.1s on a quiet box) timed exactly like the
-    # queries. BENCH_rN
+    # Fixed calibration row: a data-independent JVM workload (sum of
+    # id % 1000 over 8e9 synthetic longs — the modulo keeps the sum far
+    # from BIGINT overflow under ANSI mode; ~1.2s on a quiet box) timed
+    # exactly like the queries. BENCH_rN
     # readings are taken on a shared box whose load varies round to
     # round (r11 saw code-untouched scan queries inflate up to 2.04x) —
     # this row carries the round's own load denominator, so a perf gate
@@ -130,7 +131,7 @@ def main() -> None:
     calibration = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        spark.range(8_000_000_000).selectExpr("sum(id)").collect()
+        spark.range(8_000_000_000).selectExpr("sum(id % 1000)").collect()
         calibration = min(calibration, time.perf_counter() - t0)
     calibration = round(calibration, 3)
 
