@@ -376,9 +376,11 @@ _UNI_VOCAB_SQL = f"""
 """
 
 
-def _unigram_oracle() -> str:
+def _unigram_oracle(final: str | None = None) -> str:
     """Unrolled Viterbi over word positions (the BPE-oracle technique:
-    greedy/DP sequentiality → one CTE pair per step)."""
+    greedy/DP sequentiality → one CTE pair per step). Like _bpe_oracle,
+    ``final`` starting with ", name AS (" extends the CTE chain before
+    its own SELECT; None keeps the per-word segmentation report."""
     ctes = [
         f"wt AS ({_UNI_WT_SQL})",
         _UNI_VOCAB_SQL.strip().lstrip(),  # subs/vocab/tot/vc
@@ -405,12 +407,14 @@ def _unigram_oracle() -> str:
         FROM cand{j}
       ) WHERE rn = 1
     )""")
-    final = "\n    UNION ALL ".join(
+    if final is not None:
+        return "WITH " + ",\n    ".join(ctes) + final
+    default_final = "\n    UNION ALL ".join(
         f"SELECT word, freq, CAST(len(word) AS BIGINT) AS n_chars, nseg AS n_segments, "
         f"bits AS total_bits, path AS segmentation FROM b{j} WHERE len(word) = {j}"
         for j in range(1, UNI_MAXW + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + default_final
 
 
 def _unigram_vocab_frames(spark: SparkSession, sf_dir: str):
@@ -505,6 +509,21 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type table.",
 )
 def q_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _unigram_segments(spark, sf_dir)
+    return out.select(
+        "word",
+        "freq",
+        F.length("word").cast("long").alias("n_chars"),
+        F.col("nseg").alias("n_segments"),
+        F.col("bits").alias("total_bits"),
+        F.col("path").alias("segmentation"),
+    ).orderBy("word")
+
+
+def _unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, nseg, bits, path): the min-cost Viterbi segmentation
+    of every capped word type — the shared kernel of the segmentation
+    report and the corpus encoding."""
     wt, vc = _unigram_vocab_frames(spark, sf_dir)
     b = {
         0: wt.select(
@@ -549,11 +568,71 @@ def q_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = finals[0]
     for f_ in finals[1:]:
         out = out.unionByName(f_)
-    return out.select(
-        "word",
-        "freq",
-        F.length("word").cast("long").alias("n_chars"),
-        F.col("nseg").alias("n_segments"),
-        F.col("bits").alias("total_bits"),
-        F.col("path").alias("segmentation"),
-    ).orderBy("word")
+    return out
+
+
+@register(
+    "unigram_corpus_encoding",
+    oracle=_unigram_oracle(
+        final=f""", seg AS (
+      {" UNION ALL ".join(f"SELECT word, nseg, bits FROM b{j} WHERE len(word) = {j}" for j in range(1, UNI_MAXW + 1))}
+    ),
+    toks AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents)
+      WHERE len(word) >= 1
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(s.word) AS BIGINT) AS n_words,
+           CAST(COUNT(*) - COUNT(s.word) AS BIGINT) AS n_long_words,
+           CAST(COALESCE(SUM(s.nseg), 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(SUM(s.bits), 0) AS BIGINT) AS total_bits
+    FROM toks t LEFT JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    ),
+    doc="The unigram-LM tokenizer applied to the CORPUS — the "
+    "tokenizer-apply twin of bpe_corpus_encoding, completing the pair "
+    "for the repo's second induction algorithm: per document, its "
+    f"Viterbi segment count and total improbability bits under the "
+    f"{UNI_TOP_V}-entry substring vocabulary, with words beyond the "
+    f"{UNI_MAXW}-char DP cap surfaced as n_long_words (the honest "
+    "coverage column — a deployment widens the cap or byte-falls-back). "
+    "Same scale shape as the BPE apply: the DP runs once on the "
+    "Zipf-bounded word-TYPE table and is persisted keyed by params + "
+    "corpus fingerprint (the ANN-index discipline), the corpus is never "
+    "re-segmented — one explode, one LEFT hash join against the "
+    "broadcast-sized segment dictionary, one doc-keyed aggregate. "
+    "total_bits doubles as an integer-exact corpus compression/"
+    "perplexity proxy (the Kudo 2018 objective summed over the corpus).",
+)
+def q_unigram_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _persisted_index
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def _build_seg() -> DataFrame:
+        return _unigram_segments(spark, sf_dir).select("word", "nseg", "bits")
+
+    seg = _persisted_index(
+        spark,
+        "uniseg",
+        sf_dir,
+        f"w{UNI_MAXW}s{UNI_SEG_MAX}v{UNI_TOP_V}",
+        _build_seg,
+        table="documents",
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+    ).filter(F.length("word") >= 1)
+    return (
+        toks.join(F.broadcast(seg), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("nseg").cast("bigint").alias("n_words"),
+            (F.count("*") - F.count("nseg")).cast("bigint").alias("n_long_words"),
+            F.coalesce(F.sum("nseg"), F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce(F.sum("bits"), F.lit(0)).cast("bigint").alias("total_bits"),
+        )
+    )

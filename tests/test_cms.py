@@ -185,3 +185,20 @@ def test_dyadic_width_fold_identity(spark):
         direct = cms_sketch(stream, width=w)
         assert folded.exceptAll(direct).count() == 0
         assert direct.exceptAll(folded).count() == 0
+
+
+def test_compaction_fails_fast_on_remote_root(spark):
+    """The sum-lattice manifest commits via os.replace overwrite-atomicity,
+    which has no Hadoop-FS equivalent — a remote state root must refuse
+    compaction UP FRONT (r12 advice closure), never die mid-protocol.
+    Reads/appends stay correct un-compacted (no manifest -> every numeric
+    batch dir live)."""
+    import pytest
+
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _compact_sum_state,
+    )
+
+    for root in ("s3a://bucket/sketch", "hdfs://nn:8020/sketch"):
+        with pytest.raises(NotImplementedError, match="atomic manifest swap"):
+            _compact_sum_state(spark, root, ["row_j", "cell"])

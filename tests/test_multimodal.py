@@ -85,3 +85,28 @@ def test_wav_round_trip_real_decode(spark):
         assert rows[0]["n_samples"] == len(b)
         assert sum(r["n_bytes"] for r in rows) == len(b)
         assert sum(r["byte_sum"] for r in rows) == sum(b)
+
+
+def test_frame_audio_rejects_non_mono_or_wide_samples(spark):
+    """The decode path is strict 8-bit mono PCM: a well-formed WAV with
+    the wrong shape must raise (per-media ValueError naming the asset),
+    not silently mis-frame the byte stream."""
+    import io
+    import wave
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from collect_mobile_devices_datalake_spark.multimodal import frame_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo — unsupported by the 8-bit mono framing
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(b"ab" * 100)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()))], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="expected 8-bit mono PCM"):
+        frame_audio(media).collect()
