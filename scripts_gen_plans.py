@@ -16,6 +16,8 @@ HEADLINE = [
     "source_token_drift", "event_rate_anomalies", "ivm_nation_revenue",
     "priority_sample_topk", "priority_sample_per_source", "doc_zipf_slope",
     "doc_winnowing", "winnowing_overlap_pairs", "nsw_graph_edges",
+    "source_quality_calibration", "media_wav_silence_runs",
+    "unigram_corpus_encoding",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")

@@ -134,6 +134,16 @@ KERNELS = [
     ("temperature_mix_allocation", "documents"),
     ("contrastive_pairs_mined", "embeddings"),
     ("lsh_index_stats", "embeddings"),
+    # round-12 additions: the per-source calibrated quality cut (one
+    # scoring scan + tiny histogram window + broadcast join — output
+    # ~half the docs), VAD run segmentation over decoded WAV frames
+    # (map-only decode + media-keyed islands — cost tracks total PCM
+    # bytes, output ~ state flips), and the unigram tokenizer apply
+    # (persisted type-table DP + broadcast dictionary join — the
+    # bpe_corpus_encoding shape for the second induction algorithm).
+    ("source_quality_calibration", "documents"),
+    ("media_wav_silence_runs", "documents"),
+    ("unigram_corpus_encoding", "documents"),
 ]
 
 
