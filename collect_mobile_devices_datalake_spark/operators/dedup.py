@@ -1259,3 +1259,175 @@ def q_simhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# (bands, rows) splits of the 16-perm signature swept by the banding
+# tuner: same total perms, three operating points on the S-curve
+# (many-narrow-bands = recall-leaning, few-wide-bands = precision-leaning)
+SWEEP_CONFIGS = [(8, 2), (4, 4), (2, 8)]
+SWEEP_TAU_NUM, SWEEP_TAU_DEN = 1, 2  # tau = 1/2 on the minhash estimate
+
+
+def _sweep_oracle() -> str:
+    cfg_ctes, cfg_selects = [], []
+    for b, r in SWEEP_CONFIGS:
+        cfg_ctes.append(f"""cand_{b}_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, unnest(range(0, {b})) AS band_id,
+                   unnest(list_transform(range(0, {b}),
+                     bb -> list_slice(s, bb * {r} + 1, bb * {r} + {r}))) AS band_sig
+            FROM sig) a
+      JOIN (SELECT doc_id, unnest(range(0, {b})) AS band_id,
+                   unnest(list_transform(range(0, {b}),
+                     bb -> list_slice(s, bb * {r} + 1, bb * {r} + {r}))) AS band_sig
+            FROM sig) b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+    )""")
+        cfg_selects.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band, doc_a, doc_b FROM cand_{b}_{r}"
+        )
+    all_cands = "\n      UNION ALL ".join(cfg_selects)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0
+    ),
+    sig AS (SELECT doc_id, {_SIG_SQL} AS s FROM sh),
+    {", ".join(cfg_ctes)},
+    cands AS ({all_cands}),
+    est AS (
+      SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b,
+             CASE WHEN len(list_filter(range(1, {NUM_PERM} + 1),
+                    j -> sa.s[j] = sb.s[j])) * {SWEEP_TAU_DEN}
+                  >= {NUM_PERM} * {SWEEP_TAU_NUM} * {SWEEP_TAU_DEN}
+                  THEN 1 ELSE 0 END AS est_true
+      FROM cands c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pooled_true
+      FROM (SELECT DISTINCT doc_a, doc_b FROM est WHERE est_true = 1)
+    )
+    SELECT bands, rows_per_band,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(est_true) AS BIGINT) AS n_est_true,
+           CAST((1000000 * SUM(est_true)) // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS precision_micro,
+           CAST((1000000 * SUM(est_true)) // GREATEST(n_pooled_true, 1) AS BIGINT)
+             AS pooled_recall_micro
+    FROM est CROSS JOIN pooled
+    GROUP BY bands, rows_per_band, n_pooled_true
+    """
+
+
+@register(
+    "minhash_band_sweep",
+    oracle=_sweep_oracle(),
+    doc="LSH banding-parameter tuner: the SAME 16-perm signature matrix "
+    "banded three ways — (8,2)/(4,4)/(2,8), the recall-leaning, "
+    "production, and precision-leaning points of the 1-(1-s^r)^b "
+    "S-curve — each reporting candidate mass, estimated-true pairs "
+    "(minhash component agreement >= tau=1/2, an integer compare: no "
+    "pow/exp anywhere), precision, and POOLED recall (denominator = "
+    "est-true pairs surfaced by ANY config — the IR pooling trick, "
+    "since the exact pair set is unknowable without the all-pairs scan "
+    "this tuner exists to avoid). The report a deployment reads before "
+    "committing a banding to a 100 TB dedup run. Scale shape: one "
+    "signature build (persisted-checkpoint), three band explodes over "
+    "8-byte bucket keys (the lsh_candidate_pairs idiom, xxhash64 "
+    "bucket join, never the signature array), verification joins move "
+    "16-int signatures only for candidate pairs; ratios via integer "
+    "div for exact cross-engine parity.",
+)
+def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(d)
+
+    def cand(b: int, r: int) -> DataFrame:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(b - 1)),
+                    lambda bb: F.struct(
+                        bb.alias("band_id"),
+                        F.slice(F.col("sig"), bb * r + 1, r).alias("band_sig"),
+                    ),
+                )
+            ).alias("band"),
+        ).select(
+            "doc_id",
+            F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
+        )
+        a, bb_ = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                bb_,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    cands = cand(*SWEEP_CONFIGS[0])
+    for cfg in SWEEP_CONFIGS[1:]:
+        cands = cands.unionByName(cand(*cfg))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "bands",
+            "rows_per_band",
+            "doc_a",
+            "doc_b",
+            F.when(
+                matches * SWEEP_TAU_DEN
+                >= NUM_PERM * SWEEP_TAU_NUM * SWEEP_TAU_DEN,
+                1,
+            )
+            .otherwise(0)
+            .alias("est_true"),
+        )
+        # three configs' reports AND the pooled denominator read this
+        # frame — one materialization (the split_contamination rule)
+        .localCheckpoint(eager=True)
+    )
+    pooled = (
+        est.filter(F.col("est_true") == 1)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_pooled_true"))
+    )
+    return (
+        est.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum("est_true").cast("long").alias("n_est_true"),
+        )
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            "n_est_true",
+            F.expr(
+                "(1000000 * n_est_true) div GREATEST(n_candidates, 1)"
+            ).alias("precision_micro"),
+            F.expr(
+                "(1000000 * n_est_true) div GREATEST(n_pooled_true, 1)"
+            ).alias("pooled_recall_micro"),
+        )
+    )
