@@ -144,6 +144,10 @@ KERNELS = [
     ("source_quality_calibration", "documents"),
     ("media_wav_silence_runs", "documents"),
     ("unigram_corpus_encoding", "documents"),
+    # the banding tuner triples the LSH explode (8+4+2 bands of the same
+    # signatures) — its slope must stay near dedup_minhash_lsh_pairs'
+    # bucket-bounded shape, since candidate mass is the quadratic risk
+    ("minhash_band_sweep", "documents"),
 ]
 
 
