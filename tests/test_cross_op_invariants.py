@@ -421,3 +421,34 @@ def test_golden_record_survivorship_plan_has_no_window(spark):
     plan = formatted_plan(_q(spark, "golden_record_survivorship"))
     assert "Window" not in plan
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_unigram_corpus_encoding_conserves_type_table_segments(spark):
+    """Conservation law tying the apply op to the learn op: the corpus
+    total of per-doc segment counts must equal sum(freq * nseg) over the
+    word-TYPE segmentation (capped words only, both sides) — or the
+    broadcast dictionary join is dropping/duplicating occurrences."""
+    seg = _q(spark, "unigram_lm_segmentation").select("word", "freq", "n_segments")
+    want = seg.agg(
+        F.sum(F.col("freq") * F.col("n_segments")).cast("long")
+    ).collect()[0][0]
+    enc = _q(spark, "unigram_corpus_encoding")
+    got = enc.agg(F.sum("n_segments").cast("long")).collect()[0][0]
+    assert got == want
+    # and the word accounting closes: capped words counted per doc must
+    # sum to the type table's total frequency
+    n_words = enc.agg(F.sum("n_words").cast("long")).collect()[0][0]
+    total_freq = seg.agg(F.sum("freq").cast("long")).collect()[0][0]
+    assert n_words == total_freq
+
+
+def test_band_sweep_production_config_matches_lsh_pairs(spark):
+    """The tuner's (4,4) row is the production banding — its candidate
+    count must equal dedup_minhash_lsh_pairs exactly (same signatures,
+    same banding, same bucket join)."""
+    n_pairs = _q(spark, "dedup_minhash_lsh_pairs").count()
+    row = {
+        (r["bands"], r["rows_per_band"]): r["n_candidates"]
+        for r in _q(spark, "minhash_band_sweep").collect()
+    }
+    assert row[(4, 4)] == n_pairs
