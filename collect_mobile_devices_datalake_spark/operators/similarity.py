@@ -2246,3 +2246,154 @@ def q_pq_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# nprobe operating points swept by the IVF probe tuner — 1 (fastest),
+# 3 (the knn_ivfpq_probe default), 5 (the knn_ivf_probe default)
+IVF_SWEEP_NPROBES = [1, 3, 5]
+
+
+def _ivf_sweep_oracle() -> str:
+    """Composes the exact brute-force oracle (the recall denominator)
+    with a prk-annotated IVF candidate set expanded over the swept
+    nprobe configs — a candidate from the query's rank-p cell belongs
+    to every config with nprobe >= p, so the corpus join appears once.
+    Outer CTE names are i-prefixed: the embedded exact oracle carries
+    its own WITH (q/parts/scored), which DuckDB scopes to its subquery."""
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["knn_bruteforce"].oracle
+    max_p = max(IVF_SWEEP_NPROBES)
+    cfg_list = ", ".join(str(n) for n in IVF_SWEEP_NPROBES)
+    return f"""
+    WITH exact_all AS (SELECT query_id, neighbor_id FROM ({exact})),
+    icent AS ({_CENTROID_AGG_SQL.format(src="(SELECT label AS cell, embedding FROM embeddings)")}),
+    iq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    iqc AS (
+      SELECT iq.query_id, iq.qv, c.cell, {_cos_sql_pair('iq.qv', 'c.centroid')} AS ccos
+      FROM iq CROSS JOIN icent c
+    ),
+    ipr AS (
+      SELECT query_id, qv, cell,
+             row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cell) AS prk
+      FROM iqc
+    ),
+    icands AS (
+      SELECT p.query_id, p.prk, e.vec_id AS neighbor_id,
+             {_cos_sql_pair('p.qv', 'e.embedding')} AS cos
+      FROM ipr p JOIN embeddings e ON e.label = p.cell AND e.vec_id <> p.query_id
+      WHERE p.prk <= {max_p}
+    ),
+    cfg AS (SELECT unnest([{cfg_list}]) AS nprobe),
+    cc AS (
+      SELECT c.nprobe, d.query_id, d.neighbor_id, d.cos
+      FROM cfg c JOIN icands d ON d.prk <= c.nprobe
+    ),
+    itop AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rk
+        FROM cc
+      ) WHERE rk <= 10
+    ),
+    ihits AS (
+      SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM itop t JOIN exact_all e
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+      GROUP BY t.nprobe
+    ),
+    incand AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cc GROUP BY nprobe
+    ),
+    itot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact_all)
+    SELECT n.nprobe AS nprobe, n.n_candidates,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((1000000 * COALESCE(h.n_hits, 0)) // GREATEST(t.n_exact, 1) AS BIGINT)
+             AS recall_micro
+    FROM incand n LEFT JOIN ihits h ON h.nprobe = n.nprobe CROSS JOIN itot t
+    """
+
+
+@register(
+    "ivf_probe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    doc="IVF probe-count tuner — the ANN twin of minhash_band_sweep, "
+    f"completing the tuner pair: the SAME coarse quantizer probed at "
+    f"nprobe in {{{', '.join(str(n) for n in IVF_SWEEP_NPROBES)}}}, each "
+    "config reporting candidate mass (the cost axis) and recall@10 "
+    "against the exact brute-force baseline (the quality axis) — the "
+    "cost/recall curve a deployment reads before fixing nprobe for a "
+    "100 TB probe fleet. Shuffle discipline: the centroid table and "
+    "query set broadcast, the corpus join runs ONCE at the widest "
+    "config (a candidate from the query's rank-p cell belongs to every "
+    "config with nprobe >= p — prk annotation, then config expansion "
+    "over the small candidate set), and the recall join moves int "
+    "pairs. recall_micro via integer div for exact parity.",
+)
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    cent = _mean_centroids(emb.select(F.col("label").alias("cell"), "embedding"))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "query_vec",
+            "cell",
+            cosine_similarity("query_vec", "centroid").alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), "cell")
+    probes = qc.withColumn("prk", F.row_number().over(wq)).filter(
+        F.col("prk") <= max(IVF_SWEEP_NPROBES)
+    )
+    cands = (
+        probes.join(emb, probes.cell == emb.label)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "prk",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("query_vec", "embedding").alias("cos"),
+        )
+        # the config expansion, top-10 window, and candidate-mass count
+        # all read this frame — one materialization
+        .localCheckpoint(eager=True)
+    )
+    cc = cands.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(n) for n in IVF_SWEEP_NPROBES])
+        ).alias("nprobe"),
+    ).filter(F.col("prk") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    top = (
+        cc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    hits = top.join(exact, ["query_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    ncand = cc.groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    return (
+        ncand.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_candidates",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "(1000000 * COALESCE(n_hits, 0)) div GREATEST(n_exact, 1)"
+            ).alias("recall_micro"),
+        )
+    )

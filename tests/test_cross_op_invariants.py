@@ -452,3 +452,23 @@ def test_band_sweep_production_config_matches_lsh_pairs(spark):
         for r in _q(spark, "minhash_band_sweep").collect()
     }
     assert row[(4, 4)] == n_pairs
+
+
+def test_ivf_sweep_widest_config_matches_ivf_probe(spark):
+    """The sweep's nprobe=5 point IS knn_ivf_probe's operating point —
+    its hit count must equal the probe op's top-10 intersection with the
+    exact baseline, or the prk-annotated single-join expansion is not
+    faithful to the per-config probe."""
+    probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "knn_ivf_probe").collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "knn_bruteforce").collect()
+    }
+    want = len(probe & exact)
+    sweep = {r["nprobe"]: r["n_hits"] for r in _q(spark, "ivf_probe_sweep").collect()}
+    assert sweep[5] == want
+    # recall is monotone in nprobe (candidate sets are nested)
+    assert sweep[1] <= sweep[3] <= sweep[5]
