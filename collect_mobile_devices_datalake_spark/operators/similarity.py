@@ -2323,7 +2323,11 @@ def _ivf_sweep_oracle() -> str:
     "config reporting candidate mass (the cost axis) and recall@10 "
     "against the exact brute-force baseline (the quality axis) — the "
     "cost/recall curve a deployment reads before fixing nprobe for a "
-    "100 TB probe fleet. Shuffle discipline: the centroid table and "
+    "100 TB probe fleet. Like every recall diagnostic here "
+    "(ann_recall_report, ann_methods_recall), this runs on a SAMPLE: "
+    "the exact scoring leg is query-set x corpus — quadratic by spec "
+    "when the query set scales with the corpus — so the tuner is a "
+    "pre-deployment measurement, never the production probe path. Shuffle discipline: the centroid table and "
     "query set broadcast, the corpus join runs ONCE at the widest "
     "config (a candidate from the query's rank-p cell belongs to every "
     "config with nprobe >= p — prk annotation, then config expansion "

@@ -148,6 +148,11 @@ KERNELS = [
     # signatures) — its slope must stay near dedup_minhash_lsh_pairs'
     # bucket-bounded shape, since candidate mass is the quadratic risk
     ("minhash_band_sweep", "documents"),
+    # ivf_probe_sweep is deliberately absent (the hybrid_search_rrf
+    # rule): its recall scoring needs the exact brute-force leg, which
+    # is query-set x corpus with a query set that GROWS with the corpus
+    # — quadratic by spec (measured 1.37 at the 10x leg before removal).
+    # Tuners run on samples; the op doc says so.
 ]
 
 
