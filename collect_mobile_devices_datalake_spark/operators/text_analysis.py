@@ -948,3 +948,110 @@ def q_source_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "score", "pct_micro")
     )
+
+
+@register(
+    "doc_langid_margin",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_actual,
+             {_sw_hits_sql('en')} AS en_h, {_sw_hits_sql('es')} AS es_h,
+             {_sw_hits_sql('de')} AS de_h, {_sw_hits_sql('fr')} AS fr_h,
+             {_sw_hits_sql('zh')} AS zh_h
+      FROM documents
+    ),
+    pred AS (
+      SELECT *,
+             CASE WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h AND en_h >= zh_h THEN 'en'
+                  WHEN es_h >= de_h AND es_h >= fr_h AND es_h >= zh_h THEN 'es'
+                  WHEN de_h >= fr_h AND de_h >= zh_h THEN 'de'
+                  WHEN fr_h >= zh_h THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+      FROM hits
+    )
+    SELECT doc_id, lang_actual, lang_pred,
+           CAST(GREATEST(en_h, es_h, de_h, fr_h, zh_h) AS BIGINT) AS best_hits,
+           CAST(CASE lang_pred
+                WHEN 'en' THEN GREATEST(es_h, de_h, fr_h, zh_h)
+                WHEN 'es' THEN GREATEST(en_h, de_h, fr_h, zh_h)
+                WHEN 'de' THEN GREATEST(en_h, es_h, fr_h, zh_h)
+                WHEN 'fr' THEN GREATEST(en_h, es_h, de_h, zh_h)
+                ELSE GREATEST(en_h, es_h, de_h, fr_h) END AS BIGINT) AS second_hits,
+           CAST(GREATEST(en_h, es_h, de_h, fr_h, zh_h)
+              - CASE lang_pred
+                WHEN 'en' THEN GREATEST(es_h, de_h, fr_h, zh_h)
+                WHEN 'es' THEN GREATEST(en_h, de_h, fr_h, zh_h)
+                WHEN 'de' THEN GREATEST(en_h, es_h, fr_h, zh_h)
+                WHEN 'fr' THEN GREATEST(en_h, es_h, de_h, zh_h)
+                ELSE GREATEST(en_h, es_h, de_h, fr_h) END AS BIGINT) AS margin,
+           CAST(CASE WHEN GREATEST(en_h, es_h, de_h, fr_h, zh_h) = 0
+                       OR GREATEST(en_h, es_h, de_h, fr_h, zh_h)
+                        = CASE lang_pred
+                          WHEN 'en' THEN GREATEST(es_h, de_h, fr_h, zh_h)
+                          WHEN 'es' THEN GREATEST(en_h, de_h, fr_h, zh_h)
+                          WHEN 'de' THEN GREATEST(en_h, es_h, fr_h, zh_h)
+                          WHEN 'fr' THEN GREATEST(en_h, es_h, de_h, zh_h)
+                          ELSE GREATEST(en_h, es_h, de_h, fr_h) END
+                     THEN 1 ELSE 0 END AS INTEGER) AS ambiguous
+    FROM pred
+    """,
+    doc="Language-ID confidence report — the code-switching/ambiguity "
+    "audit on top of doc_langid: per doc the winning language's "
+    "stopword evidence, the runner-up's, their margin, and an "
+    "ambiguous flag (zero evidence or a tie) — the rule multilingual "
+    "cleaning uses to route low-confidence docs to a heavier model or "
+    "drop them (a near-zero margin with non-zero hits in two profiles "
+    "is the code-switching signature). All integer hit counts and CASE "
+    "arithmetic, identical in both engines — exact parity by "
+    "construction. Map-only: one scan, zero shuffles.",
+)
+def q_doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = tokens(F.col("text"))
+
+    def _hits(lang: str):
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(words))).cast("long")
+
+    langs = ["en", "es", "de", "fr", "zh"]
+    h = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[_hits(lg).alias(f"{lg}_h") for lg in langs],
+    )
+    en, es, de, fr, zh = (F.col(f"{lg}_h") for lg in langs)
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en >= zh), "en")
+        .when((es >= de) & (es >= fr) & (es >= zh), "es")
+        .when((de >= fr) & (de >= zh), "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    )
+    best = F.greatest(en, es, de, fr, zh)
+    others = {
+        "en": F.greatest(es, de, fr, zh),
+        "es": F.greatest(en, de, fr, zh),
+        "de": F.greatest(en, es, fr, zh),
+        "fr": F.greatest(en, es, de, zh),
+        "zh": F.greatest(en, es, de, fr),
+    }
+    p = h.withColumn("lang_pred", pred)
+    second = (
+        F.when(F.col("lang_pred") == "en", others["en"])
+        .when(F.col("lang_pred") == "es", others["es"])
+        .when(F.col("lang_pred") == "de", others["de"])
+        .when(F.col("lang_pred") == "fr", others["fr"])
+        .otherwise(others["zh"])
+    )
+    return p.select(
+        "doc_id",
+        "lang_actual",
+        "lang_pred",
+        best.alias("best_hits"),
+        second.alias("second_hits"),
+        (best - second).alias("margin"),
+        F.when((best == 0) | (best == second), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("ambiguous"),
+    )
