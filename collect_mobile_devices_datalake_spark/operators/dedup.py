@@ -1300,7 +1300,7 @@ def _sweep_oracle() -> str:
       SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b,
              CASE WHEN len(list_filter(range(1, {NUM_PERM} + 1),
                     j -> sa.s[j] = sb.s[j])) * {SWEEP_TAU_DEN}
-                  >= {NUM_PERM} * {SWEEP_TAU_NUM} * {SWEEP_TAU_DEN}
+                  >= {NUM_PERM} * {SWEEP_TAU_NUM}
                   THEN 1 ELSE 0 END AS est_true
       FROM cands c
       JOIN sig sa ON sa.doc_id = c.doc_a
@@ -1394,8 +1394,7 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.when(
-                matches * SWEEP_TAU_DEN
-                >= NUM_PERM * SWEEP_TAU_NUM * SWEEP_TAU_DEN,
+                matches * SWEEP_TAU_DEN >= NUM_PERM * SWEEP_TAU_NUM,
                 1,
             )
             .otherwise(0)

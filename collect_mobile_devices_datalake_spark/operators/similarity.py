@@ -370,11 +370,14 @@ def sweep_stale_ann_indexes(
             continue
         m = re.match(r"ann_index_pid(\d+)_", os.path.basename(path))
         if m:
-            # a live owning pid always wins — even past the hard TTL the
-            # session's _INDEX_CACHE may still point here (pid reuse makes
-            # this conservative, never unsafe: worst case a dir lingers
-            # until the recycled pid exits)
-            if _pid_alive(int(m.group(1))):
+            # a live owning pid wins UP TO an absolute cap (4x the hard
+            # TTL): the session's _INDEX_CACHE may still point here, and
+            # pid reuse by an unrelated long-lived process must not pin an
+            # orphan forever — past the cap the dir goes regardless, and a
+            # genuinely live owner rebuilds via the isdir() recheck in
+            # _persisted_index (ADVICE r12: the exemption alone made disk
+            # use unbounded for long sessions)
+            if _pid_alive(int(m.group(1))) and age < 4 * hard_ttl_sec:
                 continue
             if age < min(min_age_sec, hard_ttl_sec):
                 continue

@@ -110,3 +110,27 @@ def test_frame_audio_rejects_non_mono_or_wide_samples(spark):
     )
     with pytest.raises(Exception, match="expected 8-bit mono PCM"):
         frame_audio(media).collect()
+
+
+def test_documents_text_is_ascii_at_all_scale_factors():
+    """Fixture invariant the multimodal oracles depend on (ADVICE r12):
+    the DuckDB oracles for media_audio_frames / media_wav_silence_runs /
+    media_features / media_decode_stats derive BYTE counts and byte sums
+    from character-level SQL (length(text), ascii(substring(...))), while
+    the Spark side decodes text.encode('utf-8'). Those agree iff the
+    corpus is pure ASCII — pin that here, at every generated scale
+    factor, so a future fixture regeneration can't silently break parity.
+    """
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n_bad = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            "WHERE octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents.text rows"

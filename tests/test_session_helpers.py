@@ -100,3 +100,14 @@ def test_ann_index_sweep_liveness_rules(tmp_path, monkeypatch):
     assert not dead_old.exists()  # dead pid + aged
     assert dead_young.exists()    # dead pid but young (recycling guard)
     assert not unmarked_old.exists()  # legacy, age bar only
+
+    # ADVICE r12: the live-pid exemption is capped at 4x the hard TTL —
+    # a pid recycled by an unrelated long-lived process must not pin an
+    # orphaned index dir forever
+    ancient = time.time() - 10 * 86400
+    live_ancient = tmp_path / f"ann_index_pid{os.getpid()}_z"
+    live_ancient.mkdir()
+    os.utime(live_ancient, (ancient, ancient))
+    S.sweep_stale_ann_indexes(min_age_sec=3600, hard_ttl_sec=2 * 86400)
+    assert live.exists()              # alive + under the cap: stays
+    assert not live_ancient.exists()  # alive but past 4x hard TTL: goes

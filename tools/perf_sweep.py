@@ -22,7 +22,9 @@ from collect_mobile_devices_datalake_spark import registry  # noqa: E402
 from collect_mobile_devices_datalake_spark.session import get_spark  # noqa: E402
 
 
-def check_calibration_drift(repo_root: str = ".", max_ratio: float = 1.2) -> list[str]:
+def check_calibration_drift(
+    repo_root: str | None = None, max_ratio: float = 1.2
+) -> list[str]:
     """Flag BENCH_r*.json rounds whose calibration row drifted >max_ratio
     from the recorded-round median — those rounds measured the machine as
     much as the code, and their per-query ratios need a clean-box re-read
@@ -32,6 +34,11 @@ def check_calibration_drift(repo_root: str = ".", max_ratio: float = 1.2) -> lis
     import os
     import statistics
 
+    if repo_root is None:
+        # resolve relative to this file, not the caller's cwd — running
+        # the sweep from elsewhere used to silently find zero BENCH files
+        # and report no drift (ADVICE r12)
+        repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     cals: dict[str, float] = {}
     for p in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
         try:
@@ -42,7 +49,9 @@ def check_calibration_drift(repo_root: str = ".", max_ratio: float = 1.2) -> lis
         c = d.get("calibration_sec")
         if isinstance(c, (int, float)) and c > 0:
             cals[os.path.basename(p)] = float(c)
-    if len(cals) < 2:
+    # with only 2 calibrated rounds median == mean and either round
+    # drifting flags the other symmetrically — require 3+ (ADVICE r12)
+    if len(cals) < 3:
         return []
     med = statistics.median(cals.values())
     return [
