@@ -5,14 +5,17 @@ struct alongside — the lakehouse pattern for images/audio/video at
 100 TB (payload stays columnar+compressed; metadata predicates prune
 without touching bytes).
 
-The container has no image codecs, so the IMAGE decode step is stubbed
-(deterministic fake, clearly marked); everything Spark-side — schema,
-partitioning, Arrow batch shape, UDF signatures — is real and tested.
-A production deployment swaps ``_decode_stub`` for PIL/cv2 behind the
-same ``mapInPandas`` signature. The AUDIO leg is a REAL decode since
-r12: payloads are genuine RIFF/WAVE containers and ``frame_audio``
-parses them with stdlib ``wave`` (header + PCM frames) — one modality
-decoded for real, zero extra dependencies.
+Both modalities are REAL decodes with zero extra dependencies:
+
+- AUDIO (r12): payloads are genuine RIFF/WAVE containers and
+  ``frame_audio`` parses them with stdlib ``wave`` (header + PCM frames).
+- IMAGE (r13): payloads are genuine 8-bit uncompressed BMP files
+  (BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry grayscale palette +
+  bottom-up 4-byte-padded pixel rows, built and parsed with stdlib
+  ``struct``) and ``decode_images`` / ``resize_images`` read width,
+  height, and every pixel FROM the container parse — no stub left. A
+  production deployment swaps the parser for PIL/cv2 behind the same
+  ``mapInPandas`` signature to gain compressed codecs.
 """
 
 from __future__ import annotations
@@ -83,23 +86,125 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
-# --- decode / resize / frame-sample: STUBBED codecs, real dataflow ----------
+# --- decode / resize: REAL stdlib BMP codec (r13 — the WAV playbook) --------
+
+_BMP_HEADER_SIZE = 14  # BITMAPFILEHEADER
+_BMP_INFO_SIZE = 40  # BITMAPINFOHEADER
+_BMP_PALETTE = b"".join(bytes((i, i, i, 0)) for i in range(256))  # gray BGRX
+_BMP_DATA_OFFSET = _BMP_HEADER_SIZE + _BMP_INFO_SIZE + len(_BMP_PALETTE)
 
 
-def _decode_stub(payload: bytes, width: int, height: int) -> list[int]:
-    """STUB: a real build decodes via PIL/ffmpeg here. The deterministic
-    fake repeats payload bytes to width*height so downstream shape logic
-    (resize, pixel stats) is exercised for real."""
-    n = width * height
-    reps = (n // max(len(payload), 1)) + 1
-    return list((payload * reps)[:n])
+def _bmp_bytes(pixels: bytes, width: int, height: int) -> bytes:
+    """A genuine 8-bit uncompressed BMP (stdlib ``struct``): grayscale
+    palette, one payload byte per pixel, rows stored BOTTOM-UP and padded
+    to 4-byte multiples — the real on-disk format any image viewer opens,
+    not a stand-in. The image twin of ``_wav_bytes``."""
+    import struct
+
+    if len(pixels) != width * height or width <= 0 or height <= 0:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != width*height {width}*{height}"
+        )
+    row_size = (width + 3) & ~3
+    pad = b"\x00" * (row_size - width)
+    data = b"".join(
+        pixels[y * width : (y + 1) * width] + pad
+        for y in range(height - 1, -1, -1)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        _BMP_INFO_SIZE, width, height, 1, 8, 0, len(data), 2835, 2835, 256, 0,
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_DATA_OFFSET + len(data), 0, 0, _BMP_DATA_OFFSET
+    )
+    return header + info + _BMP_PALETTE + data
+
+
+def _parse_bmp(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
+    """Strict BMP parse (the decode seam): validates the magic, header
+    shape, and pixel format, then reconstructs the TOP-DOWN pixel array by
+    reversing the bottom-up rows and stripping the 4-byte row padding.
+    Returns (width, height, pixels). Raises a per-media ValueError on any
+    malformed or unsupported container — same strictness as
+    ``frame_audio``'s 8-bit-mono gate."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError(f"media_id {media_id}: not a BMP (missing BM magic)")
+    (_file_size, _r1, _r2, offset) = struct.unpack_from("<IHHI", payload, 2)
+    (hsz, width, height, planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, _BMP_HEADER_SIZE
+    )
+    if hsz != _BMP_INFO_SIZE or planes != 1 or bpp != 8 or comp != 0:
+        raise ValueError(
+            f"media_id {media_id}: expected 8-bit uncompressed BMP, got "
+            f"header={hsz} planes={planes} bpp={bpp} compression={comp}"
+        )
+    top_down = height < 0
+    h = abs(height)
+    row_size = (width + 3) & ~3
+    if len(payload) < offset + row_size * h:
+        raise ValueError(
+            f"media_id {media_id}: truncated BMP pixel data "
+            f"({len(payload)} bytes < {offset + row_size * h})"
+        )
+    px = bytearray(width * h)
+    for y in range(h):
+        src = y if top_down else (h - 1 - y)
+        start = offset + src * row_size
+        px[y * width : (y + 1) * width] = payload[start : start + width]
+    return width, h, bytes(px)
+
+
+def bmp_media_table(documents: DataFrame) -> DataFrame:
+    """The image half of ``media_table`` with a REAL BMP payload: each
+    image doc's utf-8 text bytes, tiled to width*height pixels, become a
+    genuine 8-bit grayscale BMP built executor-side (Arrow-batched pandas
+    UDF, stdlib ``struct``). The image twin of ``wav_media_table`` — the
+    decode leg then exercises an actual container parse (header fields +
+    padded bottom-up rows), not byte slicing."""
+
+    @pandas_udf("binary")
+    def bmp_encode(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        def enc(t: str | None, w: int, h: int) -> bytes:
+            b = (t or "").encode("utf-8")
+            if not b:
+                raise ValueError("empty payload: cannot tile zero bytes to pixels")
+            n = w * h
+            return _bmp_bytes((b * (n // len(b) + 1))[:n], w, h)
+
+        return pd.Series(
+            [enc(t, int(w), int(h)) for t, w, h in zip(text, width, height)]
+        )
+
+    img = documents.filter(F.col("doc_id") % 2 == 0)
+    w = ((F.col("doc_id") % 8 + 1) * 64).cast("int")
+    h = ((F.col("doc_id") % 4 + 1) * 64).cast("int")
+    return img.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        bmp_encode("text", w, h).alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """mapInPandas decode: image rows → per-asset pixel stats.
+    """mapInPandas decode: image rows with REAL BMP payloads → per-asset
+    pixel stats.
 
-    Batch shape: one Arrow batch in, one out; payload column never leaves
-    the executor.
+    r13: a genuine decode — ``_parse_bmp`` reads width/height from the
+    BITMAPINFOHEADER and reassembles the pixel array from the padded
+    bottom-up rows; the emitted ``width``/``height``/``n_pixels``/
+    ``pixel_sum`` all come FROM the parse, so the value-level oracle
+    (which derives them from doc_id + fixture text) certifies the full
+    encode→BMP→decode round trip. Batch shape: one Arrow batch in, one
+    out; payload bytes never leave the executor.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -107,9 +212,7 @@ def decode_images(media: DataFrame) -> DataFrame:
             img = pdf[pdf["kind"] == "image"]
             rows = []
             for _, r in img.iterrows():
-                w = int(r["meta"]["width"]) if r["meta"]["width"] is not None else 0
-                h = int(r["meta"]["height"]) if r["meta"]["height"] is not None else 0
-                px = _decode_stub(bytes(r["payload"]), w, h)
+                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -197,8 +300,8 @@ def frame_audio(media: DataFrame) -> DataFrame:
     stream, which is then cut into 160-sample (10 ms) frames. The emitted
     ``sample_rate``/``n_samples`` columns come FROM the parsed header, so
     the value-level oracle (which derives them from the fixture text)
-    certifies the full encode→RIFF→decode round trip. Image codecs remain
-    the only stubbed modality (no PIL/cv2 in the container). Like
+    certifies the full encode→RIFF→decode round trip. Since r13 the image
+    leg is a real decode too (stdlib BMP — see ``_parse_bmp``). Like
     decode_images, the UDF emits INTEGER stats only; per-frame RMS is a
     SQL division + sqrt outside the UDF (IEEE-correctly-rounded → bit-
     identical cross-engine). Map-only: payload bytes never shuffle.
@@ -266,15 +369,18 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(media: DataFrame) -> DataFrame:
-    """mapInPandas resize: image rows → target dimensions + a strided
-    byte-resample checksum.
+    """mapInPandas resize: image rows with REAL BMP payloads → target
+    dimensions + a strided pixel-resample checksum.
 
-    STUB codec, REAL dataflow: a real build calls PIL/cv2 here; the
-    deterministic fake computes the aspect-preserving output box with
-    integer math (floor division — mirrored exactly in the SQL twin) and
-    "resamples" by summing every stride-th payload byte, so the Arrow
-    batch transfer, per-asset loop, and integer plumbing are exercised
-    end to end. Map-only: payload bytes never shuffle.
+    r13: a genuine decode — width/height come from the parsed
+    BITMAPINFOHEADER and the resample strides over the DECODED pixel
+    array (padding stripped, rows re-ordered top-down), not the raw
+    container bytes. The aspect-preserving output box is integer floor
+    math mirrored exactly in the SQL twin, so the parse, the per-asset
+    loop, and the integer plumbing are all value-gated. A production
+    build swaps the strided nearest-neighbor stand-in for a real
+    interpolation kernel behind the same signature. Map-only: payload
+    bytes never shuffle.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -282,14 +388,12 @@ def resize_images(media: DataFrame) -> DataFrame:
             img = pdf[pdf["kind"] == "image"]
             rows = []
             for _, r in img.iterrows():
-                w = int(r["meta"]["width"]) if r["meta"]["width"] is not None else 0
-                h = int(r["meta"]["height"]) if r["meta"]["height"] is not None else 0
+                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
                 long_edge = max(w, h, 1)
                 out_w = max(1, (w * RESIZE_TARGET) // long_edge)
                 out_h = max(1, (h * RESIZE_TARGET) // long_edge)
-                payload = bytes(r["payload"])
-                stride = max(1, len(payload) // (out_w * out_h))
-                sample_sum = sum(payload[::stride]) if payload else 0
+                stride = max(1, len(px) // (out_w * out_h))
+                sample_sum = sum(px[::stride]) if px else 0
                 rows.append(
                     {
                         "media_id": r["media_id"],

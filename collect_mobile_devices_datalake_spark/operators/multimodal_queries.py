@@ -58,11 +58,14 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_decode_stats",
-    # The decode stub repeats the payload bytes to width*height then truncates,
-    # so pixel_sum = (n // len) * full_byte_sum + prefix_byte_sum(n % len) —
-    # recomputable in SQL because the payload is the utf-8 text. The mean is a
-    # plain double division in BOTH engines (IEEE-correctly-rounded, so
-    # bit-identical); the UDF itself only emits integer stats.
+    # r13: REAL decode. The fixture BMP tiles the utf-8 text bytes to
+    # width*height pixels, so pixel_sum = (n // len) * full_byte_sum +
+    # prefix_byte_sum(n % len) — recomputable in SQL from the text, while
+    # the Spark side reads width/height/pixels from the parsed
+    # BITMAPINFOHEADER + padded bottom-up rows. Parity therefore certifies
+    # the encode->BMP->decode round trip. The mean is a plain double
+    # division in BOTH engines (IEEE-correctly-rounded, so bit-identical);
+    # the UDF itself only emits integer stats.
     oracle="""
     WITH img AS (
       SELECT doc_id AS media_id, 'image' AS kind,
@@ -91,13 +94,20 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS mean_byte
     FROM sums
     """,
-    doc="mapInPandas image decode (stubbed codec, real Arrow dataflow) → pixel "
-    "stats. Value-level oracle: the stub is deterministic, so DuckDB "
-    "recomputes the repeated-byte pixel sum from the text payload.",
+    doc="REAL image decode (r13): genuine 8-bit grayscale BMP payloads "
+    "built from the fixture docs (stdlib struct; palette + padded "
+    "bottom-up rows) are parsed back executor-side inside mapInPandas — "
+    "width/height come from the BITMAPINFOHEADER and pixel stats from "
+    "the reassembled pixel array, and the oracle recomputes them from "
+    "doc_id + the fixture text, certifying the full encode->BMP->decode "
+    "round trip (the WAV playbook applied to images; zero stubbed "
+    "modalities left).",
 )
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import bmp_media_table
+
     d = load_table(spark, "documents", sf_dir)
-    return decode_images(media_table(d))
+    return decode_images(bmp_media_table(d))
 
 
 @register(
@@ -149,8 +159,8 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "side by wave.open inside mapInPandas — header fields and PCM frames "
     "both come from the parse, and the oracle recomputes them from the "
     "fixture text, certifying the full encode->RIFF->decode round trip. "
-    "160-sample (10 ms) frames -> integer stats + SQL-side RMS. Images "
-    "remain the only stubbed modality (no PIL/cv2 in the container).",
+    "160-sample (10 ms) frames -> integer stats + SQL-side RMS. Since "
+    "r13 the image leg is a real decode too (stdlib BMP).",
 )
 def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal import frame_audio, wav_media_table
@@ -161,49 +171,55 @@ def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_resize_stats",
+    # r13: the resample now strides over the DECODED pixel array (text
+    # bytes tiled to width*height inside a real BMP, parsed back), so the
+    # oracle reconstructs pixel i as text byte (i % len) and strides the
+    # n = width*height sequence — ceil(n/stride) <= out_w*out_h <= 4096
+    # sampled terms per row, cheap in both engines.
     oracle="""
     WITH img AS (
       SELECT doc_id AS media_id,
              CAST((doc_id % 8 + 1) * 64 AS INTEGER) AS width,
              CAST((doc_id % 4 + 1) * 64 AS INTEGER) AS height,
-             text
+             text, length(text) AS len
       FROM documents WHERE doc_id % 2 = 0
     ),
     dims AS (
-      SELECT media_id, width, height,
+      SELECT media_id, width, height, len, text,
+             width * height AS n,
              greatest(1, (width * 64) // greatest(width, height)) AS out_w,
-             greatest(1, (height * 64) // greatest(width, height)) AS out_h,
-             text
+             greatest(1, (height * 64) // greatest(width, height)) AS out_h
       FROM img
     ),
     strided AS (
-      SELECT media_id, width, height,
+      SELECT media_id, width, height, n, len, text,
              CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h,
-             CAST(greatest(1, length(text) // (out_w * out_h)) AS INTEGER) AS stride,
-             text
+             CAST(greatest(1, n // (out_w * out_h)) AS INTEGER) AS stride
       FROM dims
     )
     SELECT media_id, width, height, out_w, out_h, stride,
-           CASE WHEN length(text) = 0 THEN 0
-                ELSE list_reduce(list_transform(range(1, length(text) + 1, stride),
-                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), (a, b) -> a + b)
+           CASE WHEN len = 0 THEN 0
+                ELSE list_reduce(list_transform(range(0, n, stride),
+                     i -> CAST(ascii(substring(text, (i % len) + 1, 1)) AS BIGINT)),
+                     (a, b) -> a + b)
            END AS sample_sum
     FROM strided
     """,
-    doc="Image resize plan (stub codec, real Arrow dataflow): "
-    "aspect-preserving fit of each image into a 64-px box via integer "
-    "floor math, plus a strided byte-resample checksum computed in the "
-    "mapInPandas kernel — the oracle recomputes both from metadata and "
-    "payload text, so the UDF's batch transfer and per-asset arithmetic "
-    "are value-gated. Map-only: zero shuffles, payload never leaves the "
-    "executor. Completes the decode / feature-extract / resize / "
-    "frame-sample multimodal set.",
+    doc="Image resize over REALLY-decoded BMP pixels (r13): width/height "
+    "come from the parsed BITMAPINFOHEADER, the aspect-preserving 64-px "
+    "output box is integer floor math, and the strided nearest-neighbor "
+    "resample checksum runs over the reassembled pixel array (padding "
+    "stripped, rows re-ordered) — the oracle recomputes all of it from "
+    "doc_id + fixture text, value-gating the container parse and the "
+    "per-asset arithmetic. Map-only: zero shuffles, payload never leaves "
+    "the executor. Completes the decode / feature-extract / resize / "
+    "frame-sample multimodal set with both modalities really decoded.",
 )
 def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..multimodal import resize_images
+    from ..multimodal import bmp_media_table, resize_images
 
     d = load_table(spark, "documents", sf_dir)
-    return resize_images(media_table(d))
+    return resize_images(bmp_media_table(d))
 
 
 @register(
