@@ -1430,3 +1430,110 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pooled_recall_micro"),
         )
     )
+
+
+# --- paragraph-level dedup (Dolma/CCNet granularity) -------------------------
+
+PAR_WORDS = 8  # words per paragraph segment (no newlines in the fixture
+# corpus — same documented stand-in as boilerplate_removal's 3-word
+# segments: swap the segmenter expression for split-on-'\n\n' on real text)
+
+
+@register(
+    "paragraph_dedup_clean",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    pars AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS par_idx,
+             array_to_string(w[(i*{PAR_WORDS}+1):(i*{PAR_WORDS}+{PAR_WORDS})], ' ') AS par
+      FROM t, UNNEST(range(CAST(ceil(len(w)/{PAR_WORDS}.0) AS BIGINT))) AS r(i)
+    ),
+    ranked AS (
+      SELECT doc_id, par_idx, par,
+             ROW_NUMBER() OVER (PARTITION BY par ORDER BY doc_id, par_idx) AS rk
+      FROM pars
+    ),
+    kept AS (SELECT doc_id, par_idx, par FROM ranked WHERE rk = 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_pars FROM pars GROUP BY doc_id),
+    agg AS (
+      SELECT doc_id, string_agg(par, ' ' ORDER BY par_idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(t.n_pars AS BIGINT) AS n_pars,
+           CAST(t.n_pars - coalesce(a.n_kept, 0) AS BIGINT) AS n_pars_removed
+    FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+    doc="Paragraph-level corpus dedup with KEEP-FIRST (the Dolma/CCNet "
+    "production granularity, between exact-doc and substring dedup): "
+    "each document splits into fixed 8-word paragraph segments (the "
+    "no-newline-corpus stand-in documented at boilerplate_removal), a "
+    "corpus-duplicated paragraph survives ONLY at its first occurrence "
+    "(argmin over (doc_id, par_idx) — later copies in other docs AND "
+    "repeats within the same doc are cut), and documents reassemble "
+    "from their surviving paragraphs in original order. Scale shape: "
+    "paragraph TEXT never enters a shuffle — paragraphs are xxhash64 "
+    "fingerprints from the map side, the keep-first winner is a "
+    "groupBy-min over (8-byte hash, two longs), membership is an "
+    "equi-join on the hash, and the cleaned text is re-derived from the "
+    "token arrays at reassembly (one doc_id-keyed join). Differs from "
+    "boilerplate_removal (frequency >= 5 drops ALL copies) exactly as "
+    "paragraph dedup differs from template removal.",
+)
+def q_paragraph_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    # checkpoint the token arrays (the documented CollapseProject HOF trap)
+    toks = fan_out(d, "doc_id").select(
+        "doc_id", F.split(F.trim("text"), "\\s+").alias("w")
+    ).localCheckpoint(eager=True)
+    n_pars = F.ceil(F.size("w") / PAR_WORDS).cast("int")
+    pars = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pars - 1),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("w", i * PAR_WORDS + 1, PAR_WORDS), " ")
+                ),
+            )
+        ).alias("par_idx", "h"),
+    )
+    win = pars.groupBy("h").agg(F.min(F.struct("doc_id", "par_idx")).alias("win"))
+    kept = (
+        pars.join(win, "h")
+        .filter(
+            (F.col("doc_id") == F.col("win.doc_id"))
+            & (F.col("par_idx") == F.col("win.par_idx"))
+        )
+        .select("doc_id", "par_idx")
+    )
+    totals = pars.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_pars"))
+    kept_idx = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("par_idx")).alias("idxs"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("idxs"),
+            lambda i: F.array_join(F.slice("w", i * PAR_WORDS + 1, PAR_WORDS), " "),
+        ),
+        " ",
+    )
+    return (
+        totals.join(kept_idx, "doc_id", "left")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("idxs").isNull(), F.lit("")).otherwise(rebuilt).alias(
+                "clean_text"
+            ),
+            "n_pars",
+            (F.col("n_pars") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_pars_removed"),
+        )
+    )

@@ -35,7 +35,12 @@ from ..operators.sketches import (
     kmv_kmin,
     token_hash_pairs,
 )
-from .fsutil import delete_dir, dir_has_parquet, is_local_root, list_batch_dirs
+from .fsutil import (
+    delete_dir,
+    dir_has_parquet,
+    list_batch_dirs,
+    manifest_store_for,
+)
 
 DOCS_SCHEMA = "doc_id bigint, text string, source string"
 EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint"
@@ -190,7 +195,9 @@ def _maintain_cms_batch(sketch_dir: str, depth: int = DEPTH, width: int = WIDTH)
 _CMS_MANIFEST = "compaction.json"
 
 
-def _cms_live_parts(spark: SparkSession, sketch_dir: str) -> list[str]:
+def _cms_live_parts(
+    spark: SparkSession, sketch_dir: str, store: object | None = None
+) -> list[str]:
     """The live partition set under the compaction manifest rule:
     numeric ``batch=N`` dirs (stream-owned) are live unless the manifest
     lists them as absorbed; ``batch=c<gen>`` dirs (compaction-owned) are
@@ -201,25 +208,24 @@ def _cms_live_parts(spark: SparkSession, sketch_dir: str) -> list[str]:
 
     Partition dirs are enumerated through the Hadoop FileSystem API
     (fsutil) so HDFS/S3 sketch roots work. The manifest JSON itself is
-    read/committed with local-FS primitives (open/os.replace) because
-    os.replace's overwrite-atomicity IS the commit point of the
-    non-idempotent sum lattice — Hadoop's FileSystem.rename does not
-    overwrite, and delete-then-rename opens a window where readers see
-    no manifest and double-count. `_compact_sum_state` therefore FAILS
-    FAST on non-local roots (is_local_root), which keeps this local read
-    sound: on a remote root no manifest can ever exist, so every numeric
-    batch dir is live and the sum is exact. A cluster deployment keeps
-    the same protocol but moves the manifest commit to a store with
-    atomic conditional put (HDFS FileContext rename-OVERWRITE, a table
-    row, or S3 if-none-match), exactly like the ingest lake manifest."""
-    import json
-
+    read/committed through a ``ManifestStore`` strategy
+    (fsutil.manifest_store_for): locally that is os.replace
+    overwrite-atomicity — the commit point of the non-idempotent sum
+    lattice — and a cluster deployment registers a store with the same
+    atomic-overwrite contract for its scheme (HDFS FileContext
+    rename-OVERWRITE via RenameContractManifestStore, a table row, S3
+    if-none-match). Hadoop's plain FileSystem.rename does NOT overwrite,
+    and delete-then-rename opens a window where readers see no manifest
+    and double-count, which is why the strategy seam exists. On a remote
+    root with NO registered store this read stays sound: no manifest can
+    ever exist (compaction refuses up front), so every numeric batch dir
+    is live and the sum is exact."""
     absorbed: set[str] = set()
     compacted: str | None = None
     mpath = os.path.join(sketch_dir, _CMS_MANIFEST)
-    if os.path.isfile(mpath):
-        with open(mpath) as f:
-            m = json.load(f)
+    mstore = store if store is not None else manifest_store_for(sketch_dir)
+    m = mstore.read(mpath) if mstore is not None else None
+    if m is not None:
         absorbed = set(m.get("absorbed", []))
         compacted = m.get("compacted_dir")
     out = []
@@ -278,40 +284,51 @@ def start_cms_maintenance_stream(
     )
 
 
-def compact_cms_state(spark: SparkSession, sketch_dir: str) -> None:
-    _compact_sum_state(spark, sketch_dir, ["row_j", "cell"])
+def compact_cms_state(
+    spark: SparkSession, sketch_dir: str, store: object | None = None
+) -> None:
+    _compact_sum_state(spark, sketch_dir, ["row_j", "cell"], store=store)
 
 
 def _compact_sum_state(
-    spark: SparkSession, sketch_dir: str, keys: list[str]
+    spark: SparkSession, sketch_dir: str, keys: list[str], store: object | None = None
 ) -> None:
     """Fold the live partials into one committed generation.
 
     The sum lattice is NOT idempotent, so unlike `compact_kmv_state`
     the swap must be atomic: the merged partition is written under a
     ``batch=c<gen>`` name that readers IGNORE until the manifest —
-    rewritten via the atomic-rename protocol — names it and marks the
-    absorbed inputs dead. Crash before the rename: readers still see
+    rewritten via the atomic-overwrite protocol — names it and marks the
+    absorbed inputs dead. Crash before the commit: readers still see
     exactly the old live set (the orphan c-dir is invisible; re-running
     compaction supersedes it). Crash after: the new generation is live
     and the absorbed dirs are dead regardless of whether the GC sweep
-    below finished. Never a double count in any window."""
-    import json
+    below finished. Never a double count in any window.
 
-    if not is_local_root(sketch_dir):
-        # the manifest swap's atomicity comes from os.replace — on a
-        # remote root it would fail mid-protocol (the manifest is not a
-        # local file), so refuse up front; un-compacted reads stay correct
-        # (every numeric batch dir remains live). A cluster deployment
-        # supplies a store-specific atomic conditional put here (HDFS
-        # FileContext rename-OVERWRITE, a table row, S3 if-none-match).
+    The commit goes through a ``ManifestStore`` strategy (r12 verdict
+    item 5): local roots use os.replace (byte-identical to the previous
+    inline protocol); remote roots use the store registered for their
+    scheme via ``fsutil.register_manifest_store`` (e.g.
+    ``RenameContractManifestStore`` over an HDFS FileContext adapter);
+    ``store`` overrides resolution for tests/injection."""
+    if store is None:
+        store = manifest_store_for(sketch_dir)
+    if store is None:
+        # no strategy can commit atomically on this root — refuse up
+        # front; un-compacted reads stay correct (every numeric batch
+        # dir remains live). A cluster deployment registers a
+        # store-specific atomic-put strategy (HDFS FileContext
+        # rename-OVERWRITE, a table row, S3 if-none-match) via
+        # fsutil.register_manifest_store(scheme, store).
         raise NotImplementedError(
             f"sum-lattice compaction needs an atomic manifest swap; the "
-            f"local-FS os.replace protocol cannot commit on {sketch_dir!r}. "
-            "Streaming appends and reads work unchanged on remote roots; "
-            "compaction requires a store-specific atomic-put strategy."
+            f"local-FS os.replace protocol cannot commit on {sketch_dir!r} "
+            "and no manifest store is registered for its scheme "
+            "(fsutil.register_manifest_store). Streaming appends and reads "
+            "work unchanged on remote roots; compaction requires a "
+            "store-specific atomic-put strategy."
         )
-    live = _cms_live_parts(spark, sketch_dir)
+    live = _cms_live_parts(spark, sketch_dir, store=store)
     if len(live) <= 1:
         return
     # no materialization barrier: the merged fold is written to a FRESH
@@ -331,17 +348,15 @@ def _compact_sum_state(
     merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, new_dir))
 
     mpath = os.path.join(sketch_dir, _CMS_MANIFEST)
-    prior_absorbed: list[str] = []
-    if os.path.isfile(mpath):
-        with open(mpath) as f:
-            prior_absorbed = json.load(f).get("absorbed", [])
-    tmp = mpath + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"compacted_dir": new_dir, "absorbed": sorted(set(prior_absorbed) | set(live))},
-            f,
-        )
-    os.replace(tmp, mpath)  # the commit point
+    prior = store.read(mpath)
+    prior_absorbed: list[str] = prior.get("absorbed", []) if prior else []
+    store.commit(  # the commit point (atomic-overwrite per the strategy)
+        mpath,
+        {
+            "compacted_dir": new_dir,
+            "absorbed": sorted(set(prior_absorbed) | set(live)),
+        },
+    )
 
     for d in live:  # GC; crash-safe (manifest already excludes them)
         delete_dir(spark, os.path.join(sketch_dir, d))
@@ -391,8 +406,10 @@ def read_logbin_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
-def compact_logbin_state(spark: SparkSession, sketch_dir: str) -> None:
-    _compact_sum_state(spark, sketch_dir, _LOGBIN_KEYS)
+def compact_logbin_state(
+    spark: SparkSession, sketch_dir: str, store: object | None = None
+) -> None:
+    _compact_sum_state(spark, sketch_dir, _LOGBIN_KEYS, store=store)
 
 
 def start_logbin_maintenance_stream(

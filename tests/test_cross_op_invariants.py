@@ -472,3 +472,49 @@ def test_ivf_sweep_widest_config_matches_ivf_probe(spark):
     assert sweep[5] == want
     # recall is monotone in nprobe (candidate sets are nested)
     assert sweep[1] <= sweep[3] <= sweep[5]
+
+
+def test_paragraph_clean_matches_independent_python_recompute(spark):
+    """Full oracle-independent recompute of paragraph_dedup_clean in plain
+    Python: split every doc into 8-word segments, keep each distinct
+    paragraph only at its global first occurrence ordered by
+    (doc_id, par_idx), reassemble — every output column must match
+    exactly, and the cleaned text is by construction a subset of the
+    original's paragraphs in order (the containment invariant vs
+    dup_substring_profile's source text)."""
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    out = {r["doc_id"]: r for r in _q(spark, "paragraph_dedup_clean").collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", SF).collect()
+    }
+    assert set(out) == set(texts)
+    pars = {
+        doc_id: [
+            " ".join(ws[i : i + 8])
+            for ws in [t.strip().split()]
+            for i in range(0, len(ws), 8)
+        ]
+        for doc_id, t in texts.items()
+    }
+    seen: set[str] = set()
+    want: dict[int, tuple[str, int, int]] = {}
+    for doc_id in sorted(pars):
+        kept = []
+        for p in pars[doc_id]:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[doc_id] = (
+            " ".join(kept),
+            len(pars[doc_id]),
+            len(pars[doc_id]) - len(kept),
+        )
+    total_removed = 0
+    for doc_id, r in out.items():
+        assert (r["clean_text"], r["n_pars"], r["n_pars_removed"]) == want[doc_id], doc_id
+        total_removed += r["n_pars_removed"]
+    # the fixture corpus has cross-doc duplicated 8-word windows (the
+    # dup_substring family exists because of them) — some removal happens
+    assert total_removed > 0

@@ -148,6 +148,20 @@ KERNELS = [
     # signatures) — its slope must stay near dedup_minhash_lsh_pairs'
     # bucket-bounded shape, since candidate mass is the quadratic risk
     ("minhash_band_sweep", "documents"),
+    # round-13 additions (r12 verdict item 4 + the new paragraph op):
+    # the BPE learn loop itself (8 driver iterations over the word-TYPE
+    # table — the heaviest batch kernel; under the 1-in-3 rewrite the
+    # type table grows with m, so this measures the loop's real
+    # type-table dependence, the honest worst case), the Bloom
+    # decontamination report (bitmap build + broadcast probe — both
+    # sides scan-shaped), the curated-mix composite (ccnet gate +
+    # waterfill + per-source prefix window — its slope is its
+    # ccnet_lm_buckets leg), and paragraph keep-first dedup (8-byte
+    # fingerprint shuffles + one doc-keyed reassembly join).
+    ("bpe_learn_merges", "documents"),
+    ("decontam_bloom_report", "documents"),
+    ("curated_mix_manifest", "documents"),
+    ("paragraph_dedup_clean", "documents"),
     # ivf_probe_sweep is deliberately absent (the hybrid_search_rrf
     # rule): its recall scoring needs the exact brute-force leg, which
     # is query-set x corpus with a query set that GROWS with the corpus
