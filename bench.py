@@ -99,6 +99,10 @@ STREAMING = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_BENCH_RUNS: samples per query (best-of-N). Default 2 —
+    # the driver protocol. BASELINE.md §C-v2 rows are recorded with N=4
+    # on a quiet box (tools/record_baseline_v2 wraps exactly this).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -129,7 +133,7 @@ def main() -> None:
     # Excluded from the total; tools/perf_sweep.py flags rounds whose
     # calibration drifts >1.2x from the recorded-round median.
     calibration = float("inf")
-    for _ in range(2):
+    for _ in range(max(2, runs)):
         t0 = time.perf_counter()
         spark.range(8_000_000_000).selectExpr("sum(id % 1000)").collect()
         calibration = min(calibration, time.perf_counter() - t0)
@@ -139,10 +143,10 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         spec = REGISTRY[name]
-        # steady-state: best of 2 runs (first run also compiles the plan's
+        # steady-state: best of N runs (first run also compiles the plan's
         # whole-stage codegen and touches cold column chunks)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -166,7 +170,7 @@ def main() -> None:
     for name in STREAMING:
         spec = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -518,3 +518,22 @@ def test_paragraph_clean_matches_independent_python_recompute(spark):
     # the fixture corpus has cross-doc duplicated 8-word windows (the
     # dup_substring family exists because of them) — some removal happens
     assert total_removed > 0
+
+
+def test_nsw_sweep_widest_budget_matches_nsw_probe(spark):
+    """The sweep's widest point (budget = NSW_M) IS knn_nsw_probe's
+    operating point — its per-query top-10 set must equal the probe op's
+    output exactly, and pooled recall is monotone in the budget (nested
+    candidate sets)."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import NSW_M
+
+    probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _q(spark, "knn_nsw_probe").collect()
+    }
+    rows = _q(spark, "nsw_probe_sweep").collect()
+    sweep = {r["budget"]: r for r in rows}
+    assert sweep[NSW_M]["n_hits"] == sweep[NSW_M]["n_pooled"] == len(probe)
+    recalls = [sweep[b]["pooled_recall_micro"] for b in sorted(sweep)]
+    assert recalls == sorted(recalls)
+    assert sweep[NSW_M]["pooled_recall_micro"] == 1_000_000

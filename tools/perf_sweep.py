@@ -61,6 +61,45 @@ def check_calibration_drift(
     ]
 
 
+def baseline_v2_ratios(
+    bench_path: str, v2_path: str | None = None, gate: float = 2.0
+) -> list[str]:
+    """Per-query ratios of a BENCH_rN.json against the calibrated §C-v2
+    baseline (docs/BASELINE_V2.json), load-normalized: each side's time
+    is divided by its own run's calibration_sec before comparing, so the
+    gate measures CODE, not box drift — closing the r12 phantom-ratio
+    problem (§C first-green rows predate calibration and can't be
+    normalized). Returns 'query: Nx' lines exceeding ``gate``; prints
+    nothing itself. Queries absent from the v2 table (added after its
+    recording) are skipped — record them into v2 on the next quiet box."""
+    import os
+
+    if v2_path is None:
+        v2_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "docs",
+            "BASELINE_V2.json",
+        )
+    try:
+        with open(bench_path) as f:
+            bench = json.load(f)
+        with open(v2_path) as f:
+            v2 = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return []
+    bcal, vcal = bench.get("calibration_sec"), v2.get("calibration_sec")
+    if not bcal or not vcal:
+        return []
+    out = []
+    for name, v2_sec in sorted(v2.get("queries", {}).items()):
+        b_sec = bench.get("queries", {}).get(name)
+        if b_sec is None or v2_sec <= 0:
+            continue
+        ratio = (b_sec / bcal) / (v2_sec / vcal)
+        if ratio > gate:
+            out.append(f"{name}: {ratio:.2f}x (raw {b_sec:.2f}s vs v2 {v2_sec:.2f}s)")
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
@@ -90,6 +129,20 @@ def main() -> None:
               "these rounds' BENCH ratios as load-suspect:", file=sys.stderr)
         for line in drifted:
             print(f"  {line}", file=sys.stderr)
+    # load-normalized 2x gate against the calibrated §C-v2 baseline for
+    # the newest recorded round
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if benches:
+        flagged = baseline_v2_ratios(benches[-1])
+        if flagged:
+            print(f"§C-v2 gate (>2x load-normalized) in {benches[-1]}:",
+                  file=sys.stderr)
+            for line in flagged:
+                print(f"  {line}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -162,11 +162,18 @@ KERNELS = [
     ("decontam_bloom_report", "documents"),
     ("curated_mix_manifest", "documents"),
     ("paragraph_dedup_clean", "documents"),
-    # ivf_probe_sweep is deliberately absent (the hybrid_search_rrf
-    # rule): its recall scoring needs the exact brute-force leg, which
-    # is query-set x corpus with a query set that GROWS with the corpus
-    # — quadratic by spec (measured 1.37 at the 10x leg before removal).
-    # Tuners run on samples; the op doc says so.
+    # r13 (r12 verdict item 6): ivf_probe_sweep rejoins the harness —
+    # its exact recall leg is now bounded to a FIXED 20-query panel
+    # (smallest query ids, corpus-size-independent), so the leg is
+    # O(panel x corpus) and the r12 exclusion rationale (query set
+    # growing with the corpus made it 1.37 at the 10x leg) no longer
+    # applies. The IVF candidate leg was always cell-bounded.
+    ("ivf_probe_sweep", "embeddings"),
+    # r13: the NSW probe-budget tuner — pooled recall (union of configs'
+    # top-10s) needs NO brute-force leg, so the whole sweep rides the
+    # persisted graph's bucket-bounded build + per-query O(b + b^2)
+    # expansion; its slope should track knn_nsw_probe / nsw_graph_edges.
+    ("nsw_probe_sweep", "embeddings"),
 ]
 
 
