@@ -414,3 +414,42 @@ def resize_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(fn, RESIZED_SCHEMA)
+
+
+PHASH_BITS = 32  # aHash grid: 32 strided samples of the decoded pixels
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over REALLY-decoded
+    BMP pixels: ``PHASH_BITS`` evenly-strided samples of the decoded
+    pixel array, each bit set iff its sample exceeds the sample mean —
+    integer-exact via the cross-multiplied compare
+    ``BITS * sample > sum(samples)`` (no division anywhere), so the
+    DuckDB twin reproduces the hash bit-for-bit. The image analogue of
+    ``dedup_simhash``'s 32-bit text fingerprint, enabled by the r13 real
+    decode: width/height/pixels all come from the container parse.
+    Map-only: one Arrow batch in/out, payload never leaves the executor.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            rows = []
+            for _, r in img.iterrows():
+                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
+                n = len(px)
+                if n < PHASH_BITS:
+                    raise ValueError(
+                        f"media_id {r['media_id']}: {n} pixels < {PHASH_BITS} "
+                        "phash samples"
+                    )
+                stride = n // PHASH_BITS
+                s = [px[k * stride] for k in range(PHASH_BITS)]
+                tot = sum(s)
+                phash = sum(
+                    1 << k for k in range(PHASH_BITS) if PHASH_BITS * s[k] > tot
+                )
+                rows.append({"media_id": r["media_id"], "phash": phash})
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.mapInPandas(fn, "media_id bigint, phash bigint")

@@ -374,3 +374,109 @@ def q_media_wav_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").cast("int").alias("end_frame"),
         F.count("*").cast("long").alias("n_frames"),
     ).select("media_id", "active", "start_frame", "end_frame", "n_frames")
+
+
+# aHash near-dup banding: 4 x 8-bit bands over the 32-bit hash. By
+# pigeonhole the band join finds EVERY pair within Hamming distance 3
+# (<= 3 flipped bits cannot touch all 4 bands); ham-4 pairs surface only
+# when their flips spare a band — the standard LSH recall trade, and the
+# oracle implements the identical candidate semantics, so parity is
+# exact either way.
+PHASH_BANDS = 4
+PHASH_HAM_T = 4
+
+
+@register(
+    "media_phash_near_dup",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             (doc_id % 8 + 1) * 64 AS w, (doc_id % 4 + 1) * 64 AS h,
+             text, length(text) AS len
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    sm AS (
+      SELECT media_id,
+             list_transform(range(0, 32),
+               k -> CAST(ascii(substring(text,
+                    ((k * ((w * h) // 32)) % len) + 1, 1)) AS BIGINT)) AS s
+      FROM img
+    ),
+    ph AS (
+      SELECT media_id,
+             list_reduce(list_transform(range(0, 32),
+               k -> CASE WHEN 32 * s[k + 1] >
+                              list_reduce(s, (a, b) -> a + b)
+                         THEN CAST(power(2, k) AS BIGINT)
+                         ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS phash
+      FROM sm
+    ),
+    bv AS (
+      SELECT media_id, phash, b.j,
+             (phash >> (b.j * 8)) & 255 AS band_val
+      FROM ph CROSS JOIN (SELECT unnest(range(0, {PHASH_BANDS})) AS j) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, a.phash AS ph_a,
+                      y.media_id AS media_b, y.phash AS ph_b
+      FROM bv a JOIN bv y
+        ON a.j = y.j AND a.band_val = y.band_val AND a.media_id < y.media_id
+    )
+    SELECT media_a, media_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_HAM_T}
+    """,
+    doc="Perceptual near-duplicate detection over REALLY-decoded images — "
+    "the image twin of dedup_simhash, enabled by the r13 real BMP "
+    "decode: each image's 32-bit aHash (strided pixel samples, bit = "
+    "sample above the sample mean, integer cross-multiplied compare — "
+    "no division) is computed from the parsed container inside "
+    "mapInPandas, then banded into 4 x 8-bit bands for an LSH-style "
+    "bucket join and Hamming-verified at distance <= 4 (pigeonhole-"
+    "complete through distance 3). The multimodal-lake audit that "
+    "catches re-encoded/cropped-ish duplicates exact fingerprints miss "
+    "(media_dedup_report catches byte-identical ingestion; this catches "
+    "perceptually-identical). Scale shape: map-only decode + hash "
+    "(payload never shuffles), candidates via 8-byte (band, value) "
+    "keys, exact verify only on co-bucketed pairs — the "
+    "dedup_minhash_lsh_pairs discipline applied to pixels.",
+)
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import bmp_media_table, phash_images
+
+    d = load_table(spark, "documents", sf_dir)
+    ph = phash_images(bmp_media_table(d))
+    bands = ph.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), 8 * j).bitwiseAND(F.lit(255))
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("j", "band_val"),
+    )
+    a = bands.alias("a")
+    y = bands.alias("y")
+    cand = (
+        a.join(
+            y,
+            (F.col("a.j") == F.col("y.j"))
+            & (F.col("a.band_val") == F.col("y.band_val"))
+            & (F.col("a.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("y.media_id").alias("media_b"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+    return cand.select("media_a", "media_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= PHASH_HAM_T
+    )

@@ -1,4 +1,4 @@
-"""Multimodal column plumbing: binary payloads, metadata pruning, decode stub."""
+"""Multimodal column plumbing: binary payloads, metadata pruning, real codecs."""
 
 from __future__ import annotations
 
@@ -215,3 +215,45 @@ def test_documents_text_is_ascii_at_all_scale_factors():
             "WHERE octet_length(encode(text)) <> length(text)"
         ).fetchone()[0]
         assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents.text rows"
+
+
+def test_phash_near_dup_pigeonhole_completeness(spark):
+    """media_phash_near_dup vs an independent Python recompute of every
+    image's aHash from the fixture text: the banded join must surface
+    EVERY pair within Hamming distance 3 (pigeonhole over 4 bands), only
+    pairs within the verify threshold 4, and hamming values must match
+    the recompute exactly."""
+    from collect_mobile_devices_datalake_spark.operators.multimodal_queries import (
+        PHASH_HAM_T,
+        q_media_phash_near_dup,
+    )
+
+    d = load_table(spark, "documents", SF)
+    out = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in q_media_phash_near_dup(spark, SF).collect()
+    }
+    hashes: dict[int, int] = {}
+    for r in d.filter(F.col("doc_id") % 2 == 0).collect():
+        w, h = (r["doc_id"] % 8 + 1) * 64, (r["doc_id"] % 4 + 1) * 64
+        b = r["text"].encode()
+        n = w * h
+        px = (b * (n // len(b) + 1))[:n]
+        stride = n // 32
+        s = [px[k * stride] for k in range(32)]
+        tot = sum(s)
+        hashes[r["doc_id"]] = sum(1 << k for k in range(32) if 32 * s[k] > tot)
+    ids = sorted(hashes)
+    want_le3 = {}
+    for i, a in enumerate(ids):
+        for bb in ids[i + 1:]:
+            ham = bin(hashes[a] ^ hashes[bb]).count("1")
+            if ham <= 3:
+                want_le3[(a, bb)] = ham
+    # pigeonhole: every <=3 pair found, with the exact hamming value
+    for pair, ham in want_le3.items():
+        assert out.get(pair) == ham, pair
+    # soundness: nothing beyond the verify threshold, values exact
+    for (a, bb), ham in out.items():
+        assert ham <= PHASH_HAM_T
+        assert bin(hashes[a] ^ hashes[bb]).count("1") == ham

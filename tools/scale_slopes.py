@@ -174,6 +174,10 @@ KERNELS = [
     # persisted graph's bucket-bounded build + per-query O(b + b^2)
     # expansion; its slope should track knn_nsw_probe / nsw_graph_edges.
     ("nsw_probe_sweep", "embeddings"),
+    # r13: perceptual image near-dup — map-only BMP decode + aHash, then
+    # the banded (band, value) bucket join; candidate mass is the
+    # quadratic risk exactly as in dedup_minhash_lsh_pairs.
+    ("media_phash_near_dup", "documents"),
 ]
 
 
