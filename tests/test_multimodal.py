@@ -217,12 +217,13 @@ def test_documents_text_is_ascii_at_all_scale_factors():
         assert n_bad == 0, f"{sf}: {n_bad} non-ASCII documents.text rows"
 
 
-def test_phash_near_dup_pigeonhole_completeness(spark):
+def test_phash_near_dup_is_exact(spark):
     """media_phash_near_dup vs an independent Python recompute of every
-    image's aHash from the fixture text: the banded join must surface
-    EVERY pair within Hamming distance 3 (pigeonhole over 4 bands), only
-    pairs within the verify threshold 4, and hamming values must match
-    the recompute exactly."""
+    image's 60-bit aHash from the fixture text: with 4x15-bit bands AND
+    Hamming-1 multiprobe the candidate set is pigeonhole-complete through
+    the verify threshold 7, so the operator is EXACT — its output must
+    equal the full set of pairs at Hamming distance <= 7, with exact
+    distance values."""
     from collect_mobile_devices_datalake_spark.operators.multimodal_queries import (
         PHASH_HAM_T,
         q_media_phash_near_dup,
@@ -239,21 +240,15 @@ def test_phash_near_dup_pigeonhole_completeness(spark):
         b = r["text"].encode()
         n = w * h
         px = (b * (n // len(b) + 1))[:n]
-        stride = n // 32
-        s = [px[k * stride] for k in range(32)]
-        tot = sum(s)
-        hashes[r["doc_id"]] = sum(1 << k for k in range(32) if 32 * s[k] > tot)
+        stride = n // 60
+        s = [px[k * stride] for k in range(60)]
+        med = sorted(s)[30]  # upper median, matches phash_images
+        hashes[r["doc_id"]] = sum(1 << k for k in range(60) if s[k] > med)
     ids = sorted(hashes)
-    want_le3 = {}
+    want = {}
     for i, a in enumerate(ids):
         for bb in ids[i + 1:]:
             ham = bin(hashes[a] ^ hashes[bb]).count("1")
-            if ham <= 3:
-                want_le3[(a, bb)] = ham
-    # pigeonhole: every <=3 pair found, with the exact hamming value
-    for pair, ham in want_le3.items():
-        assert out.get(pair) == ham, pair
-    # soundness: nothing beyond the verify threshold, values exact
-    for (a, bb), ham in out.items():
-        assert ham <= PHASH_HAM_T
-        assert bin(hashes[a] ^ hashes[bb]).count("1") == ham
+            if ham <= PHASH_HAM_T:
+                want[(a, bb)] = ham
+    assert out == want and len(want) > 0

