@@ -1537,3 +1537,66 @@ def q_paragraph_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pars_removed"),
         )
     )
+
+
+@register(
+    "paragraph_dup_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    pars AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS par_idx,
+             array_to_string(w[(i*{PAR_WORDS}+1):(i*{PAR_WORDS}+{PAR_WORDS})], ' ') AS par
+      FROM t, UNNEST(range(CAST(ceil(len(w)/{PAR_WORDS}.0) AS BIGINT))) AS r(i)
+    ),
+    df AS (SELECT par, COUNT(DISTINCT doc_id) AS nd FROM pars GROUP BY par)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pars,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_pars,
+           round(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac
+    FROM pars p JOIN df f ON f.par = p.par
+    GROUP BY p.doc_id
+    """,
+    doc="Per-document paragraph-duplication profile — the MEASURE step "
+    "before paragraph_dedup_clean's ACT step (the dup_substring_profile "
+    "/ dup_substring_clean relationship at paragraph granularity): for "
+    "each doc, its paragraph count, how many of its paragraphs appear "
+    "verbatim in at least one OTHER document, and the shared fraction — "
+    "the column a curation pass thresholds to route heavily-syndicated "
+    "documents to dedup or drop. Same segmentation as the clean op "
+    "(8-word stand-in segments). Scale shape: paragraph text never "
+    "shuffles — document frequency is a groupBy over xxhash64 "
+    "fingerprints, membership an equi-join on the hash, one per-doc "
+    "aggregate; every document appears (no paragraph is in zero docs).",
+)
+def q_paragraph_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    toks = fan_out(d, "doc_id").select(
+        "doc_id", F.split(F.trim("text"), "\\s+").alias("w")
+    ).localCheckpoint(eager=True)
+    n_pars = F.ceil(F.size("w") / PAR_WORDS).cast("int")
+    pars = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_pars - 1),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("w", i * PAR_WORDS + 1, PAR_WORDS), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    df = pars.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        pars.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pars"),
+            shared.cast("long").alias("n_shared_pars"),
+            F.round(shared / F.count("*").cast("double"), 6).alias("shared_frac"),
+        )
+    )

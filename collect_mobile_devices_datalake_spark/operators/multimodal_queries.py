@@ -511,3 +511,55 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("media_a", "media_b", ham.alias("hamming")).filter(
         F.col("hamming") <= PHASH_HAM_T
     )
+
+
+def _phash_clusters_oracle() -> str:
+    """Connected components over the exact perceptual-pair graph — the
+    media_phash_near_dup oracle embeds verbatim as the edge source (the
+    dedup_clusters recursive-CTE idiom)."""
+    from ..registry import REGISTRY
+
+    pairs = REGISTRY["media_phash_near_dup"].oracle
+    return f"""
+    WITH RECURSIVE ppairs AS (
+      SELECT media_a, media_b FROM ({pairs})
+    ),
+    nodes AS (SELECT DISTINCT media_a AS node FROM ppairs
+              UNION SELECT DISTINCT media_b FROM ppairs),
+    edges AS (
+      SELECT media_a AS src, media_b AS dst FROM ppairs
+      UNION ALL SELECT media_b, media_a FROM ppairs
+    ),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS media_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+@register(
+    "media_phash_clusters",
+    oracle=_phash_clusters_oracle(),
+    doc="Perceptual duplicate CLUSTERS: connected components over the "
+    "exact media_phash_near_dup pair graph (min-label propagation with "
+    "pointer doubling — the dedup_clusters machinery reused verbatim on "
+    "image pairs), cluster_id = lowest media_id = the keeper. Completes "
+    "the image dedup chain: byte-exact fingerprint groups "
+    "(media_dedup_report) -> exact perceptual pairs "
+    "(media_phash_near_dup) -> transitive closure + keeper selection "
+    "(this op) — a lake dedups re-encoded asset families by DELETING "
+    "everything whose media_id != cluster_id. Pairs are exact, so the "
+    "clustering is too; singleton assets are absent by construction "
+    "(nothing to dedup).",
+)
+def q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import cluster_labels
+
+    pairs = q_media_phash_near_dup(spark, sf_dir).select(
+        F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+    )
+    return cluster_labels(pairs).select(
+        F.col("doc_id").alias("media_id"), "cluster_id"
+    )

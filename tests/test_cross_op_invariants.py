@@ -537,3 +537,62 @@ def test_nsw_sweep_widest_budget_matches_nsw_probe(spark):
     recalls = [sweep[b]["pooled_recall_micro"] for b in sorted(sweep)]
     assert recalls == sorted(recalls)
     assert sweep[NSW_M]["pooled_recall_micro"] == 1_000_000
+
+
+def test_paragraph_profile_matches_recompute_and_clean(spark):
+    """paragraph_dup_profile vs a full Python recompute, plus consistency
+    with paragraph_dedup_clean: identical segmentation (n_pars equal per
+    doc), and every doc that loses a paragraph to the corpus-wide
+    keep-first either shares a paragraph with another doc or repeats one
+    internally."""
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    prof = {r["doc_id"]: r for r in _q(spark, "paragraph_dup_profile").collect()}
+    clean = {r["doc_id"]: r for r in _q(spark, "paragraph_dedup_clean").collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, "documents", SF).collect()
+    }
+    pars = {
+        doc_id: [
+            " ".join(ws[i : i + 8])
+            for ws in [t.strip().split()]
+            for i in range(0, len(ws), 8)
+        ]
+        for doc_id, t in texts.items()
+    }
+    doc_sets = {d: set(ps) for d, ps in pars.items()}
+    assert set(prof) == set(texts)
+    for doc_id, r in prof.items():
+        mine = pars[doc_id]
+        others = set().union(
+            *(doc_sets[d] for d in doc_sets if d != doc_id)
+        )
+        n_shared = sum(1 for p in mine if p in others)
+        assert r["n_pars"] == len(mine) == clean[doc_id]["n_pars"]
+        assert r["n_shared_pars"] == n_shared
+        assert r["shared_frac"] == round(n_shared / len(mine), 6)
+        if clean[doc_id]["n_pars_removed"] > 0:
+            assert n_shared > 0 or len(set(mine)) < len(mine), doc_id
+
+
+def test_phash_clusters_consistent_with_pairs(spark):
+    """media_phash_clusters must be the transitive closure of the exact
+    phash pair graph: both endpoints of every pair carry the same
+    cluster_id, every cluster_id is the component's lowest member, and
+    no singleton appears."""
+    pairs = [
+        (r["media_a"], r["media_b"])
+        for r in _q(spark, "media_phash_near_dup").collect()
+    ]
+    labels = {
+        r["media_id"]: r["cluster_id"]
+        for r in _q(spark, "media_phash_clusters").collect()
+    }
+    nodes = {n for p in pairs for n in p}
+    assert set(labels) == nodes
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    for cid in set(labels.values()):
+        members = [m for m, c in labels.items() if c == cid]
+        assert cid == min(members)
