@@ -874,3 +874,251 @@ def kmv_difference_report(hashed: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register sketch (Flajolet et al. 2007, "HyperLogLog: the
+# analysis of a near-optimal cardinality estimation algorithm", AofA'07)
+# ---------------------------------------------------------------------------
+#
+# The third cardinality structure, completing the trio the module
+# docstring lays out: approx_count_distinct is Spark's OPAQUE HLL++ (you
+# cannot checkpoint, fold, or introspect its registers), KMV is the
+# intersectable sketch, and THIS is the classic register-file HLL with
+# the state held as ordinary rows — (key, register, max_rho) — so the
+# lattice is visible to the engine: per-register MAX is idempotent,
+# associative, and commutative, which makes the sketch re-delivery-proof
+# in a streaming sink and foldable across rollup grains (day → week
+# below) without ever touching the raw stream again.
+#
+# Arithmetic is cross-engine-exact by construction:
+#   - hash: the module's rolling/multiplicative hashes (pure int64, < P)
+#   - register index = h & (m-1); rho window w = h >> p  (w < 2^22
+#     because h < P = 1e9+7, so w < P/256 < 2^22)
+#   - rho = 23 - length(bin(w)) for w > 0, else 23 — length(bin(x)) is
+#     floor(log2 x) + 1 in BOTH engines (minimal-width binary strings)
+#   - the harmonic-mean denominator SUM(2^-rho_j) is kept as the SCALED
+#     INTEGER SUM(1 << (23 - rho_j)) + empties * 2^23 — exact BIGINT,
+#     max 256 * 2^23 ≈ 2.1e9, no float accumulation order anywhere
+#   - the only float op is the final alpha*m^2*2^23 / sum division,
+#     one correctly-rounded IEEE op from one shared literal
+HLL_P_BITS = 8
+HLL_M = 1 << HLL_P_BITS  # 256 registers: ~6.5% rse — the QA-grade preset
+HLL_RHO_CAP = 23  # 22-bit rho window + 1
+HLL_SCALE = 1 << HLL_RHO_CAP
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # alpha_m, m >= 128 regime
+_HLL_NUM = HLL_ALPHA * float(HLL_M * HLL_M * HLL_SCALE)  # alpha * m^2 * 2^23
+HLL_SHINGLE = 8  # char-8-gram shingles: ~4k distinct per source at sf0.01
+
+
+def hll_registers(pairs: DataFrame, key: str = "source") -> DataFrame:
+    """(key, reg, mrho): the HLL register file as rows.
+
+    ONE aggregation with a map-side-combining MAX — at 100 TB the
+    shuffle carries at most keys * m rows per map partition no matter
+    how many billions of values stream through, and duplicates cost
+    nothing (max is idempotent), so unlike every exact-distinct plan
+    there is NO distinct shuffle anywhere.
+    """
+    w = F.shiftright("h", HLL_P_BITS)
+    return (
+        pairs.select(
+            key,
+            F.col("h").bitwiseAND(HLL_M - 1).alias("reg"),
+            F.when(w == 0, F.lit(HLL_RHO_CAP))
+            .otherwise(F.lit(HLL_RHO_CAP) - F.length(F.bin(w)))
+            .cast("bigint")
+            .alias("rho"),
+        )
+        .groupBy(key, "reg")
+        .agg(F.max("rho").alias("mrho"))
+    )
+
+
+def hll_estimate_cols(key: str) -> list:
+    """The shared estimator tail over a (key, v_hit, sum_hit) frame."""
+    sum_scaled = (
+        F.col("sum_hit") + (F.lit(HLL_M) - F.col("v_hit")) * F.lit(HLL_SCALE)
+    ).cast("bigint")
+    return [
+        F.col(key),
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        (F.lit(HLL_M) - F.col("v_hit")).cast("bigint").alias("v_empty"),
+        sum_scaled.alias("sum_scaled"),
+        F.round(F.lit(_HLL_NUM) / sum_scaled, 6).alias("hll_estimate"),
+    ]
+
+
+def _hll_fold(regs: DataFrame, key: str) -> DataFrame:
+    return regs.groupBy(key).agg(
+        F.count("*").alias("v_hit"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - CAST(mrho AS INT))")
+        ).alias("sum_hit"),
+    )
+
+
+# DuckDB fragments mirroring the same arithmetic
+def _hll_regs_sql(pairs_sql: str, key: str) -> str:
+    return f"""
+  SELECT {key}, h & {HLL_M - 1} AS reg,
+         MAX(CASE WHEN (h >> {HLL_P_BITS}) = 0 THEN {HLL_RHO_CAP}
+              ELSE {HLL_RHO_CAP} - length(ltrim(bin(h >> {HLL_P_BITS}), '0'))
+         END) AS mrho
+  FROM ({pairs_sql}) GROUP BY {key}, reg
+"""
+
+
+def _hll_fold_sql(regs_sql: str, key: str) -> str:
+    return f"""
+  SELECT {key}, CAST({HLL_M} AS BIGINT) AS m,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - CAST(mrho AS INT)))
+              + ({HLL_M} - COUNT(*)) * {HLL_SCALE} AS BIGINT) AS sum_scaled
+  FROM ({regs_sql}) GROUP BY {key}
+"""
+
+
+_HLL_SHINGLE_PAIRS_SQL = f"""
+  SELECT source, {{hash}} AS h FROM (
+    SELECT source, substring(text, CAST(i AS INTEGER), {HLL_SHINGLE}) AS t
+    FROM documents, UNNEST(range(1, length(text) - {HLL_SHINGLE - 2})) r(i)
+  )
+""".format(hash=_TOKEN_HASH_SQL)
+
+
+@register(
+    "hll_register_sketch",
+    oracle=f"""
+    WITH regs AS ({_hll_regs_sql(_HLL_SHINGLE_PAIRS_SQL, "source")}),
+    folded AS ({_hll_fold_sql("SELECT * FROM regs", "source")}),
+    ex AS (
+      SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+      FROM ({_HLL_SHINGLE_PAIRS_SQL}) GROUP BY source
+    )
+    SELECT f.source, f.m, f.v_empty, f.sum_scaled,
+           round({_HLL_NUM!r} / f.sum_scaled, 6) AS hll_estimate,
+           e.n_exact,
+           round(100.0 * abs({_HLL_NUM!r} / f.sum_scaled - e.n_exact)
+                 / e.n_exact, 6) AS err_pct
+    FROM folded f JOIN ex e ON e.source = f.source
+    ORDER BY f.source
+    """,
+    doc=f"Per-source distinct char-{HLL_SHINGLE}-gram cardinality from a "
+    f"classic {HLL_M}-register HyperLogLog (Flajolet et al. 2007) held "
+    "as ROWS — the introspectable/foldable sibling of Spark's opaque "
+    "approx_count_distinct and the union-only complement of the KMV "
+    "trio. Register max is one map-side-combining aggregation (shuffle "
+    f"<= sources x {HLL_M} rows per map partition at ANY corpus scale, "
+    "duplicates free, NO distinct shuffle); the harmonic denominator is "
+    "the exact scaled-integer SUM(1 << (23 - rho)) so the only float in "
+    "the sketch is the final alpha*m^2/sum division. Exact distinct "
+    "rides along as the QA calibration column (the one leg you drop at "
+    "100 TB). rho = leading-zero rank via length(bin(w)) — identical "
+    "minimal-width binary semantics in both engines.",
+)
+def q_hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_ngrams
+
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    pairs = docs.select(
+        "source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t")
+    ).select("source", rolling_hash("t").alias("h"))
+    folded = _hll_fold(hll_registers(pairs), "source")
+    exact = pairs.groupBy("source").agg(
+        F.countDistinct("h").cast("bigint").alias("n_exact")
+    )
+    est_raw = F.lit(_HLL_NUM) / F.col("sum_scaled")
+    return (
+        folded.select(*hll_estimate_cols("source"))
+        .join(F.broadcast(exact), "source")
+        .select(
+            "source",
+            "m",
+            "v_empty",
+            "sum_scaled",
+            "hll_estimate",
+            "n_exact",
+            F.round(
+                F.lit(100.0) * F.abs(est_raw - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("err_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_HLL_DAU_PAIRS_SQL = f"""
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         (user_id * {_ID_HASH_A} + {_ID_HASH_B}) % {P} AS h
+  FROM events
+"""
+
+
+@register(
+    "hll_weekly_from_daily",
+    oracle=f"""
+    WITH regs AS ({_hll_regs_sql(_HLL_DAU_PAIRS_SQL, "week")}),
+    folded AS ({_hll_fold_sql("SELECT * FROM regs", "week")}),
+    ex AS (
+      SELECT week, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+      FROM ({_HLL_DAU_PAIRS_SQL}) GROUP BY week
+    )
+    SELECT f.week, f.m, f.v_empty, f.sum_scaled,
+           round({_HLL_NUM!r} / f.sum_scaled, 6) AS est_wau,
+           e.n_exact,
+           round(100.0 * abs({_HLL_NUM!r} / f.sum_scaled - e.n_exact)
+                 / e.n_exact, 6) AS err_pct
+    FROM folded f JOIN ex e ON e.week = f.week
+    ORDER BY f.week
+    """,
+    doc="Weekly active users obtained by FOLDING the per-day HLL "
+    "register files (per-register MAX over each week's daily partials) "
+    "— the HLL twin of kmv_weekly_from_daily's merge-identity proof. "
+    "The oracle builds the weekly registers DIRECTLY from the events, "
+    "so value parity is an end-to-end proof on real data that the "
+    "register lattice folds exactly: max-merge of daily register files "
+    "== registers of the union. This is the property that makes HLL "
+    "state checkpointable in a streaming sink (re-delivered batches "
+    "are absorbed idempotently) and rollup-able day -> week -> month "
+    "at O(m) per grain, never re-reading the stream.",
+)
+def q_hll_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, "events", sf_dir)
+    pairs = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        ((F.col("user_id") * _ID_HASH_A + _ID_HASH_B) % P).alias("h"),
+    ).localCheckpoint(eager=True)
+    daily = hll_registers(pairs.select(F.col("day").alias("key"), "h"), "key")
+    weekly_regs = (
+        daily.join(
+            F.broadcast(
+                pairs.select(F.col("day").alias("key"), "week").distinct()
+            ),
+            "key",
+        )
+        .groupBy("week", "reg")
+        .agg(F.max("mrho").alias("mrho"))  # the lattice fold under test
+    )
+    folded = _hll_fold(weekly_regs, "week")
+    exact = pairs.groupBy("week").agg(
+        F.countDistinct("h").cast("bigint").alias("n_exact")
+    )
+    est_raw = F.lit(_HLL_NUM) / F.col("sum_scaled")
+    return (
+        folded.select(*hll_estimate_cols("week"))
+        .join(F.broadcast(exact), "week")
+        .select(
+            "week",
+            "m",
+            "v_empty",
+            "sum_scaled",
+            F.col("hll_estimate").alias("est_wau"),
+            "n_exact",
+            F.round(
+                F.lit(100.0) * F.abs(est_raw - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("err_pct"),
+        )
+        .orderBy("week")
+    )

@@ -329,3 +329,133 @@ def test_kmv_difference_estimator_branch(spark):
     assert abs(r.est_only_a - 2000) <= 0.35 * 2000, r.est_only_a
     # the estimator really ran (the union is far past K)
     assert r.est_only_a != r.exact_only_a or K >= 8000
+
+
+# --- HyperLogLog register sketch (hll_register_sketch / hll_weekly_from_daily)
+
+
+def _hll_python_registers(values):
+    """Independent Python recompute of the 256-register file over raw
+    int64 hashes — no Spark, no SQL, no shared helpers."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_CAP,
+    )
+
+    regs = {}
+    for h in values:
+        reg = h & (HLL_M - 1)
+        w = h >> 8
+        rho = HLL_RHO_CAP if w == 0 else HLL_RHO_CAP - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_matches_independent_python_recompute(spark):
+    """The full sketch pipeline (hash → register max → scaled-integer
+    harmonic sum → estimate) equals a from-scratch Python recompute per
+    source, including the exact BIGINT sum_scaled and the one float."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_SCALE,
+        HLL_SHINGLE,
+        _HLL_NUM,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+    from collect_mobile_devices_datalake_spark.functions.text import rolling_hash
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    _ensure_loaded()
+    got = {
+        r["source"]: r
+        for r in REGISTRY["hll_register_sketch"].spark(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, "documents", SF_SMOKE).select("source", "text").collect()
+    by_source = {}
+    for r in docs:
+        t = r["text"]
+        for i in range(len(t) - HLL_SHINGLE + 1):
+            sh = t[i : i + HLL_SHINGLE]
+            h = 0
+            for ch in sh:
+                h = (h * 31 + ord(ch)) % 1_000_000_007
+            by_source.setdefault(r["source"], []).append(h)
+    assert set(got) == set(by_source)
+    for src, hashes in by_source.items():
+        regs = _hll_python_registers(hashes)
+        sum_scaled = sum(1 << (HLL_RHO_CAP - m) for m in regs.values()) + (
+            HLL_M - len(regs)
+        ) * HLL_SCALE
+        row = got[src]
+        assert row["m"] == HLL_M
+        assert row["v_empty"] == HLL_M - len(regs)
+        assert row["sum_scaled"] == sum_scaled
+        assert row["hll_estimate"] == round(_HLL_NUM / sum_scaled, 6)
+        assert row["n_exact"] == len(set(hashes))
+
+
+def test_hll_registers_partitioning_invariant(spark):
+    """Register max is idempotent+associative+commutative: identical
+    register files under 1, 7, and 32 partitions AND under duplicated
+    input (re-delivery) — the properties that make the sketch shuffle
+    O(keys x m) and its streaming state replay-proof."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        hll_registers,
+    )
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        _source_token_hashes,
+    )
+
+    pairs = _source_token_hashes(spark, SF_SMOKE).localCheckpoint(eager=True)
+
+    def reg_map(df):
+        return {
+            (r["source"], r["reg"]): r["mrho"]
+            for r in hll_registers(df).collect()
+        }
+
+    base = reg_map(pairs.coalesce(1))
+    assert base
+    for n in (7, 32):
+        assert reg_map(pairs.repartition(n)) == base
+    assert reg_map(pairs.unionByName(pairs)) == base  # idempotent re-delivery
+
+
+def test_hll_weekly_fold_equals_direct_build(spark):
+    """Max-merge of the daily register files == registers built directly
+    from the weekly union — the lattice identity hll_weekly_from_daily's
+    oracle proves at the value level, pinned here structurally."""
+    from pyspark.sql import functions as F
+
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        _ID_HASH_A,
+        _ID_HASH_B,
+        P,
+        hll_registers,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    e = load_table(spark, "events", SF_SMOKE)
+    pairs = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        ((F.col("user_id") * _ID_HASH_A + _ID_HASH_B) % P).alias("h"),
+    ).localCheckpoint(eager=True)
+    daily = hll_registers(pairs.select(F.col("day").alias("key"), "h"), "key")
+    folded = {
+        (r["week"], r["reg"]): r["mrho"]
+        for r in daily.join(
+            pairs.select(F.col("day").alias("key"), "week").distinct(), "key"
+        )
+        .groupBy("week", "reg")
+        .agg(F.max("mrho").alias("mrho"))
+        .collect()
+    }
+    direct = {
+        (r["key"], r["reg"]): r["mrho"]
+        for r in hll_registers(
+            pairs.select(F.col("week").alias("key"), "h"), "key"
+        ).collect()
+    }
+    assert folded == direct and folded
