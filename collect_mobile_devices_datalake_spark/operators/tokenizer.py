@@ -61,6 +61,48 @@ def _initial_symbols(types: DataFrame) -> DataFrame:
     ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
 
 
+def _merge_rebuild(syms: DataFrame, rule: DataFrame, merged) -> DataFrame:
+    """Apply a 1-row (merge_left, merge_right) rule to the symbol table.
+
+    Shared by the BPE and WordPiece loops — only the merged-symbol
+    expression differs (plain concat vs continuation-mark strip).
+    Greedy left-to-right NON-OVERLAPPING occurrence selection — the only
+    subtle part (overlaps arise when left == right, e.g. ``a a a``):
+    consecutive occurrence positions form islands (pos − row_number) and
+    the merge takes every other occurrence from each island's start.
+    """
+    w_pos = Window.partitionBy("word").orderBy("pos")
+    p = syms.withColumn("nxt", F.lead("sym").over(w_pos))
+    occ = (
+        p.crossJoin(F.broadcast(rule.select("merge_left", "merge_right")))
+        .filter((F.col("sym") == F.col("merge_left")) & (F.col("nxt") == F.col("merge_right")))
+        .select("word", "pos")
+    )
+    isl = occ.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
+    w_isl = Window.partitionBy("word", "grp")
+    sel = isl.withColumn("off", F.col("pos") - F.min("pos").over(w_isl)).filter(
+        F.col("off") % 2 == 0
+    )
+    start = sel.select("word", "pos", F.lit(1).alias("is_start"))
+    consumed = sel.select("word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("is_consumed"))
+    return (
+        syms.join(start, ["word", "pos"], "left")
+        .join(consumed, ["word", "pos"], "left")
+        .filter(F.col("is_consumed").isNull())
+        .crossJoin(F.broadcast(rule.select("merge_left", "merge_right")))
+        .select(
+            "word",
+            "freq",
+            "pos",
+            F.when(F.col("is_start").isNotNull(), merged)
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .withColumn("pos", F.row_number().over(w_pos))
+        .localCheckpoint(eager=True)
+    )
+
+
 def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One BPE iteration: returns (rule, next_symbols).
 
@@ -78,39 +120,7 @@ def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .limit(1)
         .localCheckpoint(eager=True)
     )
-    occ = (
-        p.crossJoin(F.broadcast(rule))
-        .filter((F.col("sym") == F.col("merge_left")) & (F.col("nxt") == F.col("merge_right")))
-        .select("word", "pos")
-    )
-    # islands of consecutive occurrence positions; greedy left-to-right
-    # non-overlap = keep every other occurrence from each island's start
-    isl = occ.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
-    w_isl = Window.partitionBy("word", "grp")
-    sel = isl.withColumn("off", F.col("pos") - F.min("pos").over(w_isl)).filter(
-        F.col("off") % 2 == 0
-    )
-    start = sel.select("word", "pos", F.lit(1).alias("is_start"))
-    consumed = sel.select("word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("is_consumed"))
-    nxt_syms = (
-        syms.join(start, ["word", "pos"], "left")
-        .join(consumed, ["word", "pos"], "left")
-        .filter(F.col("is_consumed").isNull())
-        .crossJoin(F.broadcast(rule.select("merge_left", "merge_right")))
-        .select(
-            "word",
-            "freq",
-            "pos",
-            F.when(
-                F.col("is_start").isNotNull(),
-                F.concat("merge_left", "merge_right"),
-            )
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-        .withColumn("pos", F.row_number().over(w_pos))
-        .localCheckpoint(eager=True)
-    )
+    nxt_syms = _merge_rebuild(syms, rule, F.concat("merge_left", "merge_right"))
     return rule, nxt_syms
 
 
@@ -634,5 +644,278 @@ def q_unigram_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("nseg")).cast("bigint").alias("n_long_words"),
             F.coalesce(F.sum("nseg"), F.lit(0)).cast("bigint").alias("n_segments"),
             F.coalesce(F.sum("bits"), F.lit(0)).cast("bigint").alias("total_bits"),
+        )
+    )
+
+
+# --- WordPiece induction -----------------------------------------------------
+#
+# The third tokenizer family, completing the trio (BPE above, unigram LM
+# below): WordPiece (Schuster & Nakajima 2012; Wu et al. 2016 §3.2, the
+# BERT tokenizer) is BPE's loop with a LIKELIHOOD merge criterion — pick
+# the pair maximizing count(ab) / (count(a) * count(b)) instead of raw
+# count(ab) — and continuation marks ('##') on word-internal symbols, so
+# the learned units are directly the BERT-style vocab entries. Behavioral
+# spec: the HuggingFace `tokenizers` WordPiece trainer's documented
+# scoring rule (public docs); no code consulted or copied.
+#
+# Cross-engine determinism: the score is one IEEE division of exact
+# integers — CAST(pair AS DOUBLE) / (left_w * right_w); the BIGINT
+# product is exact below 2^53 (corpus token counts ~1e7 at sf0.1 →
+# product ≤ ~1e14) and correctly-rounded division is bit-identical in
+# Spark and DuckDB, with the (score DESC, left, right) tiebreak making
+# float-equal scores deterministic.
+
+WP_MERGES = 6  # merge rules to learn (each adds ~7 CTEs to the oracle)
+
+
+def _initial_wp_symbols(types: DataFrame) -> DataFrame:
+    """Symbol table with WordPiece continuation marks: position 1 keeps
+    the bare character, every later position is '##'-prefixed."""
+    return types.select(
+        "word",
+        "freq",
+        F.posexplode(F.split("word", "")).alias("pos0", "ch"),
+    ).select(
+        "word",
+        "freq",
+        (F.col("pos0") + 1).alias("pos"),
+        F.when(F.col("pos0") == 0, F.col("ch"))
+        .otherwise(F.concat(F.lit("##"), F.col("ch")))
+        .alias("sym"),
+    )
+
+
+def _wp_merged():
+    """Merged symbol: left keeps its own mark; the right side's '##' is
+    consumed by the merge (substring(right, 3) — rights are always
+    word-internal, hence always '##'-prefixed). A function, not a
+    module-level Column: building expressions needs an active session."""
+    return F.concat(F.col("merge_left"), F.expr("substring(merge_right, 3)"))
+
+
+def _one_wp_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One WordPiece iteration: likelihood-scored rule + rebuild.
+
+    Two vocabulary-sized aggregations (pair counts, symbol counts) and
+    two broadcast-sized joins feed the argmax; the rebuild is the shared
+    island-parity machinery (`_merge_rebuild`)."""
+    w_pos = Window.partitionBy("word").orderBy("pos")
+    p = syms.withColumn("nxt", F.lead("sym").over(w_pos))
+    counts = syms.groupBy("sym").agg(F.sum("freq").cast("bigint").alias("w"))
+    pc = (
+        p.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("merge_left"), F.col("nxt").alias("merge_right"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_weight"))
+    )
+    rule = (
+        pc.join(
+            counts.select(F.col("sym").alias("merge_left"), F.col("w").alias("left_weight")),
+            "merge_left",
+        )
+        .join(
+            counts.select(F.col("sym").alias("merge_right"), F.col("w").alias("right_weight")),
+            "merge_right",
+        )
+        .orderBy(
+            F.desc(
+                F.col("pair_weight").cast("double")
+                / (F.col("left_weight") * F.col("right_weight"))
+            ),
+            F.asc("merge_left"),
+            F.asc("merge_right"),
+        )
+        .limit(1)
+        .select("merge_left", "merge_right", "pair_weight", "left_weight", "right_weight")
+        .localCheckpoint(eager=True)
+    )
+    return rule, _merge_rebuild(syms, rule, _wp_merged())
+
+
+def _wp_oracle(k: int = WP_MERGES, final: str | None = None) -> str:
+    """The WordPiece loop unrolled as a CTE chain (the _bpe_oracle
+    technique, plus per-iteration symbol-count and score-join CTEs)."""
+    ctes = [
+        """w AS (
+          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+          GROUP BY w
+        )""",
+        """s1 AS MATERIALIZED (
+          SELECT word, freq, i AS pos,
+                 CASE WHEN i = 1 THEN substring(word, CAST(i AS INTEGER), 1)
+                      ELSE '##' || substring(word, CAST(i AS INTEGER), 1) END AS sym
+          FROM w, UNNEST(range(1, len(word) + 1)) r(i)
+        )""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+          SELECT word, freq, pos, sym,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM s{i}
+        )""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+          SELECT sym, CAST(SUM(freq) AS BIGINT) AS w FROM s{i} GROUP BY sym
+        )""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+          SELECT pc.merge_left, pc.merge_right, pc.pair_weight,
+                 cl.w AS left_weight, cr.w AS right_weight
+          FROM (
+            SELECT sym AS merge_left, nxt AS merge_right,
+                   CAST(SUM(freq) AS BIGINT) AS pair_weight
+            FROM p{i} WHERE nxt IS NOT NULL
+            GROUP BY sym, nxt
+          ) pc
+          JOIN c{i} cl ON cl.sym = pc.merge_left
+          JOIN c{i} cr ON cr.sym = pc.merge_right
+          ORDER BY CAST(pc.pair_weight AS DOUBLE) / (cl.w * cr.w) DESC,
+                   pc.merge_left ASC, pc.merge_right ASC
+          LIMIT 1
+        )""")
+        ctes.append(f"""o{i} AS MATERIALIZED (
+          SELECT p.word, p.pos
+          FROM p{i} p, r{i} r
+          WHERE p.sym = r.merge_left AND p.nxt = r.merge_right
+        )""")
+        ctes.append(f"""sel{i} AS MATERIALIZED (
+          SELECT word, pos FROM (
+            SELECT word, pos, pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+            FROM (
+              SELECT word, pos,
+                     pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+              FROM o{i}
+            )
+          ) WHERE off % 2 = 0
+        )""")
+        ctes.append(f"""s{i + 1} AS MATERIALIZED (
+          SELECT word, freq,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+          FROM (
+            SELECT s.word, s.freq, s.pos,
+                   CASE WHEN a.pos IS NOT NULL
+                        THEN r.merge_left || substring(r.merge_right, 3)
+                        ELSE s.sym END AS sym
+            FROM s{i} s
+            CROSS JOIN r{i} r
+            LEFT JOIN sel{i} a ON a.word = s.word AND a.pos = s.pos
+            LEFT JOIN sel{i} b ON b.word = s.word AND b.pos = s.pos - 1
+            WHERE b.pos IS NULL
+          )
+        )""")
+    if final is None:
+        final = "\n    UNION ALL ".join(
+            f"SELECT CAST({i} AS BIGINT) AS merge_rank, merge_left, merge_right, "
+            f"merge_left || substring(merge_right, 3) AS merged, "
+            f"pair_weight, left_weight, right_weight FROM r{i}"
+            for i in range(1, k + 1)
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@register(
+    "wordpiece_learn_merges",
+    oracle=_wp_oracle(),
+    doc=f"WordPiece tokenizer induction (Schuster & Nakajima 2012; Wu et "
+    f"al. 2016 — the BERT tokenizer): the first {WP_MERGES} merges "
+    "learned from the word-type table under the LIKELIHOOD criterion "
+    "score(a,b) = count(ab) / (count(a)*count(b)), with '##' "
+    "continuation marks on word-internal symbols so the learned units "
+    "are the BERT-style vocab entries. Same Zipf-bounded iterative "
+    "shape as bpe_learn_merges (vocabulary-sized working set, 1-row "
+    "broadcast argmax, island-parity non-overlap rebuild — shared "
+    "machinery); the score adds one symbol-count aggregation and two "
+    "broadcast joins per iteration, and is ONE IEEE division of exact "
+    "BIGINTs, bit-identical cross-engine. Output keeps the integer "
+    "count triple (pair/left/right weights) instead of the float score "
+    "so every emitted column is exact.",
+)
+def q_wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    out = None
+    with scoped_shuffle_width(spark, syms.count()):
+        for i in range(1, WP_MERGES + 1):
+            rule, syms = _one_wp_merge(syms)
+            ranked = rule.select(
+                F.lit(i).cast("bigint").alias("merge_rank"),
+                "merge_left",
+                "merge_right",
+                _wp_merged().alias("merged"),
+                "pair_weight",
+                "left_weight",
+                "right_weight",
+            )
+            out = ranked if out is None else out.unionByName(ranked)
+    return out
+
+
+@register(
+    "wordpiece_corpus_encoding",
+    oracle=_wp_oracle(
+        final=f""", seg AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_wp_tokens
+      FROM s{WP_MERGES + 1} GROUP BY word
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_wp_tokens) AS BIGINT) AS n_wp_tokens,
+           CAST(SUM(len(t.word)) AS BIGINT) AS n_chars,
+           round(CAST(SUM(len(t.word)) AS DOUBLE)
+                 / SUM(s.n_wp_tokens), 6) AS chars_per_token
+    FROM toks t JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    ),
+    doc=f"The learned WordPiece tokenizer applied to the corpus: per "
+    f"document, its token count under the {WP_MERGES}-merge WordPiece "
+    "vocabulary — the BERT-style twin of bpe_corpus_encoding, and the "
+    "number that sizes encoder-model training budgets. Same "
+    "train-once/apply-many artifact discipline: the per-type segment "
+    "table is a PERSISTED artifact keyed by merge count + corpus "
+    "fingerprint, and the apply path is one explode, one broadcast "
+    "dictionary join on the word key, one doc-keyed aggregation — the "
+    "learn loop is never paid per query.",
+)
+def q_wordpiece_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _persisted_index
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def _build_seg() -> DataFrame:
+        syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
+        with scoped_shuffle_width(spark, syms.count()):
+            for _ in range(WP_MERGES):
+                _, syms = _one_wp_merge(syms)
+            return (
+                syms.groupBy("word")
+                .agg(F.count("*").cast("bigint").alias("n_wp_tokens"))
+                .localCheckpoint(eager=True)
+            )
+
+    seg = _persisted_index(
+        spark, "wpseg", sf_dir, f"m{WP_MERGES}", _build_seg, table="documents"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_wp_tokens").cast("bigint").alias("n_wp_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_wp_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_wp_tokens"), 6
+            ).alias("chars_per_token"),
         )
     )

@@ -141,3 +141,134 @@ def test_unigram_lm_dp_is_optimal_vs_bruteforce(spark):
     for r in rows:
         b, ns, path = best(r["word"])
         assert (r["total_bits"], r["n_segments"], r["segmentation"]) == (b, ns, path), r["word"]
+
+
+# --- WordPiece (wordpiece_learn_merges / wordpiece_corpus_encoding) ----------
+
+
+def test_wordpiece_one_merge_matches_reference_python(spark):
+    """_one_wp_merge against a from-scratch Python WordPiece iteration:
+    '##'-marked symbols, likelihood score pair/(left*right) with the
+    (score DESC, left, right) tiebreak, greedy left-to-right merge."""
+    import random
+    from fractions import Fraction
+
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+        _initial_wp_symbols,
+        _one_wp_merge,
+    )
+
+    rng = random.Random(13)
+    words = list(
+        {
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+            for _ in range(30)
+        }
+        | {"".join(rng.choice("abc") for _ in range(rng.randint(2, 12))) for _ in range(30)}
+    )
+    freqs = {w: rng.randint(1, 9) for w in words}
+
+    seqs = {
+        w: [w[0]] + ["##" + ch for ch in w[1:]] for w in words
+    }
+    pair_counts: dict[tuple[str, str], int] = {}
+    sym_counts: dict[str, int] = {}
+    for w, s in seqs.items():
+        for x in s:
+            sym_counts[x] = sym_counts.get(x, 0) + freqs[w]
+        for x, y in zip(s, s[1:]):
+            pair_counts[(x, y)] = pair_counts.get((x, y), 0) + freqs[w]
+    # exact-rational score comparison (the engines use one IEEE division
+    # of exact ints; Fraction ordering can only differ from float
+    # ordering on ties closer than 1 ulp — none exist on this fixture,
+    # and the (left, right) tiebreak pins exact ties)
+    best = min(
+        pair_counts.items(),
+        key=lambda kv: (
+            -Fraction(kv[1], sym_counts[kv[0][0]] * sym_counts[kv[0][1]]),
+            kv[0][0],
+            kv[0][1],
+        ),
+    )[0]
+    expected = {}
+    for w, s in seqs.items():
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                out.append(s[i] + s[i + 1][2:])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        expected[w] = out
+
+    types = spark.createDataFrame(
+        [(w, freqs[w]) for w in words], "word string, freq long"
+    )
+    rule, nxt = _one_wp_merge(_initial_wp_symbols(types))
+    rrow = rule.collect()[0]
+    assert (rrow.merge_left, rrow.merge_right) == best
+    assert rrow.pair_weight == pair_counts[best]
+    assert rrow.left_weight == sym_counts[best[0]]
+    assert rrow.right_weight == sym_counts[best[1]]
+    got = {}
+    for r in nxt.orderBy("word", "pos").collect():
+        got.setdefault(r.word, []).append(r.sym)
+    assert got == expected
+
+
+def test_wordpiece_differs_from_bpe_criterion(spark):
+    """The likelihood criterion must be able to pick a DIFFERENT pair
+    than raw-count BPE: 'ab' everywhere (high count, high denominators)
+    vs 'cd' rare but exclusive (count == left*right/d, high score)."""
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+        _initial_wp_symbols,
+        _one_wp_merge,
+    )
+
+    # 'ab' pair count 20 but a,b each appear 40 (score 20/1600);
+    # 'cd' pair count 2, c,d appear only there (score 2/4)
+    types = spark.createDataFrame(
+        [("ab", 20), ("ba", 20), ("cd", 2)], "word string, freq long"
+    )
+    rule, _ = _one_wp_merge(_initial_wp_symbols(types))
+    r = rule.collect()[0]
+    assert (r.merge_left, r.merge_right) == ("c", "##d")
+
+
+def test_wordpiece_merge_ranks_complete_and_marks_consistent(spark):
+    rows = (
+        REGISTRY["wordpiece_learn_merges"]
+        .spark(spark, SF_SMOKE)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import WP_MERGES
+
+    assert [r.merge_rank for r in rows] == list(range(1, WP_MERGES + 1))
+    for r in rows:
+        # rights are always word-internal units
+        assert r.merge_right.startswith("##")
+        # the merged unit strips exactly the right's continuation mark
+        assert r.merged == r.merge_left + r.merge_right[2:]
+        assert 0 < r.pair_weight <= min(r.left_weight, r.right_weight)
+
+
+def test_wordpiece_encoding_conserves_chars_and_bounds_tokens(spark):
+    """Cross-op invariant: per doc, n_chars equals the whitespace
+    tokenization's total char count (conservation through the persisted
+    segment artifact) and word_count <= wp_tokens <= n_chars."""
+    enc = {
+        r.doc_id: r
+        for r in REGISTRY["wordpiece_corpus_encoding"].spark(spark, SF_SMOKE).collect()
+    }
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text").collect()
+    assert set(enc) == {r.doc_id for r in docs}
+    for r in docs:
+        words = r.text.split()
+        e = enc[r.doc_id]
+        assert e.n_words == len(words)
+        assert e.n_chars == sum(len(w) for w in words)
+        assert e.n_words <= e.n_wp_tokens <= e.n_chars
