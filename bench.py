@@ -73,6 +73,15 @@ HEADLINE = [
     "temperature_mix_allocation",
     "contrastive_pairs_mined",
     "lsh_index_stats",
+    # r13 continuation: the two newest kernel families — the HLL
+    # register build (the purest scan shape in the repo: one map-side
+    # max aggregation, slope -0.50/0.30) and the WordPiece pair
+    # (likelihood-scored learn loop + persisted-artifact corpus apply,
+    # slopes -0.19/0.07 and 0.35/0.28). First-green self-baselines in
+    # BASELINE.md §C-v2 (calibrated).
+    "hll_register_sketch",
+    "wordpiece_learn_merges",
+    "wordpiece_corpus_encoding",
 ]
 
 # Streaming maintenance guard set (added r8): each runs a REAL
@@ -94,6 +103,9 @@ STREAMING = [
     "streaming_logbin_state",
     "streaming_priority_sample_state",
     "streaming_kmv_state",
+    # r13: the seventh lattice family — per-register HLL max (the most
+    # tightly bounded state in the family: <= sources x 256 rows/batch)
+    "streaming_hll_state",
 ]
 
 

@@ -462,3 +462,45 @@ def phash_images(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "phash"])
 
     return media.mapInPandas(fn, "media_id bigint, phash bigint")
+
+
+GRADIENT_SCHEMA = (
+    "media_id bigint, width int, height int, n_pairs bigint, grad_sum bigint"
+)
+
+
+def gradient_energy(media: DataFrame) -> DataFrame:
+    """mapInPandas: image rows → horizontal total-variation energy.
+
+    The second downstream consumer of the REAL BMP decode (the image
+    twin of ``media_wav_silence_runs``'s role for audio): per image,
+    the sum of |p[y][x+1] − p[y][x]| over every within-row neighbor
+    pair of the PARSED pixel array — the classic total-variation
+    sharpness/texture proxy a multimodal curation pipeline uses to
+    drop blurred/flat assets. Vectorized numpy over the decoded
+    buffer; integer output so the value-level oracle is exact.
+    """
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["kind"] == "image"]
+            rows = []
+            for _, r in img.iterrows():
+                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                grad = int(np.abs(np.diff(arr.reshape(h, w), axis=1)).sum())
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_pairs": (w - 1) * h,
+                        "grad_sum": grad,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_pairs", "grad_sum"]
+            )
+
+    return media.mapInPandas(fn, GRADIENT_SCHEMA)

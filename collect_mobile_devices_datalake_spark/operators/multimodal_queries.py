@@ -563,3 +563,68 @@ def q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_labels(pairs).select(
         F.col("doc_id").alias("media_id"), "cluster_id"
     )
+
+
+@register(
+    "media_gradient_energy",
+    # pixels are the utf-8 text bytes tiled to width*height, so the
+    # within-row neighbor difference at flat index i is
+    # |byte[(i+1) % len] − byte[i % len]| except where i+1 starts a new
+    # row — recomputable in SQL from doc_id + text, while the Spark side
+    # measures it on the pixel array reassembled from the padded
+    # bottom-up BMP rows. Integer sum both sides; the mean is one IEEE
+    # division.
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST((doc_id % 8 + 1) * 64 AS INTEGER) AS width,
+             CAST((doc_id % 4 + 1) * 64 AS INTEGER) AS height,
+             (doc_id % 8 + 1) * 64 * (doc_id % 4 + 1) * 64 AS n,
+             text, length(text) AS len
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    g AS (
+      SELECT media_id, width, height,
+             CAST((width - 1) * height AS BIGINT) AS n_pairs,
+             CAST(list_reduce(list_transform(range(0, n - 1),
+                  i -> CASE WHEN (i + 1) % width = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(abs(
+                         ascii(substring(text, CAST((i + 1) % len AS INTEGER) + 1, 1))
+                         - ascii(substring(text, CAST(i % len AS INTEGER) + 1, 1))
+                       ) AS BIGINT) END),
+                  (a, b) -> a + b) AS BIGINT) AS grad_sum
+      FROM g0
+    )
+    SELECT media_id, width, height, n_pairs, grad_sum,
+           round(grad_sum / CAST(n_pairs AS DOUBLE), 6) AS grad_mean
+    FROM g ORDER BY media_id
+    """.replace("FROM g0", "FROM img"),
+    doc="Horizontal total-variation energy per image over REALLY-decoded "
+    "BMP pixels — the sharpness/texture signal a multimodal curation "
+    "pipeline gates on (blurred/flat assets score low), and the second "
+    "downstream consumer of the image decode path (with "
+    "media_phash_near_dup), mirroring how media_wav_silence_runs "
+    "consumes decoded PCM. Map-only: one Arrow batch in/out, payload "
+    "bytes never leave the executor; the oracle recomputes the exact "
+    "integer sum from the tiled fixture bytes, so parity certifies the "
+    "row-major reassembly of the padded bottom-up BMP rows (a transposed "
+    "or padding-polluted decode would change the sum).",
+)
+def q_media_gradient_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import bmp_media_table, gradient_energy
+
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        gradient_energy(bmp_media_table(d))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_pairs",
+            "grad_sum",
+            F.round(
+                F.col("grad_sum") / F.col("n_pairs").cast("double"), 6
+            ).alias("grad_mean"),
+        )
+        .orderBy("media_id")
+    )

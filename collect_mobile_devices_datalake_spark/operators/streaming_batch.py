@@ -1274,3 +1274,71 @@ def q_streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+def _hll_stream_oracle() -> str:
+    """The batch register file per source over the WHOLE corpus — the
+    stream's folded state must equal it register-for-register. Imported
+    from the provider module so the hash/rho fragments stay
+    single-sourced (the retrieval.py lesson)."""
+    from .sketches import _SOURCE_HASHES_SQL, _hll_regs_sql
+
+    return f"""
+    WITH regs AS ({_hll_regs_sql(_SOURCE_HASHES_SQL, "source")})
+    SELECT source, CAST(reg AS BIGINT) AS reg, CAST(mrho AS BIGINT) AS mrho
+    FROM regs ORDER BY source, reg
+    """
+
+
+@register(
+    "streaming_hll_state",
+    oracle=_hll_stream_oracle(),
+    doc="The streaming max-merge lattice, driver-gated at value level — "
+    "the seventh certified lattice family (sum: rollup/CMS/logbin; "
+    "argmax: survivorship; k-extreme: priority sample; k-min G-set: "
+    "KMV; per-register max: this). Documents are fed through the "
+    "ACTUAL HLL maintenance stream (streaming/sketch_maintenance — "
+    "foreachBatch writes one <= sources x 256-row register partial per "
+    "batch) in two availableNow runs against ONE checkpoint (restart "
+    "certification), the state is compacted and read, and the folded "
+    "register file is emitted as (source, reg, mrho) rows. The oracle "
+    "is the batch register build over the whole corpus — register-for-"
+    "register equality proves max-merge is a true idempotent lattice "
+    "join across batch partials, a restart boundary, AND compaction "
+    "(re-delivered duplicates are absorbed by max with no anti-join), "
+    "i.e. the cardinality state a 100 TB deployment would checkpoint "
+    "is maintained in O(sources x 256) rows per batch, never "
+    "recomputed from the stream.",
+)
+def q_streaming_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.sketch_maintenance import (
+        compact_hll_state,
+        read_hll_state,
+        start_hll_maintenance_stream,
+    )
+
+    base = _stream_temp_root("hll_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    with _data_sized_width(spark, src):
+        q = start_hll_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_hll_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        compact_hll_state(spark, state)
+    return (
+        read_hll_state(spark, state)
+        .select(
+            "source",
+            F.col("reg").cast("long").alias("reg"),
+            F.col("mrho").cast("long").alias("mrho"),
+        )
+        .orderBy("source", "reg")
+    )

@@ -434,3 +434,96 @@ def start_logbin_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- HyperLogLog maintenance ---------------------------------------------------
+#
+# The seventh certified lattice family: per-register MAX. Like the KMV
+# G-set (and unlike CMS sums), max-merge is IDEMPOTENT — wholesale
+# producer re-delivery under a fresh batch id folds to the identical
+# register file with no anti-join — and the per-batch partial is the
+# hardest-bounded state in the family: <= keys * 256 rows regardless of
+# batch size, each row three small ints. This is the sketch a 100 TB
+# deployment actually streams for per-key cardinality (distinct counts
+# where intersection estimates aren't needed; keep KMV when they are).
+
+from ..operators.sketches import hll_registers  # noqa: E402
+
+
+def _maintain_hll_batch(sketch_dir: str, key: str = "source", pairs_fn=None):
+    """foreachBatch body: this batch's bounded register-file partial
+    (<= keys * HLL_M rows) written as its partition."""
+    pairs_fn = pairs_fn or token_hash_pairs
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        partial = hll_registers(pairs_fn(batch), key)
+        partial.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"batch={batch_id}")
+        )
+
+    return fn
+
+
+def read_hll_state(
+    spark: SparkSession,
+    sketch_dir: str,
+    key: str = "source",
+    key_type: str = "string",
+) -> DataFrame:
+    """(key, reg, mrho): the current register file — per-register max
+    over every batch partial. Reading IS merging, same as KMV."""
+    parts = [
+        os.path.join(sketch_dir, d)
+        for d in list_batch_dirs(spark, sketch_dir)
+        if dir_has_parquet(spark, os.path.join(sketch_dir, d))
+    ]
+    if not parts:
+        return spark.createDataFrame(
+            [], f"{key} {key_type}, reg bigint, mrho bigint"
+        )
+    return (
+        spark.read.parquet(*parts)
+        .groupBy(key, "reg")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+
+
+def compact_hll_state(
+    spark: SparkSession, sketch_dir: str, key: str = "source"
+) -> None:
+    """Fold all batch partials into one partition — crash-safe by the
+    idempotent-merge argument of compact_kmv_state (a crash before the
+    sweep leaves extra partials whose re-absorption is a no-op)."""
+    olds = list_batch_dirs(spark, sketch_dir)
+    merged = read_hll_state(spark, sketch_dir, key)
+    if "batch=compacted" in olds:
+        merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, "batch=compacted"))
+    for d in olds:
+        if d != "batch=compacted":
+            delete_dir(spark, os.path.join(sketch_dir, d))
+
+
+def start_hll_maintenance_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming per-source vocabulary cardinality via HLL registers —
+    the live counterpart of hll_register_sketch's register build (over
+    word-token hashes, the same pairs the KMV vocabulary stream
+    consumes, so the two sketches can be maintained side by side from
+    one source)."""
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_maintain_hll_batch(sketch_dir))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "hll_maint"))
+        .trigger(availableNow=True)
+        .start()
+    )

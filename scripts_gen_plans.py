@@ -18,6 +18,7 @@ HEADLINE = [
     "doc_winnowing", "winnowing_overlap_pairs", "nsw_graph_edges",
     "source_quality_calibration", "media_wav_silence_runs",
     "unigram_corpus_encoding",
+    "hll_register_sketch", "wordpiece_corpus_encoding",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")

@@ -252,3 +252,51 @@ def test_phash_near_dup_is_exact(spark):
             if ham <= PHASH_HAM_T:
                 want[(a, bb)] = ham
     assert out == want and len(want) > 0
+
+
+def test_gradient_energy_matches_python_and_survives_roundtrip(spark):
+    """media_gradient_energy's per-image TV sum equals a from-scratch
+    Python recompute from the fixture tiling rule, AND a direct
+    _bmp_bytes -> gradient_energy round trip on a hand-built image gets
+    the row-major neighbor sum right (a transposed or padding-polluted
+    decode would change it — width 5 forces 3 padding bytes per row)."""
+    from collect_mobile_devices_datalake_spark.multimodal import (
+        _bmp_bytes,
+        bmp_media_table,
+        gradient_energy,
+    )
+    from collect_mobile_devices_datalake_spark.operators.multimodal_queries import (
+        q_media_gradient_energy,
+    )
+
+    # hand-built 5x3 image, values chosen so row and column sums differ
+    px = bytes([10, 0, 255, 3, 7,
+                9, 9, 9, 9, 9,
+                0, 100, 0, 100, 0])
+    want_tv = sum(
+        abs(px[y * 5 + x + 1] - px[y * 5 + x]) for y in range(3) for x in range(4)
+    )
+    media = spark.createDataFrame(
+        [(1, "image", _bmp_bytes(px, 5, 3))], "media_id long, kind string, payload binary"
+    )
+    row = gradient_energy(media).collect()[0]
+    assert (row.width, row.height, row.n_pairs, row.grad_sum) == (5, 3, 12, want_tv)
+
+    # fixture-wide: recompute from the tiling rule
+    d = load_table(spark, "documents", SF)
+    got = {r["media_id"]: r for r in q_media_gradient_energy(spark, SF).collect()}
+    docs = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").collect()
+    assert set(got) == {r["doc_id"] for r in docs}
+    for r in docs:
+        w, h = (r["doc_id"] % 8 + 1) * 64, (r["doc_id"] % 4 + 1) * 64
+        b = r["text"].encode()
+        n = w * h
+        tiles = (b * (n // len(b) + 1))[:n]
+        want = sum(
+            abs(tiles[y * w + x + 1] - tiles[y * w + x])
+            for y in range(h)
+            for x in range(w - 1)
+        )
+        e = got[r["doc_id"]]
+        assert (e.width, e.height, e.n_pairs, e.grad_sum) == (w, h, (w - 1) * h, want)
+        assert e.grad_mean == round(want / ((w - 1) * h), 6)

@@ -494,3 +494,29 @@ def test_media_wav_silence_runs_plan(spark):
     # the only exchanges are the window partition + the run aggregate —
     # both carry integer frame stats, never payload bytes
     assert count_exchanges(df) <= 3, plan
+
+
+def test_hll_register_build_is_one_mapside_max_aggregation(spark):
+    """The HLL register build must be the purest scan shape in the repo:
+    ONE aggregation with a map-side partial max (shuffle <= keys x 256
+    rows per map partition), no join anywhere, no distinct — duplicates
+    are absorbed by max, which is the whole point vs exact-distinct."""
+    from collect_mobile_devices_datalake_spark.functions.text import char_ngrams
+    from collect_mobile_devices_datalake_spark.functions.text import rolling_hash
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_SHINGLE,
+        hll_registers,
+    )
+    from collect_mobile_devices_datalake_spark.session import fan_out
+    from pyspark.sql import functions as F
+
+    docs = fan_out(load_table(spark, "documents", SF), "doc_id")
+    pairs = docs.select(
+        "source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t")
+    ).select("source", rolling_hash("t").alias("h"))
+    q = hll_registers(pairs)
+    plan = formatted_plan(q)
+    assert "partial_max" in plan, plan
+    assert "Join" not in plan, plan
+    # fan_out repartition (test-SF scan widening) + the single agg exchange
+    assert count_exchanges(q) <= 2, plan

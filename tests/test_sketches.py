@@ -459,3 +459,64 @@ def test_hll_weekly_fold_equals_direct_build(spark):
         ).collect()
     }
     assert folded == direct and folded
+
+
+def test_hll_maintenance_stream_matches_batch(spark, tmp_path):
+    """Streamed chunked arrivals + restart + wholesale re-delivery all
+    converge to the batch register file of the full corpus: per-register
+    max is an idempotent lattice join (the seventh certified family)."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        hll_registers,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _maintain_hll_batch,
+        compact_hll_state,
+        read_hll_state,
+        start_hll_maintenance_stream,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).select("doc_id", "text", "source")
+    docs_dir = str(tmp_path / "docs_in")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def state_map():
+        return {
+            (r["source"], r["reg"]): r["mrho"]
+            for r in read_hll_state(spark, sketch_dir).collect()
+        }
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_hll_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    second.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_hll_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    want = {
+        (r["source"], r["reg"]): r["mrho"]
+        for r in hll_registers(_source_token_hashes(spark, SF_SMOKE)).collect()
+    }
+    assert state_map() == want and len(want) > 0
+
+    # wholesale re-delivery under new file names: absorbed, zero change
+    first.coalesce(1).write.mode("append").parquet(docs_dir)
+    start_hll_maintenance_stream(spark, docs_dir, sketch_dir, ckpt).awaitTermination(120)
+    assert state_map() == want
+    assert len([d for d in os.listdir(sketch_dir) if d.startswith("batch=")]) >= 3
+
+    # compaction folds to one partition, state unchanged; a partial-
+    # commit replay (clobber + rerun of the same batch id) repairs it
+    compact_hll_state(spark, sketch_dir)
+    assert [d for d in os.listdir(sketch_dir) if d.startswith("batch=")] == [
+        "batch=compacted"
+    ]
+    assert state_map() == want
+    fn = _maintain_hll_batch(sketch_dir)
+    fn(docs.filter(F.col("doc_id") % 3 == 0), 99)
+    fn(docs, 99)
+    assert state_map() == want  # full re-delivery of batch 99 is a no-op

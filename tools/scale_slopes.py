@@ -191,6 +191,23 @@ KERNELS = [
     # time-per-output is the gradeable quantity: wall grew 2.6x while
     # true-pair output grew 162x at the 10x leg (40 -> 6482 pairs).
     ("media_phash_near_dup", "documents"),
+    # r13 continuation: the HLL register sketch (ONE map-side-combining
+    # max aggregation — the purest scan-bound shape in the repo; shuffle
+    # is sources x 256 rows regardless of m) and its events-table fold
+    # twin (daily registers -> weekly max-merge; events expansion), plus
+    # the WordPiece pair: the learn loop (same type-table dependence as
+    # bpe_learn_merges with one extra symbol-count aggregate per
+    # iteration) and the corpus apply (persisted segment artifact + one
+    # broadcast dictionary join — the bpe_corpus_encoding shape).
+    ("hll_register_sketch", "documents"),
+    ("hll_weekly_from_daily", "events"),
+    ("wordpiece_learn_merges", "documents"),
+    ("wordpiece_corpus_encoding", "documents"),
+    # the TV-energy image gate: map-only decode + numpy row-diff, cost
+    # tracks total pixel bytes (fixture images tile the text bytes, so
+    # the expanded corpus carries ~m x the pixel volume), output 1 row
+    # per image.
+    ("media_gradient_energy", "documents"),
 ]
 
 
