@@ -919,3 +919,232 @@ def q_wordpiece_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --- WordPiece inference tokenization (greedy max-munch) ---------------------
+#
+# The RUNTIME algorithm (HF WordPiece docs; Wu et al. 2016 §4.1 describe
+# greedy longest-match-first): at inference BERT does not replay merges —
+# it greedily takes the longest vocabulary prefix at each position, with
+# '##' continuation candidates past position 1. Sequential per word as
+# usually written; HERE it is a FIXED-DEPTH distributed kernel:
+#
+#   1. longest-match table: every (word, pos) gets its best match length
+#      via one bounded explode (pos x unit-length <= |word| x max vocab
+#      unit) + one broadcast vocab join + one max aggregation;
+#   2. the greedy walk next[pos] = pos + bestlen[pos] is a functional
+#      graph, so token counts and the token path come from POINTER
+#      DOUBLING (the dedup_clusters idiom): WP_DOUBLING self-joins of
+#      the type-table-sized node frame handle words up to 2^WP_DOUBLING
+#      chars — no data-dependent driver loop at all, and a convergence
+#      tripwire (assert_true) fires loudly if a corpus ever exceeds it.
+#
+# At 100 TB this is the tokenizer-SERVING shape: vocab is a broadcast
+# dictionary, the walk is log2(max word length) joins over the
+# Zipf-bounded type table, and documents only ever join the finished
+# (word -> n_tokens) artifact.
+
+WP_DOUBLING = 5  # pointer-doubling rounds: words up to 2^5 = 32 chars
+
+
+def _wp_vocab(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The learned WordPiece vocabulary: the marked initial alphabet plus
+    the WP_MERGES merged units (BERT keeps every intermediate unit)."""
+    syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    vocab = syms.select("sym").distinct()
+    s = syms
+    with scoped_shuffle_width(spark, syms.count()):
+        for _ in range(WP_MERGES):
+            rule, s = _one_wp_merge(s)
+            vocab = vocab.unionByName(rule.select(_wp_merged().alias("sym")))
+    return vocab.distinct().localCheckpoint(eager=True)
+
+
+def _maxmunch_oracle() -> str:
+    """The max-munch walk in SQL: vocab from the unrolled learn chain,
+    longest-match table, then WP_DOUBLING unrolled pointer-doubling CTEs."""
+    vocab_union = "\n      UNION\n      ".join(
+        f"SELECT merge_left || substring(merge_right, 3) AS sym FROM r{i}"
+        for i in range(1, WP_MERGES + 1)
+    )
+    ctes = f""", vocab AS (
+      SELECT DISTINCT sym FROM s1
+      UNION
+      {vocab_union}
+    ),
+    ml AS (
+      SELECT MAX(len(CASE WHEN sym LIKE '##%' THEN substring(sym, 3)
+                          ELSE sym END)) AS ml
+      FROM vocab
+    ),
+    cand AS (
+      SELECT c.word, c.p, c.l FROM (
+        SELECT w.word, CAST(pp.p AS INTEGER) AS p, CAST(ll.l AS INTEGER) AS l,
+               CASE WHEN pp.p = 1
+                    THEN substring(w.word, CAST(pp.p AS INTEGER), CAST(ll.l AS INTEGER))
+                    ELSE '##' || substring(w.word, CAST(pp.p AS INTEGER), CAST(ll.l AS INTEGER))
+               END AS tok
+        FROM w, ml, UNNEST(range(1, len(w.word) + 1)) pp(p),
+                    UNNEST(range(1, ml.ml + 1)) ll(l)
+        WHERE pp.p + ll.l <= len(w.word) + 1
+      ) c JOIN vocab v ON v.sym = c.tok
+    ),
+    g0 AS (
+      SELECT word, p, p + bl AS nxt, CAST(1 AS BIGINT) AS hops,
+             CASE WHEN p = 1 THEN substring(word, p, bl)
+                  ELSE '##' || substring(word, p, bl) END AS path
+      FROM (SELECT word, p, MAX(l) AS bl FROM cand GROUP BY word, p)
+      UNION ALL
+      SELECT word, len(word) + 1, len(word) + 1, 0, '' FROM w
+    )"""
+    for j in range(1, WP_DOUBLING + 1):
+        ctes += f""",
+    g{j} AS (
+      SELECT a.word, a.p, b.nxt, a.hops + b.hops AS hops,
+             a.path || CASE WHEN b.path = '' THEN '' ELSE ' ' || b.path END AS path
+      FROM g{j - 1} a JOIN g{j - 1} b ON b.word = a.word AND b.p = a.nxt
+    )"""
+    final = f"""{ctes}
+    SELECT g.word, w.freq,
+           CAST(len(g.word) AS BIGINT) AS n_chars,
+           g.hops AS n_tokens,
+           g.path AS segmentation
+    FROM g{WP_DOUBLING} g JOIN w ON w.word = g.word
+    WHERE g.p = 1"""
+    return _wp_oracle(final=final)
+
+
+@register(
+    "wordpiece_maxmunch_encoding",
+    oracle=_maxmunch_oracle(),
+    doc=f"WordPiece INFERENCE tokenization (greedy longest-match-first, "
+    "the algorithm BERT serving actually runs — Wu et al. 2016) as a "
+    "FIXED-DEPTH distributed kernel over the word-type table: one "
+    "bounded explode + broadcast vocab join builds the longest-match "
+    "table, and the sequential greedy walk becomes POINTER DOUBLING "
+    f"({WP_DOUBLING} self-joins handle words to 2^{WP_DOUBLING} chars; "
+    "an assert_true tripwire fires if a corpus exceeds it) — no "
+    "data-dependent driver loop, the per-word token count AND the "
+    "segmentation string both accumulated through the doubling. The "
+    "vocabulary (marked alphabet + all merged units) is a persisted "
+    "artifact keyed by merge count + corpus fingerprint. Max-munch can "
+    "differ from the training segmentation on the same word — this is "
+    "the serving-side twin of wordpiece_corpus_encoding. Oracle: the "
+    "unrolled learn chain + the same doubling, unrolled.",
+)
+def q_wordpiece_maxmunch_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _persisted_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = _persisted_index(
+        spark,
+        "wpvocab",
+        sf_dir,
+        f"m{WP_MERGES}",
+        lambda: _wp_vocab(spark, docs),
+        table="documents",
+    )
+    wt = _word_types(docs).localCheckpoint(eager=True)
+    with scoped_shuffle_width(spark, wt.count()):
+        ml = vocab.agg(
+            F.max(F.length(F.regexp_replace("sym", "^##", ""))).alias("ml")
+        )
+        tok = F.when(
+            F.col("p") == 1, F.expr("substring(word, p, l)")
+        ).otherwise(F.concat(F.lit("##"), F.expr("substring(word, p, l)")))
+        cand = (
+            wt.crossJoin(F.broadcast(ml))
+            .select(
+                "word",
+                F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
+                "ml",
+            )
+            .select(
+                "word", "p", F.explode(F.sequence(F.lit(1), F.col("ml"))).alias("l")
+            )
+            .filter(F.col("p") + F.col("l") <= F.length("word") + 1)
+            .withColumn("tok", tok)
+            .join(F.broadcast(vocab), F.col("tok") == F.col("sym"))
+        )
+        best = cand.groupBy("word", "p").agg(F.max("l").alias("bl"))
+        path0 = F.when(
+            F.col("p") == 1, F.expr("substring(word, p, bl)")
+        ).otherwise(F.concat(F.lit("##"), F.expr("substring(word, p, bl)")))
+        g = (
+            best.select(
+                "word",
+                "p",
+                (F.col("p") + F.col("bl")).alias("nxt"),
+                F.lit(1).cast("bigint").alias("hops"),
+                path0.alias("path"),
+            )
+            .unionByName(
+                wt.select(
+                    "word",
+                    (F.length("word") + 1).alias("p"),
+                    (F.length("word") + 1).alias("nxt"),
+                    F.lit(0).cast("bigint").alias("hops"),
+                    F.lit("").alias("path"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(WP_DOUBLING):
+            a = g.select(
+                "word",
+                "p",
+                F.col("nxt").alias("j"),
+                F.col("hops").alias("hops_a"),
+                F.col("path").alias("path_a"),
+            )
+            b = g.select(
+                "word",
+                F.col("p").alias("j"),
+                "nxt",
+                F.col("hops").alias("hops_b"),
+                F.col("path").alias("path_b"),
+            )
+            g = (
+                a.join(b, ["word", "j"])
+                .select(
+                    "word",
+                    "p",
+                    "nxt",
+                    (F.col("hops_a") + F.col("hops_b")).alias("hops"),
+                    F.concat(
+                        "path_a",
+                        F.when(F.col("path_b") == "", F.lit("")).otherwise(
+                            F.concat(F.lit(" "), F.col("path_b"))
+                        ),
+                    ).alias("path"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = (
+        g.filter(F.col("p") == 1)
+        .join(wt, "word")
+        .select(
+            "word",
+            "freq",
+            F.length("word").cast("bigint").alias("n_chars"),
+            # convergence tripwire: 2^WP_DOUBLING hops must have reached
+            # the terminal; fires only on words > 32 chars (never on the
+            # fixtures — the oracle has no tripwire, so parity holds)
+            F.when(
+                F.col("nxt") == F.length("word") + 1, F.col("hops")
+            )
+            .otherwise(
+                F.assert_true(
+                    F.col("nxt") == F.length("word") + 1,
+                    F.concat(
+                        F.lit("wordpiece max-munch did not converge in "
+                              f"{WP_DOUBLING} doublings for word: "),
+                        F.col("word"),
+                    ),
+                ).cast("bigint")
+            )
+            .alias("n_tokens"),
+            F.col("path").alias("segmentation"),
+        )
+    )
+    return out

@@ -272,3 +272,45 @@ def test_wordpiece_encoding_conserves_chars_and_bounds_tokens(spark):
         assert e.n_words == len(words)
         assert e.n_chars == sum(len(w) for w in words)
         assert e.n_words <= e.n_wp_tokens <= e.n_chars
+
+
+def test_wordpiece_maxmunch_matches_python_and_is_lossless(spark):
+    """The pointer-doubling max-munch equals a from-scratch sequential
+    Python greedy longest-match against the SAME learned vocabulary, and
+    stripping the '##' marks reassembles every word exactly."""
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+        _wp_vocab,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    vocab = {r.sym for r in _wp_vocab(spark, docs).collect()}
+    got = {
+        r.word: r
+        for r in REGISTRY["wordpiece_maxmunch_encoding"].spark(spark, SF_SMOKE).collect()
+    }
+    words = {
+        r.word: r.freq
+        for r in docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS word")
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        toks, i = [], 0
+        while i < len(w):
+            for l in range(len(w) - i, 0, -1):
+                t = w[i : i + l] if i == 0 else "##" + w[i : i + l]
+                if t in vocab:
+                    toks.append(t)
+                    i += l
+                    break
+            else:
+                raise AssertionError(f"no vocab match in {w!r} at {i}")
+        r = got[w]
+        assert r.segmentation == " ".join(toks), (w, r.segmentation, toks)
+        assert r.n_tokens == len(toks)
+        assert r.n_chars == len(w)
+        assert "".join(t[2:] if t.startswith("##") else t for t in toks) == w

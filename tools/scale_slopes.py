@@ -208,6 +208,13 @@ KERNELS = [
     # the expanded corpus carries ~m x the pixel volume), output 1 row
     # per image.
     ("media_gradient_energy", "documents"),
+    # the max-munch serving tokenizer: longest-match table (bounded
+    # explode + broadcast vocab join) + 5 pointer-doubling self-joins,
+    # all over the word-TYPE table — under the 1-in-3 rewrite the type
+    # table grows with m, so this measures the doubling joins' real
+    # type-table dependence (cold path: includes the per-corpus vocab
+    # artifact build, same discipline as bpe/wordpiece_corpus_encoding).
+    ("wordpiece_maxmunch_encoding", "documents"),
 ]
 
 
