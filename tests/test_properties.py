@@ -236,3 +236,31 @@ def test_jl_projection_matches_python_reference(spark, vecs):
             for i in range(_JL_D):
                 acc = acc + sign(i, j) * v32[i]
             assert got[k][j] == acc, (k, j, got[k][j], acc)
+
+
+def test_hll_rho_formula_matches_bit_length():
+    """rho = 23 − length(bin(w)) (w > 0) equals the leading-zero rank of
+    the 22-bit window + 1, for every boundary and a random sweep — the
+    arithmetic both engines compute via minimal-width binary strings."""
+    import random
+
+    def rho(w: int) -> int:
+        return 23 if w == 0 else 23 - w.bit_length()
+
+    def rho_ref(w: int) -> int:
+        # count leading zeros of the 22-bit window, +1
+        for k in range(22):
+            if w & (1 << (21 - k)):
+                return k + 1
+        return 23
+
+    rng = random.Random(42)
+    samples = {0, 1, 2, 3, (1 << 21), (1 << 22) - 1} | {
+        rng.randrange(1 << 22) for _ in range(2000)
+    }
+    for w in samples:
+        assert rho(w) == rho_ref(w), w
+    # every hash value splits into a valid register/window pair
+    for h in [0, 255, 256, 1_000_000_006] + [rng.randrange(1_000_000_007) for _ in range(500)]:
+        assert 0 <= (h & 255) < 256
+        assert 0 <= (h >> 8) < (1 << 22)
