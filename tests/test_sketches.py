@@ -520,3 +520,52 @@ def test_hll_maintenance_stream_matches_batch(spark, tmp_path):
     fn(docs.filter(F.col("doc_id") % 3 == 0), 99)
     fn(docs, 99)
     assert state_map() == want  # full re-delivery of batch 99 is a no-op
+
+
+def test_hll_union_fold_equals_direct_build_and_dominates(spark):
+    """Pairwise register-max folds equal HLL built directly on the
+    concatenated pair corpus (the union identity on real data), and
+    est_union >= max(est_a, est_b) holds for every pair (register max
+    can only lower the harmonic sum)."""
+    from pyspark.sql import functions as F
+
+    from collect_mobile_devices_datalake_spark.functions.text import (
+        char_ngrams,
+        rolling_hash,
+    )
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_SHINGLE,
+        hll_registers,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    _ensure_loaded()
+    rows = REGISTRY["hll_union_inclusion_exclusion"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+        assert r.abs_err == round(abs(r.est_common_ie - r.n_exact_common), 6)
+
+    # direct-build spot check on the first pair
+    r0 = rows[0]
+    docs = load_table(spark, "documents", SF_SMOKE)
+    pair_pairs = (
+        docs.filter(F.col("source").isin([r0.source_a, r0.source_b]))
+        .select(F.lit("u").alias("source"),
+                F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t"))
+        .select("source", rolling_hash("t").alias("h"))
+    )
+    direct = {
+        r["reg"]: r["mrho"] for r in hll_registers(pair_pairs).collect()
+    }
+    both = (
+        docs.filter(F.col("source").isin([r0.source_a, r0.source_b]))
+        .select("source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t"))
+        .select("source", rolling_hash("t").alias("h"))
+    )
+    per_source = hll_registers(both).collect()
+    folded: dict[int, int] = {}
+    for r in per_source:
+        folded[r["reg"]] = max(folded.get(r["reg"], 0), r["mrho"])
+    assert folded == direct
