@@ -399,7 +399,13 @@ def test_rate_source_soak_monotonic_progress(spark):
     try:
         import time
 
-        deadline = time.time() + 15
+        # generous deadline: the trigger is 500 ms, but under a loaded
+        # box (full-suite runs share 32 cores with concurrent sessions)
+        # micro-batches can be starved for tens of seconds — the soak
+        # asserts monotonic PROGRESS, not latency, so waiting longer
+        # does not weaken it (r13: flaked once at 15 s under a
+        # concurrent parity run, passed standalone in 16 s)
+        deadline = time.time() + 60
         while time.time() < deadline:
             if any(p["numInputRows"] > 0 for p in q.recentProgress) and len(q.recentProgress) >= 3:
                 break
