@@ -1148,3 +1148,174 @@ def q_wordpiece_maxmunch_encoding(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return out
+
+
+# --- cross-tokenizer fertility report ----------------------------------------
+
+
+def _fertility_oracle() -> str:
+    """Each tokenizer's unrolled chain embedded as an independent
+    subquery (WITH scopes nest cleanly in DuckDB), joined per source."""
+    bpe_doc = _bpe_oracle(
+        final=f""", seg AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens
+      FROM s{BPE_MERGES + 1} GROUP BY word
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens
+    FROM toks t JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    )
+    wp_doc = _wp_oracle(
+        final=f""", seg AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_wp_tokens
+      FROM s{WP_MERGES + 1} GROUP BY word
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id, CAST(SUM(s.n_wp_tokens) AS BIGINT) AS n_wp_tokens
+    FROM toks t JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    )
+    uni_doc = _unigram_oracle(
+        final=f""", seg AS (
+      {" UNION ALL ".join(f"SELECT word, nseg FROM b{j} WHERE len(word) = {j}" for j in range(1, UNI_MAXW + 1))}
+    ),
+    toks AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents)
+      WHERE len(word) >= 1
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(s.word) AS BIGINT) AS uni_words,
+           CAST(COALESCE(SUM(s.nseg), 0) AS BIGINT) AS uni_segments
+    FROM toks t LEFT JOIN seg s ON s.word = t.word
+    GROUP BY t.doc_id"""
+    )
+    mm_type = _maxmunch_oracle()
+    return f"""
+    WITH bpe AS ({bpe_doc}),
+    wp AS ({wp_doc}),
+    uni AS ({uni_doc}),
+    mm AS (
+      SELECT st.source, CAST(SUM(m.n_tokens) AS BIGINT) AS mm_tokens
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents) st
+      JOIN ({mm_type}) m ON m.word = st.word
+      GROUP BY st.source
+    ),
+    per AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+             CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+             CAST(SUM(w.n_wp_tokens) AS BIGINT) AS wp_tokens,
+             CAST(SUM(u.uni_words) AS BIGINT) AS uni_covered_words,
+             CAST(SUM(u.uni_segments) AS BIGINT) AS uni_segments
+      FROM documents d
+      JOIN bpe b ON b.doc_id = d.doc_id
+      JOIN wp w ON w.doc_id = d.doc_id
+      JOIN uni u ON u.doc_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.n_words,
+           p.bpe_tokens,
+           round(p.bpe_tokens / CAST(p.n_words AS DOUBLE), 6) AS bpe_fertility,
+           p.wp_tokens,
+           round(p.wp_tokens / CAST(p.n_words AS DOUBLE), 6) AS wp_fertility,
+           m.mm_tokens,
+           round(m.mm_tokens / CAST(p.n_words AS DOUBLE), 6) AS mm_fertility,
+           p.uni_covered_words, p.uni_segments,
+           round(p.uni_segments / CAST(p.uni_covered_words AS DOUBLE), 6)
+             AS uni_fertility
+    FROM per p JOIN mm m ON m.source = p.source
+    ORDER BY p.source"""
+
+
+@register(
+    "tokenizer_fertility_report",
+    oracle=_fertility_oracle(),
+    doc="The tokenizer-SELECTION report: per source, fertility (tokens "
+    "per word) under every induction algorithm the engine ships — BPE "
+    "training segmentation, WordPiece training segmentation, WordPiece "
+    "max-munch serving, and the unigram-LM Viterbi (over its covered "
+    "words, the honest denominator) — the table a team reads before "
+    "committing a tokenizer for a corpus, since fertility drives "
+    "training cost and context usage directly. The composition is the "
+    "artifact-discipline payoff: all four legs ride their PERSISTED "
+    "segment/vocab tables (nothing re-learns), so the report costs four "
+    "broadcast dictionary joins + one source-keyed aggregation. Token "
+    "sums stay exact BIGINTs; each fertility is one IEEE division. "
+    "Oracle: the four unrolled chains embedded as independent "
+    "subqueries, joined per source.",
+)
+def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    src = docs.select("doc_id", "source")
+    bpe = q_bpe_corpus_encoding(spark, sf_dir).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    wp = q_wordpiece_corpus_encoding(spark, sf_dir).select("doc_id", "n_wp_tokens")
+    uni = q_unigram_corpus_encoding(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_words").alias("uni_words"),
+        F.col("n_segments").alias("uni_segments"),
+    )
+    mm = q_wordpiece_maxmunch_encoding(spark, sf_dir).select("word", "n_tokens")
+    mm_per_source = (
+        docs.select(
+            "source", F.explode(F.split(F.trim("text"), "\\s+")).alias("word")
+        )
+        .join(F.broadcast(mm), "word")
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("mm_tokens"))
+    )
+    per = (
+        src.join(bpe, "doc_id")
+        .join(wp, "doc_id")
+        .join(uni, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_wp_tokens").cast("bigint").alias("wp_tokens"),
+            F.sum("uni_words").cast("bigint").alias("uni_covered_words"),
+            F.sum("uni_segments").cast("bigint").alias("uni_segments"),
+        )
+    )
+    return (
+        per.join(F.broadcast(mm_per_source), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("bpe_fertility"),
+            "wp_tokens",
+            F.round(
+                F.col("wp_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("wp_fertility"),
+            "mm_tokens",
+            F.round(
+                F.col("mm_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("mm_fertility"),
+            "uni_covered_words",
+            "uni_segments",
+            F.round(
+                F.col("uni_segments") / F.col("uni_covered_words").cast("double"), 6
+            ).alias("uni_fertility"),
+        )
+        .orderBy("source")
+    )

@@ -596,3 +596,36 @@ def test_phash_clusters_consistent_with_pairs(spark):
     for cid in set(labels.values()):
         members = [m for m, c in labels.items() if c == cid]
         assert cid == min(members)
+
+
+def test_fertility_report_consistent_with_per_doc_encodings(spark):
+    """tokenizer_fertility_report's per-source sums must equal the
+    independent per-doc encodings aggregated by hand, and each fertility
+    column must be the rounded ratio of its own exact integers."""
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    rep = {
+        r.source: r
+        for r in REGISTRY["tokenizer_fertility_report"].spark(spark, SF).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, "documents", SF).select("doc_id", "source").collect()
+    }
+    bpe = REGISTRY["bpe_corpus_encoding"].spark(spark, SF).collect()
+    agg: dict[str, dict[str, int]] = {}
+    for r in bpe:
+        a = agg.setdefault(src[r.doc_id], {"n_words": 0, "bpe": 0, "docs": 0})
+        a["n_words"] += r.n_words
+        a["bpe"] += r.n_bpe_tokens
+        a["docs"] += 1
+    assert set(rep) == set(agg)
+    for s, a in agg.items():
+        assert rep[s].n_docs == a["docs"]
+        assert rep[s].n_words == a["n_words"]
+        assert rep[s].bpe_tokens == a["bpe"]
+        assert rep[s].bpe_fertility == round(a["bpe"] / a["n_words"], 6)
+        # serving tokenization can only split as fine as characters and
+        # no coarser than one token per word
+        assert rep[s].n_words <= rep[s].mm_tokens
+        assert rep[s].wp_fertility >= 1.0 and rep[s].mm_fertility >= 1.0
