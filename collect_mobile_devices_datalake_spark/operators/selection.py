@@ -138,6 +138,66 @@ def _bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Packed-word bitmap form of the same filter. 62-bit words (offsets
+# 0..61) keep every ``1 << off`` strictly positive in int64 on BOTH
+# engines — no sign-bit case to reason about cross-engine. Bitwise OR
+# over packed words is an idempotent/commutative/associative lattice
+# join (the powerset under union), which is what makes this form
+# streamable (streaming/sketch_maintenance.py::read_bloom_state).
+_BLOOM_WORD = 62
+
+
+def bloom_positions(urls: DataFrame) -> DataFrame:
+    """(pos): the DISTINCT Bloom bit positions a url frame sets —
+    the k=2 double-hashing probes of ``_bloom_probe``, as a set."""
+    sh = urls.select(_poly_hash(F.col("url")).alias("h1"))
+    return sh.select(
+        F.explode(
+            F.array(
+                F.col("h1") % _M_BITS,
+                (F.col("h1") + (F.col("h1") * _MULT) % _P) % _M_BITS,
+            )
+        ).alias("pos")
+    ).distinct()
+
+
+def bloom_words(urls: DataFrame) -> DataFrame:
+    """(word, bits): the bitmap packed 62 positions per int64 word —
+    <= ceil(m/62) rows regardless of input size (the bounded partial a
+    streaming maintainer writes per batch)."""
+    return (
+        bloom_positions(urls)
+        .select(
+            F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_words_sql(urls_sql: str) -> str:
+    """DuckDB twin of ``bloom_words`` over ``urls_sql`` (rows with a
+    ``url`` column): the packed (word, bits) bitmap."""
+    h = _poly_hash_sql("url")
+    return f"""
+    SELECT CAST(pos // {_BLOOM_WORD} AS BIGINT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+    FROM (
+      SELECT DISTINCT pos FROM (
+        SELECT h1 % {_M_BITS} AS pos
+        FROM (SELECT {h} AS h1 FROM ({urls_sql}))
+        UNION ALL
+        SELECT (h1 + (h1 * {_MULT}) % {_P}) % {_M_BITS} AS pos
+        FROM (SELECT {h} AS h1 FROM ({urls_sql}))
+      )
+    )
+    GROUP BY 1
+    """
+
+
 # Oracle fragment shared by both bloom queries: distinct saved urls,
 # bitmap positions, distinct non-empty candidates, per-candidate pass.
 def _bloom_oracle_cte() -> str:

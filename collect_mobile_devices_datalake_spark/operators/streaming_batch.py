@@ -1342,3 +1342,71 @@ def q_streaming_hll_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "reg")
     )
+
+
+def _bloom_stream_oracle() -> str:
+    """The packed saved-set bitmap over the WHOLE orders corpus — the
+    stream's folded state must equal it word-for-word. Imported from the
+    provider module so the hash/packing fragments stay single-sourced."""
+    from ..sources.synthetic import SAVED_LIST_SQL
+    from .selection import bloom_words_sql
+
+    urls = f"SELECT DISTINCT url FROM ({SAVED_LIST_SQL})"
+    return f"""
+    SELECT word, bits FROM ({bloom_words_sql(urls)}) ORDER BY word
+    """
+
+
+@register(
+    "streaming_bloom_state",
+    oracle=_bloom_stream_oracle(),
+    doc="The streaming bitwise-OR lattice, driver-gated at value level — "
+    "the eighth certified lattice family (sum: rollup/CMS/logbin; "
+    "argmax: survivorship; k-extreme: priority sample; k-min G-set: "
+    "KMV; per-register max: HLL; packed-word OR: this). Orders are fed "
+    "through the ACTUAL Bloom maintenance stream "
+    "(streaming/sketch_maintenance — foreachBatch writes one "
+    "<= ceil(m/62)-row packed-bitmap partial per batch from the "
+    "batch's saved-list urls) in two availableNow runs against ONE "
+    "checkpoint (restart certification), the state is compacted and "
+    "read, and the folded bitmap is emitted as (word, bits) rows. The "
+    "oracle is the batch bitmap build over the whole corpus — "
+    "word-for-word equality proves OR-merge is a true idempotent "
+    "lattice join across batch partials, a restart boundary, AND "
+    "compaction (re-delivered duplicates are absorbed by OR with no "
+    "anti-join), i.e. the saved-set membership filter a 100 TB ingest "
+    "keeps live for resume_bloom_prefilter's probe side is maintained "
+    "in O(m/62) rows per batch, never rebuilt from the checkpoint "
+    "table.",
+)
+def q_streaming_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.sketch_maintenance import (
+        compact_bloom_state,
+        read_bloom_state,
+        start_bloom_maintenance_stream,
+    )
+
+    base = _stream_temp_root("bloom_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    o.filter(F.col("o_orderkey") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    with _data_sized_width(spark, src):
+        q = start_bloom_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        o.filter(F.col("o_orderkey") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_bloom_maintenance_stream(spark, src, state, ckpt, max_files_per_trigger=2)
+        _await_or_fail(q)
+        compact_bloom_state(spark, state)
+    return (
+        read_bloom_state(spark, state)
+        .select(
+            F.col("word").cast("long").alias("word"),
+            F.col("bits").cast("long").alias("bits"),
+        )
+        .orderBy("word")
+    )

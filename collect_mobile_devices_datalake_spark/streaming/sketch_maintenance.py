@@ -527,3 +527,97 @@ def start_hll_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- Bloom-bitmap maintenance ---------------------------------------------------
+#
+# The eighth certified lattice family: BITWISE OR over packed 62-bit
+# words. Like KMV's G-set and HLL's register max — and unlike the CMS /
+# logbin sums — OR is IDEMPOTENT, so wholesale producer re-delivery
+# under a fresh batch id folds to the identical bitmap with no
+# anti-join, and compaction needs no manifest commit (re-absorbing a
+# leftover partial is a no-op). The per-batch partial is hard-bounded
+# at <= ceil(m/62) rows (m = 2^20 -> 16,913 words) regardless of batch
+# size; the folded state is the EXACT bitmap the batch
+# resume_bloom_prefilter builds, so the membership filter a 100 TB
+# ingest keeps live (which urls are already saved?) is maintained at
+# O(m) state per batch and never rebuilt from the checkpoint table.
+
+from ..operators.selection import bloom_words  # noqa: E402
+from ..sources.synthetic import saved_list  # noqa: E402
+
+_BLOOM_EMPTY = "word bigint, bits bigint"
+# saved_list's url synthesis needs the priority column too
+BLOOM_ORDERS_SCHEMA = "o_orderkey bigint, o_orderpriority string"
+
+
+def _maintain_bloom_batch(sketch_dir: str, urls_fn=None):
+    """foreachBatch body: this batch's packed-bitmap partial. ``urls_fn``
+    maps the raw orders batch to its url frame; default = the saved-list
+    checkpoint rows (row-wise, so per-batch application distributes over
+    the batch union)."""
+    urls_fn = urls_fn or (lambda b: saved_list(b).select("url").distinct())
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        partial = bloom_words(urls_fn(batch))
+        partial.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"batch={batch_id}")
+        )
+
+    return fn
+
+
+def read_bloom_state(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """(word, bits): the current bitmap — word-wise OR over every batch
+    partial. Reading IS merging, same as KMV/HLL."""
+    parts = [
+        os.path.join(sketch_dir, d)
+        for d in list_batch_dirs(spark, sketch_dir)
+        if dir_has_parquet(spark, os.path.join(sketch_dir, d))
+    ]
+    if not parts:
+        return spark.createDataFrame([], _BLOOM_EMPTY)
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def compact_bloom_state(spark: SparkSession, sketch_dir: str) -> None:
+    """Fold all batch partials into one partition — crash-safe by the
+    same idempotent-merge argument as compact_kmv_state / compact_hll_state
+    (a crash before the sweep leaves extra partials whose re-absorption
+    is a no-op under OR)."""
+    olds = list_batch_dirs(spark, sketch_dir)
+    merged = read_bloom_state(spark, sketch_dir)
+    if "batch=compacted" in olds:
+        merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(os.path.join(sketch_dir, "batch=compacted"))
+    for d in olds:
+        if d != "batch=compacted":
+            delete_dir(spark, os.path.join(sketch_dir, d))
+
+
+def start_bloom_maintenance_stream(
+    spark: SparkSession,
+    orders_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming saved-set membership bitmap: the live counterpart of
+    resume_bloom_prefilter's build stage (operators/selection.py). The
+    maintained words are broadcast-joinable by the prefilter's probe
+    side exactly as the batch-built bitmap is."""
+    stream = (
+        spark.readStream.schema(BLOOM_ORDERS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(orders_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_maintain_bloom_batch(sketch_dir))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "bloom_maint"))
+        .trigger(availableNow=True)
+        .start()
+    )

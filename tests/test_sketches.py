@@ -569,3 +569,128 @@ def test_hll_union_fold_equals_direct_build_and_dominates(spark):
     for r in per_source:
         folded[r["reg"]] = max(folded.get(r["reg"], 0), r["mrho"])
     assert folded == direct
+
+
+# --- Bloom bitmap OR-lattice (streaming_bloom_state) -------------------------
+
+
+def test_bloom_maintenance_stream_matches_batch(spark, tmp_path):
+    """Streamed chunked arrivals + restart + wholesale re-delivery all
+    converge to the batch packed bitmap of the full saved set: word-wise
+    OR is an idempotent lattice join (the eighth certified family)."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        bloom_words,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.sources.synthetic import saved_list
+    from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
+        _maintain_bloom_batch,
+        compact_bloom_state,
+        read_bloom_state,
+        start_bloom_maintenance_stream,
+    )
+
+    orders = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    src_dir = str(tmp_path / "orders_in")
+    sketch_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def state_map():
+        return {
+            r["word"]: r["bits"] for r in read_bloom_state(spark, sketch_dir).collect()
+        }
+
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+    start_bloom_maintenance_stream(spark, src_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    start_bloom_maintenance_stream(spark, src_dir, sketch_dir, ckpt).awaitTermination(120)
+
+    want = {
+        r["word"]: r["bits"]
+        for r in bloom_words(saved_list(orders).select("url").distinct()).collect()
+    }
+    assert state_map() == want and len(want) > 0
+
+    # wholesale re-delivery under new file names: absorbed, zero change
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+    start_bloom_maintenance_stream(spark, src_dir, sketch_dir, ckpt).awaitTermination(120)
+    assert state_map() == want
+    assert len([d for d in os.listdir(sketch_dir) if d.startswith("batch=")]) >= 3
+
+    # compaction folds to one partition, state unchanged; a partial-
+    # commit replay (clobber + rerun of the same batch id) repairs it
+    compact_bloom_state(spark, sketch_dir)
+    assert [d for d in os.listdir(sketch_dir) if d.startswith("batch=")] == [
+        "batch=compacted"
+    ]
+    assert state_map() == want
+    fn = _maintain_bloom_batch(sketch_dir)
+    fn(orders.filter(F.col("o_orderkey") % 3 == 0), 99)
+    fn(orders, 99)
+    assert state_map() == want  # full re-delivery of batch 99 is a no-op
+
+
+def test_bloom_words_pack_exactly_the_probe_bitmap(spark):
+    """Cross-op invariant: unpacking the packed words reproduces the
+    position-set bitmap resume_bloom_prefilter builds, and probing the
+    packed form reproduces its bloom_pass decision for every candidate
+    url — the packed lattice IS the batch filter, bit for bit."""
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        _BLOOM_WORD,
+        _bloom_probe,
+        bloom_positions,
+        bloom_words,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+    from collect_mobile_devices_datalake_spark.sources.synthetic import saved_list
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        _poly_hash,
+    )
+
+    orders = load_table(spark, "orders", SF_SMOKE)
+    urls = saved_list(orders).select("url").distinct()
+
+    want_pos = {r["pos"] for r in bloom_positions(urls).collect()}
+    packed = {r["word"]: r["bits"] for r in bloom_words(urls).collect()}
+    got_pos = {
+        w * _BLOOM_WORD + off
+        for w, bits in packed.items()
+        for off in range(_BLOOM_WORD)
+        if bits >> off & 1
+    }
+    assert got_pos == want_pos and len(want_pos) > 0
+
+    def member(pos: int) -> bool:
+        return bool(packed.get(pos // _BLOOM_WORD, 0) >> (pos % _BLOOM_WORD) & 1)
+
+    from collect_mobile_devices_datalake_spark.operators.selection import (
+        _M_BITS,
+        _MULT,
+        _P,
+    )
+
+    flags = {
+        r["url"]: r["bloom_pass"]
+        for r in _bloom_probe(spark, SF_SMOKE).collect()
+    }
+    from collect_mobile_devices_datalake_spark.sources.synthetic import source_list
+
+    cand = (
+        source_list(orders)
+        .filter(F.col("url") != "")
+        .select("url")
+        .distinct()
+        .select("url", _poly_hash(F.col("url")).alias("h1"))
+    )
+    for r in cand.collect():
+        h1 = r["h1"]
+        p1 = h1 % _M_BITS
+        p2 = (h1 + (h1 * _MULT) % _P) % _M_BITS
+        assert (member(p1) and member(p2)) == flags[r["url"]]
