@@ -1410,3 +1410,131 @@ def q_streaming_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# --- watermark lateness sweep -------------------------------------------------
+
+# Deterministic arrival model for the batch events table: the fixture's
+# event_id order IS event-time order (zero jitter), so a lateness study
+# needs a synthesized network delay — hash-assigned per event (Knuth
+# multiplicative, mod 600 s), the same public-fixture idiom as
+# sources/synthetic.py's url synthesis. Both engines compute it from
+# the same BIGINT arithmetic, so the sweep is value-checked end to end.
+_WM_DELAY_MOD = 600  # max synthetic network delay, seconds
+_WM_MULT = 2_654_435_761
+_WM_P = 2_147_483_647
+_WM_SWEEP = [0, 60, 120, 300, 600]  # candidate withWatermark() thresholds, s
+
+
+def _wm_lateness_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS eps,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + (event_id * {_WM_MULT}) % {_WM_P} % {_WM_DELAY_MOD} AS arr
+      FROM events
+    ),
+    wm AS (
+      SELECT event_id, eps,
+             max(eps) OVER (ORDER BY arr, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS wm_eps
+      FROM e
+    ),
+    lat AS (SELECT eps, wm_eps - eps AS late_s, eps // 3600 AS win FROM wm),
+    sweep AS (SELECT unnest(ARRAY{_WM_SWEEP}) AS allowed_lateness_s)
+    SELECT s.allowed_lateness_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_s > s.allowed_lateness_s THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           round(CAST(SUM(CASE WHEN late_s > s.allowed_lateness_s THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dropped_frac,
+           CAST(COUNT(DISTINCT CASE WHEN late_s > s.allowed_lateness_s THEN win END) AS BIGINT)
+             AS n_windows_losing,
+           MAX(CASE WHEN late_s > s.allowed_lateness_s THEN late_s END)
+             AS max_dropped_late_s
+    FROM lat, sweep s
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "watermark_lateness_sweep",
+    oracle=_wm_lateness_oracle(),
+    doc="Watermark threshold tuner (the fourth parameter-sweep report, "
+    "after minhash_band_sweep / ivf_probe_sweep / nsw_probe_sweep): for "
+    "each candidate withWatermark() delay, how many events Structured "
+    "Streaming would DROP, what fraction, how many hourly event-time "
+    "windows lose data, and the worst dropped lateness — the table a "
+    "team reads before pinning allowed lateness on a production stream "
+    "(streaming/windows.py consumes the chosen value). Lateness is "
+    "computed against the exact streaming semantics: watermark at "
+    "arrival = max event time seen so far; an event is dropped iff its "
+    "lateness exceeds the threshold. SCALE SHAPE: the running max is "
+    "NOT a single-partition global window — arrivals are chunked by "
+    "hour, each chunk computes its inclusive cumulative max in "
+    "parallel, and the exclusive cross-chunk prefix is folded on the "
+    "bounded chunk table (one row per hour) and broadcast back: the "
+    "classic two-phase distributed prefix scan, so the plan holds at "
+    "any event volume. The DuckDB oracle runs the naive global window "
+    "— value equality proves the two-phase decomposition exact.",
+)
+def q_watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", F.unix_timestamp("ts").alias("eps")
+    )
+    e = e.withColumn(
+        "arr", F.col("eps") + (F.col("event_id") * _WM_MULT) % _WM_P % _WM_DELAY_MOD
+    ).withColumn("chunk", F.expr("arr div 3600"))
+
+    # phase 1: parallel within-chunk inclusive running max of event time
+    w_in = (
+        Window.partitionBy("chunk")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = e.withColumn("cum_in", F.max("eps").over(w_in))
+
+    # phase 2: exclusive prefix max over the bounded chunk table (one row
+    # per arrival hour — window over a broadcastable frame, not the data)
+    chunk_max = e.groupBy("chunk").agg(F.max("eps").alias("cmax"))
+    w_pre = (
+        Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = chunk_max.select(
+        "chunk", F.max("cmax").over(w_pre).alias("prefix_excl")
+    )
+    lat = (
+        e.join(F.broadcast(prefix), "chunk")
+        .select(
+            "eps",
+            (
+                F.greatest(F.col("cum_in"), F.coalesce("prefix_excl", F.col("cum_in")))
+                - F.col("eps")
+            ).alias("late_s"),
+            F.expr("eps div 3600").alias("win"),
+        )
+    )
+    sweep = F.explode(F.array(*[F.lit(w) for w in _WM_SWEEP])).alias(
+        "allowed_lateness_s"
+    )
+    dropped = F.col("late_s") > F.col("allowed_lateness_s")
+    return (
+        lat.select("*", sweep)
+        .groupBy("allowed_lateness_s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.round(
+                F.sum(F.when(dropped, 1).otherwise(0)).cast("double") / F.count("*"), 6
+            ).alias("dropped_frac"),
+            F.countDistinct(F.when(dropped, F.col("win")))
+            .cast("bigint")
+            .alias("n_windows_losing"),
+            F.max(F.when(dropped, F.col("late_s"))).alias("max_dropped_late_s"),
+        )
+        .orderBy("allowed_lateness_s")
+    )

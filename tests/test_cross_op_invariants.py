@@ -629,3 +629,59 @@ def test_fertility_report_consistent_with_per_doc_encodings(spark):
         # no coarser than one token per word
         assert rep[s].n_words <= rep[s].mm_tokens
         assert rep[s].wp_fertility >= 1.0 and rep[s].mm_fertility >= 1.0
+
+
+def test_watermark_sweep_matches_naive_simulation(spark):
+    """watermark_lateness_sweep's two-phase prefix scan must equal the
+    naive single-pass simulation: replay arrivals in order, track the
+    running max event time, and count drops per threshold by hand."""
+    from collect_mobile_devices_datalake_spark.operators.streaming_batch import (
+        _WM_DELAY_MOD,
+        _WM_MULT,
+        _WM_P,
+        _WM_SWEEP,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    rows = (
+        load_table(spark, "events", SF)
+        .select("event_id", F.unix_timestamp("ts").alias("eps"))
+        .collect()
+    )
+    evs = sorted(
+        (
+            (r.eps + (r.event_id * _WM_MULT) % _WM_P % _WM_DELAY_MOD, r.event_id, r.eps)
+            for r in rows
+        ),
+    )
+    wm = -(1 << 62)
+    late = []
+    for _arr, _eid, eps in evs:
+        wm = max(wm, eps)
+        late.append((wm - eps, eps // 3600))
+    want = {}
+    for w in _WM_SWEEP:
+        d = [(ls, win) for ls, win in late if ls > w]
+        want[w] = (
+            len(late),
+            len(d),
+            round(len(d) / len(late), 6),
+            len({win for _, win in d}),
+            max((ls for ls, _ in d), default=None),
+        )
+    got = {
+        r.allowed_lateness_s: (
+            r.n_events,
+            r.n_dropped,
+            r.dropped_frac,
+            r.n_windows_losing,
+            r.max_dropped_late_s,
+        )
+        for r in REGISTRY["watermark_lateness_sweep"].spark(spark, SF).collect()
+    }
+    assert got == want
+    # the sweep must be monotone: a larger allowance never drops more
+    drops = [got[w][1] for w in _WM_SWEEP]
+    assert drops == sorted(drops, reverse=True)
+    # the largest candidate covers the synthetic delay bound exactly
+    assert got[_WM_SWEEP[-1]][1] == 0
