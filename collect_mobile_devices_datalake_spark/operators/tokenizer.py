@@ -1319,3 +1319,229 @@ def q_tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- vocabulary-size sweep ----------------------------------------------------
+
+# A learned merge list is PREFIX-CLOSED: the vocabulary after k merges is
+# the alphabet plus the first k merged units, so one ranked vocab table
+# (sym, kreq = the merge rank that introduced it; 0 for the alphabet)
+# serves every candidate budget at once. That is exactly how production
+# teams read the vocab-size-vs-fertility tradeoff (32k vs 64k vs 128k)
+# without training per-size tokenizers.
+WP_VOCAB_SWEEP = [0, 2, 4, WP_MERGES]
+
+
+def _wp_vocab_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(sym, kreq): the WordPiece vocabulary with the merge rank that
+    first introduced each unit (0 = initial alphabet; duplicates keep
+    their earliest rank)."""
+    syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    vocab = syms.select("sym").distinct().withColumn("kreq", F.lit(0).cast("bigint"))
+    s = syms
+    with scoped_shuffle_width(spark, syms.count()):
+        for i in range(1, WP_MERGES + 1):
+            rule, s = _one_wp_merge(s)
+            vocab = vocab.unionByName(
+                rule.select(
+                    _wp_merged().alias("sym"), F.lit(i).cast("bigint").alias("kreq")
+                )
+            )
+    return (
+        vocab.groupBy("sym").agg(F.min("kreq").alias("kreq")).localCheckpoint(eager=True)
+    )
+
+
+def _vocab_sweep_oracle() -> str:
+    """Per-budget max-munch in SQL: the unrolled learn chain feeds a
+    ranked vocab; every sweep budget runs the same pointer doubling with
+    the budget as an extra join key."""
+    vocab_union = "\n      UNION ALL\n      ".join(
+        f"SELECT merge_left || substring(merge_right, 3) AS sym, "
+        f"CAST({i} AS BIGINT) AS kreq FROM r{i}"
+        for i in range(1, WP_MERGES + 1)
+    )
+    ctes = f""", vocab_k AS (
+      SELECT sym, CAST(0 AS BIGINT) AS kreq FROM (SELECT DISTINCT sym FROM s1)
+      UNION ALL
+      {vocab_union}
+    ),
+    vk AS (SELECT sym, MIN(kreq) AS kreq FROM vocab_k GROUP BY sym),
+    sweep AS (SELECT unnest(ARRAY{WP_VOCAB_SWEEP}) AS k),
+    vs AS (
+      SELECT s.k, CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM sweep s JOIN vk v ON v.kreq <= s.k GROUP BY s.k
+    ),
+    ml AS (
+      SELECT MAX(len(CASE WHEN sym LIKE '##%' THEN substring(sym, 3)
+                          ELSE sym END)) AS ml
+      FROM vk
+    ),
+    cand AS (
+      SELECT s.k, c.word, c.p, c.l FROM (
+        SELECT w.word, CAST(pp.p AS INTEGER) AS p, CAST(ll.l AS INTEGER) AS l,
+               CASE WHEN pp.p = 1
+                    THEN substring(w.word, CAST(pp.p AS INTEGER), CAST(ll.l AS INTEGER))
+                    ELSE '##' || substring(w.word, CAST(pp.p AS INTEGER), CAST(ll.l AS INTEGER))
+               END AS tok
+        FROM w, ml, UNNEST(range(1, len(w.word) + 1)) pp(p),
+                    UNNEST(range(1, ml.ml + 1)) ll(l)
+        WHERE pp.p + ll.l <= len(w.word) + 1
+      ) c JOIN vk v ON v.sym = c.tok
+      JOIN sweep s ON v.kreq <= s.k
+    ),
+    h0 AS (
+      SELECT k, word, p, p + bl AS nxt, CAST(1 AS BIGINT) AS hops
+      FROM (SELECT k, word, p, MAX(l) AS bl FROM cand GROUP BY k, word, p)
+      UNION ALL
+      SELECT s.k, word, len(word) + 1, len(word) + 1, 0 FROM w, sweep s
+    )"""
+    for j in range(1, WP_DOUBLING + 1):
+        ctes += f""",
+    h{j} AS (
+      SELECT a.k, a.word, a.p, b.nxt, a.hops + b.hops AS hops
+      FROM h{j - 1} a JOIN h{j - 1} b
+        ON b.k = a.k AND b.word = a.word AND b.p = a.nxt
+    )"""
+    final = f"""{ctes}
+    SELECT g.k AS vocab_merges, vs.vocab_size,
+           CAST(SUM(w.freq) AS BIGINT) AS n_words,
+           CAST(SUM(len(g.word) * w.freq) AS BIGINT) AS n_chars,
+           CAST(SUM(g.hops * w.freq) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(g.hops * w.freq) AS DOUBLE) / SUM(w.freq), 6) AS fertility,
+           round(CAST(SUM(len(g.word) * w.freq) AS DOUBLE)
+                 / SUM(g.hops * w.freq), 6) AS avg_token_len
+    FROM h{WP_DOUBLING} g JOIN w ON w.word = g.word JOIN vs ON vs.k = g.k
+    WHERE g.p = 1
+    GROUP BY g.k, vs.vocab_size
+    ORDER BY vocab_merges"""
+    return _wp_oracle(final=final)
+
+
+@register(
+    "wp_vocab_size_sweep",
+    oracle=_vocab_sweep_oracle(),
+    doc=f"Vocabulary-budget tuner (the fifth parameter-sweep report): "
+    "corpus fertility and mean token length under every candidate "
+    "vocab size at once, exploiting that a merge list is PREFIX-CLOSED "
+    "— vocab after k merges = alphabet + first k units, so ONE ranked "
+    "vocab artifact (sym, introducing rank; persisted, keyed by merge "
+    "count + corpus fingerprint) serves the whole sweep, and the "
+    "serving-path max-munch pointer doubling runs once with the budget "
+    "as an extra join key (sweep-parallel, still fixed-depth, no "
+    "driver loop). k=0 is the alphabet floor (fertility = chars/word); "
+    f"k={WP_MERGES} is wordpiece_maxmunch_encoding's exact vocabulary, "
+    "pinning the sweep's endpoint to the certified serving op. This is "
+    "the table a team reads before committing a tokenizer budget "
+    "(vocab rows vs average tokens per word). Oracle: the unrolled "
+    "learn chain + ranked vocab + per-budget doubling, unrolled.",
+)
+def q_wp_vocab_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _persisted_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    vk = _persisted_index(
+        spark,
+        "wpvocabk",
+        sf_dir,
+        f"m{WP_MERGES}",
+        lambda: _wp_vocab_ranked(spark, docs),
+        table="documents",
+    )
+    wt = _word_types(docs).localCheckpoint(eager=True)
+    sweep = spark.createDataFrame([(k,) for k in WP_VOCAB_SWEEP], "k bigint")
+    with scoped_shuffle_width(spark, wt.count()):
+        vs = (
+            sweep.join(F.broadcast(vk), F.col("kreq") <= F.col("k"))
+            .groupBy("k")
+            .agg(F.count("*").cast("bigint").alias("vocab_size"))
+        )
+        ml = vk.agg(
+            F.max(F.length(F.regexp_replace("sym", "^##", ""))).alias("ml")
+        )
+        tok = F.when(
+            F.col("p") == 1, F.expr("substring(word, p, l)")
+        ).otherwise(F.concat(F.lit("##"), F.expr("substring(word, p, l)")))
+        cand = (
+            wt.crossJoin(F.broadcast(ml))
+            .select(
+                "word",
+                F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
+                "ml",
+            )
+            .select(
+                "word", "p", F.explode(F.sequence(F.lit(1), F.col("ml"))).alias("l")
+            )
+            .filter(F.col("p") + F.col("l") <= F.length("word") + 1)
+            .withColumn("tok", tok)
+            .join(F.broadcast(vk), F.col("tok") == F.col("sym"))
+            .join(F.broadcast(sweep), F.col("kreq") <= F.col("k"))
+        )
+        best = cand.groupBy("k", "word", "p").agg(F.max("l").alias("bl"))
+        g = (
+            best.select(
+                "k",
+                "word",
+                "p",
+                (F.col("p") + F.col("bl")).alias("nxt"),
+                F.lit(1).cast("bigint").alias("hops"),
+            )
+            .unionByName(
+                wt.crossJoin(F.broadcast(sweep)).select(
+                    "k",
+                    "word",
+                    (F.length("word") + 1).alias("p"),
+                    (F.length("word") + 1).alias("nxt"),
+                    F.lit(0).cast("bigint").alias("hops"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(WP_DOUBLING):
+            a = g.select(
+                "k", "word", "p", F.col("nxt").alias("j"), F.col("hops").alias("hops_a")
+            )
+            b = g.select(
+                "k", "word", F.col("p").alias("j"), "nxt", F.col("hops").alias("hops_b")
+            )
+            g = (
+                a.join(b, ["k", "word", "j"])
+                .select(
+                    "k",
+                    "word",
+                    "p",
+                    "nxt",
+                    (F.col("hops_a") + F.col("hops_b")).alias("hops"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        enc = g.filter(F.col("p") == 1).join(wt, "word")
+        return (
+            enc.groupBy("k")
+            .agg(
+                F.sum("freq").cast("bigint").alias("n_words"),
+                F.sum(F.length("word") * F.col("freq")).cast("bigint").alias("n_chars"),
+                F.sum(F.col("hops") * F.col("freq")).cast("bigint").alias("total_tokens"),
+                F.round(
+                    F.sum(F.col("hops") * F.col("freq")).cast("double")
+                    / F.sum("freq"),
+                    6,
+                ).alias("fertility"),
+                F.round(
+                    F.sum(F.length("word") * F.col("freq")).cast("double")
+                    / F.sum(F.col("hops") * F.col("freq")),
+                    6,
+                ).alias("avg_token_len"),
+            )
+            .join(F.broadcast(vs), "k")
+            .select(
+                F.col("k").alias("vocab_merges"),
+                "vocab_size",
+                "n_words",
+                "n_chars",
+                "total_tokens",
+                "fertility",
+                "avg_token_len",
+            )
+            .orderBy("vocab_merges")
+        )

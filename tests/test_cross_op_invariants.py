@@ -685,3 +685,38 @@ def test_watermark_sweep_matches_naive_simulation(spark):
     assert drops == sorted(drops, reverse=True)
     # the largest candidate covers the synthetic delay bound exactly
     assert got[_WM_SWEEP[-1]][1] == 0
+
+
+def test_vocab_sweep_endpoints_pin_to_serving_op_and_alphabet_floor(spark):
+    """wp_vocab_size_sweep's largest budget must reproduce
+    wordpiece_maxmunch_encoding's corpus totals exactly (same vocab,
+    same greedy walk), and the k=0 floor must be character-level
+    (fertility = chars/word, token length 1)."""
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+        WP_MERGES,
+        WP_VOCAB_SWEEP,
+    )
+
+    sweep = {
+        r.vocab_merges: r
+        for r in REGISTRY["wp_vocab_size_sweep"].spark(spark, SF).collect()
+    }
+    assert set(sweep) == set(WP_VOCAB_SWEEP)
+
+    mm = REGISTRY["wordpiece_maxmunch_encoding"].spark(spark, SF).collect()
+    want_tokens = sum(r.n_tokens * r.freq for r in mm)
+    want_words = sum(r.freq for r in mm)
+    want_chars = sum(r.n_chars * r.freq for r in mm)
+    top = sweep[WP_MERGES]
+    assert top.total_tokens == want_tokens
+    assert top.n_words == want_words and top.n_chars == want_chars
+
+    floor = sweep[0]
+    assert floor.total_tokens == floor.n_chars
+    assert floor.avg_token_len == 1.0
+    # fertility strictly improves as the budget grows (every merge the
+    # learner picked occurs in this corpus)
+    toks = [sweep[k].total_tokens for k in sorted(sweep)]
+    assert toks == sorted(toks, reverse=True)
+    sizes = [sweep[k].vocab_size for k in sorted(sweep)]
+    assert sizes == sorted(sizes)
