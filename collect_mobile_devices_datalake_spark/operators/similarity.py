@@ -2620,3 +2620,143 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_micro"),
         )
     )
+
+
+# --- embedding hygiene audit --------------------------------------------------
+
+# Norms are quantized to integer milli-units via floor (unambiguous on
+# both engines, unlike double rounding at .5 boundaries) so every
+# downstream statistic — discrete median, outlier fences, min/max — is
+# exact BIGINT arithmetic. The discrete lower median comes from a
+# row_number walk, not an interpolating percentile (whose interpolation
+# rules differ across engines).
+
+
+@register(
+    "embedding_dq_audit",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             (embedding IS NULL) AS is_null,
+             CASE WHEN embedding IS NULL THEN -1 ELSE len(embedding) END AS dim,
+             CASE WHEN embedding IS NULL THEN FALSE
+                  ELSE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+             END AS nonfinite
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT b.vec_id, b.label,
+             CAST(floor(sqrt(list_reduce(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (a, x) -> a + x)) * 1000) AS BIGINT) AS mnorm
+      FROM base b JOIN embeddings e USING (vec_id)
+      WHERE NOT b.is_null AND NOT b.nonfinite
+    ),
+    med AS (
+      SELECT label, mnorm AS med_mnorm FROM (
+        SELECT label, mnorm,
+               row_number() OVER (PARTITION BY label ORDER BY mnorm, vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY label) AS cnt
+        FROM norms
+      ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT b.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN b.is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(SUM(CASE WHEN b.nonfinite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(MIN(CASE WHEN b.dim >= 0 THEN b.dim END) AS BIGINT) AS min_dim,
+           CAST(MAX(b.dim) AS BIGINT) AS max_dim,
+           CAST(SUM(CASE WHEN n.mnorm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(MIN(n.mnorm) AS BIGINT) AS min_mnorm,
+           CAST(MAX(n.mnorm) AS BIGINT) AS max_mnorm,
+           CAST(MAX(m.med_mnorm) AS BIGINT) AS med_mnorm,
+           CAST(SUM(CASE WHEN n.mnorm * 2 < m.med_mnorm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_norm_low,
+           CAST(SUM(CASE WHEN n.mnorm > m.med_mnorm * 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_norm_high
+    FROM base b
+    LEFT JOIN norms n ON n.vec_id = b.vec_id
+    LEFT JOIN med m ON m.label = b.label
+    GROUP BY b.label
+    ORDER BY b.label
+    """,
+    doc="Vector-ingest hygiene QA per label shard — the audit a vector "
+    "store runs before committing an embedding batch: null payloads, "
+    "non-finite elements (NaN/Inf), dimension range (a mixed-dim shard "
+    "breaks every kernel downstream), zero-norm vectors (they poison "
+    "cosine — the same guard knn_bruteforce special-cases), and the "
+    "milli-norm distribution (min/median/max plus half/double-median "
+    "outlier fences — a truncated or unnormalized upstream model run "
+    "shows up here first). All statistics are exact BIGINT arithmetic "
+    "over floor-quantized norms; the median is the discrete lower "
+    "median via row_number, not an engine-specific interpolating "
+    "percentile. Scale: one scan + one label-keyed window over the "
+    "norm table; no global sort, no driver collection.",
+)
+def q_embedding_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").isNull().alias("is_null"),
+        F.when(F.col("embedding").isNull(), F.lit(-1))
+        .otherwise(F.size("embedding"))
+        .alias("dim"),
+        F.when(F.col("embedding").isNull(), F.lit(False))
+        .otherwise(
+            F.exists(
+                "embedding",
+                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            )
+        )
+        .alias("nonfinite"),
+        F.col("embedding").alias("emb"),
+    )
+    norms = base.filter(~F.col("is_null") & ~F.col("nonfinite")).select(
+        "vec_id",
+        "label",
+        F.floor(l2_norm("emb") * 1000).cast("bigint").alias("mnorm"),
+    )
+    w = Window.partitionBy("label").orderBy("mnorm", "vec_id")
+    wc = Window.partitionBy("label")
+    med = (
+        norms.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("label", F.col("mnorm").alias("med_mnorm"))
+    )
+    j = (
+        base.join(norms.select("vec_id", "mnorm"), "vec_id", "left")
+        .join(F.broadcast(med), "label", "left")
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("is_null"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.sum(F.when(F.col("nonfinite"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonfinite"),
+            F.min(F.when(F.col("dim") >= 0, F.col("dim")))
+            .cast("bigint")
+            .alias("min_dim"),
+            F.max("dim").cast("bigint").alias("max_dim"),
+            F.sum(F.when(F.col("mnorm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero_norm"),
+            F.min("mnorm").cast("bigint").alias("min_mnorm"),
+            F.max("mnorm").cast("bigint").alias("max_mnorm"),
+            F.max("med_mnorm").cast("bigint").alias("med_mnorm"),
+            F.sum(F.when(F.col("mnorm") * 2 < F.col("med_mnorm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_norm_low"),
+            F.sum(F.when(F.col("mnorm") > F.col("med_mnorm") * 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_norm_high"),
+        )
+        .orderBy("label")
+    )

@@ -261,3 +261,46 @@ def test_lsh_index_stats_accounting(spark):
         assert r.n_buckets == len(per_t)
         assert r.max_occ == max(per_t)
         assert r.pair_mass == sum(v * (v - 1) // 2 for v in per_t)
+
+
+def test_embedding_dq_audit_detects_planted_defects(spark, tmp_path):
+    """The audit's defect counters must fire on a shard with planted
+    problems: null payloads, NaN/Inf elements, mixed dims, zero-norm
+    vectors, and half/double-median norm outliers (the clean driver
+    fixture exercises only the healthy path)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    rows = [
+        Row(vec_id=1, embedding=[3.0, 4.0], label=0),        # mnorm 5000
+        Row(vec_id=2, embedding=[3.0, 4.0], label=0),        # median anchor
+        Row(vec_id=3, embedding=[3.0, 4.0], label=0),
+        Row(vec_id=4, embedding=None, label=0),              # null payload
+        Row(vec_id=5, embedding=[float("nan"), 1.0], label=0),   # NaN
+        Row(vec_id=6, embedding=[float("inf"), 1.0], label=0),   # Inf
+        Row(vec_id=7, embedding=[1.0, 1.0, 1.0], label=0),   # dim mismatch, low norm
+        Row(vec_id=8, embedding=[0.0, 0.0], label=0),        # zero norm
+        Row(vec_id=9, embedding=[30.0, 40.0], label=0),      # high outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r.label: r
+        for r in REGISTRY["embedding_dq_audit"].spark(spark, str(tmp_path)).collect()
+    }
+    a = out[0]
+    assert a.n_vectors == 9
+    assert a.n_null == 1
+    assert a.n_nonfinite == 2
+    assert (a.min_dim, a.max_dim) == (2, 3)
+    assert a.n_zero_norm == 1
+    # healthy norms: 5000 x3, floor(sqrt(3)*1000)=1732, 0, 50000
+    assert a.med_mnorm == 5000
+    assert a.min_mnorm == 0 and a.max_mnorm == 50000
+    assert a.n_norm_low == 2      # 1732 and 0 are below half the median
+    assert a.n_norm_high == 1     # 50000 is above double the median
+    assert a.med_mnorm == math.floor(5.0 * 1000)
