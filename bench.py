@@ -82,6 +82,15 @@ HEADLINE = [
     "hll_register_sketch",
     "wordpiece_learn_merges",
     "wordpiece_corpus_encoding",
+    # r13 session 3: the watermark tuner (two-phase distributed prefix
+    # scan over events — a shape no other headline row exercises), the
+    # vocab-budget sweep (sweep-parallel max-munch over the ranked
+    # vocab artifact), and the embedding hygiene audit (array-fold
+    # norms + label-keyed discrete median). First-green self-baselines
+    # in BASELINE.md §C-v2 (calibrated).
+    "watermark_lateness_sweep",
+    "wp_vocab_size_sweep",
+    "embedding_dq_audit",
 ]
 
 # Streaming maintenance guard set (added r8): each runs a REAL
@@ -106,6 +115,9 @@ STREAMING = [
     # r13: the seventh lattice family — per-register HLL max (the most
     # tightly bounded state in the family: <= sources x 256 rows/batch)
     "streaming_hll_state",
+    # r13 session 3: the eighth lattice family — packed-word bitwise OR
+    # (the saved-set membership bitmap resume_bloom_prefilter probes)
+    "streaming_bloom_state",
 ]
 
 

@@ -520,3 +520,25 @@ def test_hll_register_build_is_one_mapside_max_aggregation(spark):
     assert "Join" not in plan, plan
     # fan_out repartition (test-SF scan widening) + the single agg exchange
     assert count_exchanges(q) <= 2, plan
+
+
+def test_watermark_sweep_two_phase_prefix_scan_plan(spark):
+    """The lateness sweep's running max must be the two-phase shape: the
+    event mass flows through a CHUNK-PARTITIONED window (parallel), and
+    the only single-partition exchanges sit on bounded frames — the
+    one-row-per-hour chunk table's prefix fold and the |sweep|-row
+    output sort. The chunk prefix joins back by broadcast."""
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["watermark_lateness_sweep"].spark(spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly two bounded single-partition points, none carrying events:
+    # the chunk-table prefix window and the final sweep-sized sort
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+    # the big-side window is partitioned (chunk key present in the
+    # window's partition spec — a global-order window over events would
+    # show an empty partition spec feeding a single partition)
+    assert "hashpartitioning(chunk" in plan, plan

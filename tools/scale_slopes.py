@@ -215,6 +215,18 @@ KERNELS = [
     # type-table dependence (cold path: includes the per-corpus vocab
     # artifact build, same discipline as bpe/wordpiece_corpus_encoding).
     ("wordpiece_maxmunch_encoding", "documents"),
+    # r13 session 3: the watermark tuner (two-phase prefix scan — the
+    # within-chunk window grows m x rows per chunk while the chunk
+    # table is fixed by the time span, so a healthy run tracks the
+    # scan; events expansion), the vocab-budget sweep (4 budgets
+    # through ONE pointer-doubling pass over the word-TYPE table —
+    # same type-table dependence as wordpiece_maxmunch_encoding, ~4x
+    # constant; cold path includes the ranked-vocab artifact build),
+    # and the embedding hygiene audit (one scan of array folds + one
+    # label-keyed window — output fixed at |labels| rows).
+    ("watermark_lateness_sweep", "events"),
+    ("wp_vocab_size_sweep", "documents"),
+    ("embedding_dq_audit", "embeddings"),
 ]
 
 
