@@ -2760,3 +2760,128 @@ def q_embedding_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- rank-aware ANN quality ---------------------------------------------------
+
+# Binary-relevance nDCG@10 needs 1/log2(i+1) discounts — irrational, so
+# both engines read the SAME micro-unit integer literals (computed once
+# here) and every downstream step is exact BIGINT arithmetic: gain sum,
+# floor-divided normalization, floor-divided mean. No libm log crosses
+# an engine boundary.
+_NDCG_W = [round(1_000_000 / __import__("math").log2(i + 1)) for i in range(1, 11)]
+_NDCG_IDEAL = sum(_NDCG_W)
+
+
+def _ndcg_oracle() -> str:
+    from ..registry import REGISTRY
+
+    exact = REGISTRY["knn_bruteforce"].oracle
+    methods = {
+        "lsh_multiprobe": REGISTRY["knn_lsh_probe"].oracle,
+        "ivf_kmeans": REGISTRY["knn_ivf_kmeans_probe"].oracle,
+        "ivf_pq": REGISTRY["knn_ivfpq_probe"].oracle,
+        "nsw_graph": REGISTRY["knn_nsw_probe"].oracle,
+    }
+    wt = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rk, CAST({w} AS BIGINT) AS wmicro"
+        for i, w in enumerate(_NDCG_W)
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS method, a.query_id, a.rk
+    FROM ({sql}) a JOIN exact_r e
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    """
+        for name, sql in methods.items()
+    )
+    return f"""
+    WITH exact_r AS (SELECT * FROM ({exact})),
+    panel AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    wt AS ({wt}),
+    hits AS ({arms}),
+    dcg AS (
+      SELECT h.method, h.query_id, CAST(SUM(w.wmicro) AS BIGINT) AS dcg_micro
+      FROM hits h JOIN wt w ON w.rk = h.rk
+      GROUP BY h.method, h.query_id
+    ),
+    perq AS (
+      SELECT m.method, p.query_id,
+             (1000000 * COALESCE(d.dcg_micro, 0)) // {_NDCG_IDEAL} AS ndcg_micro
+      FROM panel p
+      CROSS JOIN (SELECT DISTINCT method FROM hits) m
+      LEFT JOIN dcg d ON d.method = m.method AND d.query_id = p.query_id
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(ndcg_micro) // COUNT(*) AS BIGINT) AS mean_ndcg_micro,
+           CAST(MIN(ndcg_micro) AS BIGINT) AS min_ndcg_micro,
+           CAST(SUM(CASE WHEN ndcg_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM perq GROUP BY method ORDER BY method
+    """
+
+
+@register(
+    "ann_ndcg_report",
+    oracle=_ndcg_oracle(),
+    doc="Rank-aware ANN bake-off: binary-relevance nDCG@10 of every "
+    "approximate method against the exact top-10 — the companion to "
+    "ann_methods_recall that set-based recall cannot replace (a method "
+    "that finds all ten true neighbors but inverts their order scores "
+    "recall 1.0; nDCG charges it for every displaced rank). Discounts "
+    "are shared integer micro-unit literals (no libm log crosses an "
+    "engine boundary); per-query nDCG is floor-divided exact BIGINT "
+    "arithmetic; queries a method misses entirely score 0 via a panel "
+    "left join, so the mean is over the full query panel. Reports "
+    "mean/min nDCG and the count of rank-perfect queries per method. "
+    "Scale: each arm rides its registered persisted-index probe; the "
+    "report adds one (method x query)-sized aggregation.",
+)
+def q_ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        q_knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    methods = {
+        "lsh_multiprobe": q_knn_lsh_probe,
+        "ivf_kmeans": q_knn_ivf_kmeans_probe,
+        "ivf_pq": q_knn_ivfpq_probe,
+        "nsw_graph": q_knn_nsw_probe,
+    }
+    emb = load_table(spark, "embeddings", sf_dir)
+    panel = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    warr = F.array(*[F.lit(w).cast("bigint") for w in _NDCG_W])
+    arms = None
+    for name, fn in methods.items():
+        hit = fn(spark, sf_dir).select("query_id", "neighbor_id", "rk").join(
+            exact, ["query_id", "neighbor_id"]
+        )
+        dcg = hit.groupBy("query_id").agg(
+            F.sum(F.element_at(warr, F.col("rk"))).cast("bigint").alias("dcg_micro")
+        )
+        perq = panel.join(dcg, "query_id", "left").select(
+            F.lit(name).alias("method"),
+            "query_id",
+            F.expr(
+                f"(1000000 * COALESCE(dcg_micro, 0)) div {_NDCG_IDEAL}"
+            ).alias("ndcg_micro"),
+        )
+        arms = perq if arms is None else arms.unionByName(perq)
+    return (
+        arms.groupBy("method")
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.expr("sum(ndcg_micro) div count(*)")
+            .cast("bigint")
+            .alias("mean_ndcg_micro"),
+            F.min("ndcg_micro").cast("bigint").alias("min_ndcg_micro"),
+            F.sum(F.when(F.col("ndcg_micro") == 1_000_000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_perfect"),
+        )
+        .orderBy("method")
+    )

@@ -720,3 +720,48 @@ def test_vocab_sweep_endpoints_pin_to_serving_op_and_alphabet_floor(spark):
     assert toks == sorted(toks, reverse=True)
     sizes = [sweep[k].vocab_size for k in sorted(sweep)]
     assert sizes == sorted(sizes)
+
+
+def test_ann_ndcg_matches_hand_recompute_and_recall_hits(spark):
+    """ann_ndcg_report must equal a by-hand nDCG computed from the
+    registered probe outputs against the brute-force baseline, and its
+    total hit mass must agree with ann_methods_recall's n_hits."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        _NDCG_IDEAL,
+        _NDCG_W,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["knn_bruteforce"].spark(spark, SF).collect()
+    }
+    panel = sorted({q for q, _ in exact})
+    got = {
+        r.method: r for r in REGISTRY["ann_ndcg_report"].spark(spark, SF).collect()
+    }
+    recall = {
+        r.method: r.n_hits
+        for r in REGISTRY["ann_methods_recall"].spark(spark, SF).collect()
+    }
+    probes = {
+        "lsh_multiprobe": "knn_lsh_probe",
+        "ivf_kmeans": "knn_ivf_kmeans_probe",
+        "ivf_pq": "knn_ivfpq_probe",
+        "nsw_graph": "knn_nsw_probe",
+    }
+    for method, key in probes.items():
+        rows = REGISTRY[key].spark(spark, SF).collect()
+        dcg = {}
+        n_hits = 0
+        for r in rows:
+            if (r.query_id, r.neighbor_id) in exact:
+                dcg[r.query_id] = dcg.get(r.query_id, 0) + _NDCG_W[r.rk - 1]
+                n_hits += 1
+        ndcgs = [(1_000_000 * dcg.get(q, 0)) // _NDCG_IDEAL for q in panel]
+        g = got[method]
+        assert g.n_queries == len(panel)
+        assert g.mean_ndcg_micro == sum(ndcgs) // len(panel)
+        assert g.min_ndcg_micro == min(ndcgs)
+        assert g.n_perfect == sum(1 for v in ndcgs if v == 1_000_000)
+        assert recall[method] == n_hits
+        assert 0 <= g.mean_ndcg_micro <= 1_000_000
