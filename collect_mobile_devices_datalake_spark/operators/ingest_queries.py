@@ -161,3 +161,59 @@ def q_ingest_specs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_records"),
         F.sum("n_specs").alias("n_spec_values"),
     )
+
+
+# --- WARC container ingest ----------------------------------------------------
+
+
+@register(
+    "warc_container_records",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id % 8 AS bucket, doc_id,
+             length(coalesce(text, '')) AS n,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(coalesce(text, ''), ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> a + b) AS payload_sum
+      FROM documents
+    ),
+    sz AS (
+      SELECT *,
+             CAST(83 + length(CAST(doc_id AS VARCHAR))
+                     + length(CAST(n AS VARCHAR)) + n AS BIGINT) AS rec_size
+      FROM r
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1
+                AS BIGINT) AS rec_index,
+           CAST(COALESCE(SUM(rec_size) OVER (
+                  PARTITION BY source, bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS offset,
+           doc_id, CAST(n AS BIGINT) AS content_length, payload_sum
+    FROM sz
+    ORDER BY source, bucket, rec_index
+    """,
+    doc="WARC-shaped container ingest, round-tripped and value-certified: "
+    "documents are packed into sharded containers (one per source x "
+    "doc_id%8 — the CommonCrawl layout) with JVM-side string assembly, "
+    "then a REAL byte-level parser (Arrow mapInPandas; magic check, "
+    "CRLF header framing, Content-Length-driven payload read, strict "
+    "trailer) walks the bytes back and reports every record's offset, "
+    "length, id, and payload byte sum. The oracle computes the same "
+    "columns INDEPENDENTLY from the documents table (window prefix "
+    "sums over the closed-form record size 83+digits(id)+digits(n)+n), "
+    "so a value match proves the parser's walk — offsets and all — "
+    "against arithmetic, not against a second copy of the parser. "
+    "Payload arithmetic is chars==bytes by the pinned ASCII fixture "
+    "invariant (tests/test_multimodal.py). Scale: containers are the "
+    "unit of parallelism; the build is one groupBy of record strings, "
+    "the parse is map-only, record rows never shuffle with payloads.",
+)
+def q_warc_container_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import parse_warc, warc_containers
+
+    docs = load_table(spark, "documents", sf_dir)
+    return parse_warc(warc_containers(docs)).orderBy("source", "bucket", "rec_index")

@@ -141,3 +141,71 @@ def test_ingest_log_sink(spark, lake):
     events = [(r["source"], r["event"], r["n"]) for r in logs]
     assert ("versus", "ingest_batch", part.count()) in events
     assert ("versus", "ingest_batch", 0) in events  # the no-op rerun logged too
+
+
+def test_warc_build_matches_independent_python_and_parser_is_strict(spark):
+    """The JVM-built container must equal an independent Python
+    construction byte for byte; the parser must reproduce the records
+    and REFUSE corrupted framing (magic, payload truncation, trailer)."""
+    import pytest
+
+    from collect_mobile_devices_datalake_spark.sources.warc import (
+        WARC_BUCKETS,
+        parse_warc,
+        warc_containers,
+    )
+
+    rows = [
+        (3, "hello world", "en", "alpha", 11),
+        (11, "", "en", "alpha", 0),          # empty payload record
+        (19, "a\r\nb", "en", "alpha", 4),    # CRLF inside payload
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    built = {
+        (r["source"], r["bucket"]): bytes(r["container"])
+        for r in warc_containers(docs).collect()
+    }
+
+    def py_record(doc_id, text):
+        payload = text.encode()
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "
+            f"<urn:doc:{doc_id}>\r\nContent-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    want: dict[tuple, bytes] = {}
+    for doc_id, text, _, src, _ in sorted(rows):
+        key = (src, doc_id % WARC_BUCKETS)
+        want[key] = want.get(key, b"") + py_record(doc_id, text)
+    assert built == want
+
+    parsed = parse_warc(warc_containers(docs)).collect()
+    got = {(r.doc_id): (r.offset, r.content_length, r.payload_sum) for r in parsed}
+    assert got[3] == (0, 11, sum(b"hello world"))
+    assert got[19][1] == 4 and got[19][2] == sum(b"a\r\nb")
+    # offsets chain: each record starts where the previous one ended
+    by_bucket: dict[tuple, list] = {}
+    for r in sorted(parsed, key=lambda r: (r.source, r.bucket, r.rec_index)):
+        by_bucket.setdefault((r.source, r.bucket), []).append(r)
+    for recs in by_bucket.values():
+        pos = 0
+        for r in recs:
+            assert r.offset == pos
+            pos += 83 + len(str(r.doc_id)) + len(str(r.content_length)) + r.content_length
+
+    # strictness: flip the magic / truncate / break the trailer
+    good = want[("alpha", 3)]
+    bad_frames = [
+        b"XARC" + good[4:],                # bad magic
+        good[:-6],                         # truncated payload+trailer
+        good[:-2] + b"xx",                 # bad trailer
+    ]
+    for bad in bad_frames:
+        df = spark.createDataFrame(
+            [("alpha", 3, bytearray(bad))], "source string, bucket long, container binary"
+        )
+        with pytest.raises(Exception):
+            parse_warc(df).collect()
