@@ -1249,3 +1249,126 @@ def q_hll_union_inclusion_exclusion(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- HLL precision sweep ------------------------------------------------------
+
+# Memory-vs-error tuner for the register sketch. The key identity: with
+# index = h & (m-1) (low bits) and rho always computed over h >> 8 (the
+# bits ABOVE the largest m), every smaller power-of-two register file is
+# a FOLD of the 256-register file — reg' = reg & (m'-1), mrho' = max —
+# so the whole sweep derives from the one sketch already built, no
+# corpus rescan per candidate m. (For m < 256 the unused index bits sit
+# between index and rho window; they cost nothing — rho's geometric law
+# is unchanged, only alpha_m varies.) alpha constants are the published
+# Flajolet et al. 2007 values, shared with DuckDB as repr literals.
+HLL_SWEEP_MS = [32, 64, 128, 256]
+_HLL_ALPHAS = {
+    16: 0.673,
+    32: 0.697,
+    64: 0.709,
+}
+_HLL_NUMS = {
+    m: (_HLL_ALPHAS.get(m, 0.7213 / (1.0 + 1.079 / m)) * float(m * m * HLL_SCALE))
+    for m in HLL_SWEEP_MS
+}
+
+
+def _hll_sweep_oracle() -> str:
+    num_case = " ".join(
+        f"WHEN {m} THEN {_HLL_NUMS[m]!r}" for m in HLL_SWEEP_MS
+    )
+    return f"""
+    WITH regs AS ({_hll_regs_sql(_HLL_SHINGLE_PAIRS_SQL, "source")}),
+    sweep AS (SELECT unnest(ARRAY{HLL_SWEEP_MS}) AS m),
+    fold AS (
+      SELECT r.source, s.m, r.reg & (s.m - 1) AS reg2, MAX(r.mrho) AS mrho
+      FROM regs r CROSS JOIN sweep s
+      GROUP BY r.source, s.m, r.reg & (s.m - 1)
+    ),
+    agg AS (
+      SELECT source, m,
+             CAST(m - COUNT(*) AS BIGINT) AS v_empty,
+             CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - CAST(mrho AS INT)))
+                  + (m - COUNT(*)) * {HLL_SCALE} AS BIGINT) AS sum_scaled
+      FROM fold GROUP BY source, m
+    ),
+    ex AS (
+      SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+      FROM ({_HLL_SHINGLE_PAIRS_SQL}) GROUP BY source
+    )
+    SELECT a.source, CAST(a.m AS BIGINT) AS m, a.v_empty, a.sum_scaled,
+           round((CASE a.m {num_case} END) / a.sum_scaled, 6) AS hll_estimate,
+           e.n_exact,
+           round(100.0 * abs((CASE a.m {num_case} END) / a.sum_scaled - e.n_exact)
+                 / e.n_exact, 6) AS err_pct
+    FROM agg a JOIN ex e ON e.source = a.source
+    ORDER BY a.source, m
+    """
+
+
+@register(
+    "hll_precision_sweep",
+    oracle=_hll_sweep_oracle(),
+    doc="Register-count tuner (the sketch-budget sweep, completing the "
+    "tuner set alongside cms_width_calibration): per-source HLL "
+    "estimate and realized error at every candidate register count, "
+    "ALL derived from the one 256-register sketch by the fold identity "
+    "reg' = reg & (m'-1), mrho' = max — no corpus rescan per "
+    "candidate; the sweep costs one |sources x 256 x |sweep||-row "
+    "aggregation over the register file. rho is computed over h >> 8 "
+    "(bits above the largest m) for every m, which is what makes the "
+    "fold exact; only alpha_m varies (published Flajolet constants, "
+    "shared repr literals). Exact distinct rides along as the QA "
+    "column. This is the table a team reads to pick register memory "
+    "per key before deploying the streaming HLL lattice.",
+)
+def q_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_ngrams
+
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    pairs = docs.select(
+        "source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t")
+    ).select("source", rolling_hash("t").alias("h"))
+    regs = hll_registers(pairs, "source")
+    sweep = F.explode(F.array(*[F.lit(m) for m in HLL_SWEEP_MS])).alias("m")
+    fold = (
+        regs.select("source", "reg", "mrho", sweep)
+        .groupBy("source", "m", F.col("reg").bitwiseAND(F.col("m") - 1).alias("reg2"))
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    agg = fold.groupBy("source", "m").agg(
+        (F.col("m") - F.count("*")).cast("bigint").alias("v_empty"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - CAST(mrho AS INT))"
+                )
+            )
+            + (F.first("m") - F.count("*")) * HLL_SCALE
+        )
+        .cast("bigint")
+        .alias("sum_scaled"),
+    )
+    exact = pairs.groupBy("source").agg(
+        F.countDistinct("h").cast("bigint").alias("n_exact")
+    )
+    num = F.when(F.col("m") == HLL_SWEEP_MS[0], F.lit(_HLL_NUMS[HLL_SWEEP_MS[0]]))
+    for m in HLL_SWEEP_MS[1:]:
+        num = num.when(F.col("m") == m, F.lit(_HLL_NUMS[m]))
+    est_raw = num / F.col("sum_scaled")
+    return (
+        agg.join(F.broadcast(exact), "source")
+        .select(
+            "source",
+            F.col("m").cast("bigint").alias("m"),
+            "v_empty",
+            "sum_scaled",
+            F.round(est_raw, 6).alias("hll_estimate"),
+            "n_exact",
+            F.round(
+                F.lit(100.0) * F.abs(est_raw - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("err_pct"),
+        )
+        .orderBy("source", "m")
+    )

@@ -694,3 +694,68 @@ def test_bloom_words_pack_exactly_the_probe_bitmap(spark):
         p1 = h1 % _M_BITS
         p2 = (h1 + (h1 * _MULT) % _P) % _M_BITS
         assert (member(p1) and member(p2)) == flags[r["url"]]
+
+
+def test_hll_precision_sweep_fold_identity_and_endpoint(spark):
+    """The sweep's m=256 rows must equal hll_register_sketch exactly
+    (same registers, same estimator), and every smaller m must equal an
+    independent Python fold of the 256-register file — the fold
+    identity reg' = reg & (m'-1), mrho' = max, computed from scratch."""
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_M,
+        HLL_RHO_CAP,
+        HLL_SCALE,
+        HLL_SWEEP_MS,
+        _HLL_NUMS,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+
+    sweep = {
+        (r.source, r.m): r
+        for r in REGISTRY["hll_precision_sweep"].spark(spark, SF_SMOKE).collect()
+    }
+    base = {
+        r.source: r
+        for r in REGISTRY["hll_register_sketch"].spark(spark, SF_SMOKE).collect()
+    }
+    for src, b in base.items():
+        s = sweep[(src, HLL_M)]
+        assert (s.v_empty, s.sum_scaled, s.hll_estimate, s.n_exact) == (
+            b.v_empty,
+            b.sum_scaled,
+            b.hll_estimate,
+            b.n_exact,
+        )
+
+    # independent fold from the raw 256-register file
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_SHINGLE,
+        hll_registers,
+        rolling_hash,
+    )
+    from collect_mobile_devices_datalake_spark.functions.text import char_ngrams
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    pairs = docs.select(
+        "source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t")
+    ).select("source", rolling_hash("t").alias("h"))
+    regs = {
+        (r["source"], r["reg"]): r["mrho"]
+        for r in hll_registers(pairs, "source").collect()
+    }
+    sources = {s for s, _ in regs}
+    for m in HLL_SWEEP_MS:
+        for src in sources:
+            fold: dict[int, int] = {}
+            for (s, reg), mrho in regs.items():
+                if s == src:
+                    r2 = reg & (m - 1)
+                    fold[r2] = max(fold.get(r2, 0), mrho)
+            sum_scaled = sum(1 << (HLL_RHO_CAP - v) for v in fold.values()) + (
+                m - len(fold)
+            ) * HLL_SCALE
+            row = sweep[(src, m)]
+            assert row.v_empty == m - len(fold)
+            assert row.sum_scaled == sum_scaled
+            assert row.hll_estimate == round(_HLL_NUMS[m] / sum_scaled, 6)
