@@ -1055,3 +1055,84 @@ def q_doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ambiguous"),
     )
+
+
+# --- context-length sweep -----------------------------------------------------
+
+# Candidate max_seq_len budgets (whitespace tokens), spanning the
+# fixture's document-length distribution (mean ~56 tokens) so the
+# truncation curve is non-degenerate: the sweep answers the question a
+# team asks BEFORE running doc_context_packing's packer — which budget
+# loses how much corpus? (A production corpus would sweep 512..8192;
+# the budgets are a knob, the arithmetic is the operator.)
+CTX_SWEEP = [16, 32, 64, 128]
+
+
+@register(
+    "context_length_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sweep AS (SELECT unnest(ARRAY{CTX_SWEEP}) AS max_len)
+    SELECT CAST(s.max_len AS BIGINT) AS max_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens > s.max_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(GREATEST(n_tokens - s.max_len, 0)) AS BIGINT) AS tokens_lost,
+           round(CAST(SUM(GREATEST(n_tokens - s.max_len, 0)) AS DOUBLE)
+                 / SUM(n_tokens), 6) AS frac_lost,
+           CAST(SUM((LEAST(n_tokens, s.max_len) + s.max_len - 1) // s.max_len)
+                AS BIGINT) AS n_seqs,
+           round(CAST(SUM(n_tokens) - SUM(GREATEST(n_tokens - s.max_len, 0)) AS DOUBLE)
+                 / (SUM((LEAST(n_tokens, s.max_len) + s.max_len - 1) // s.max_len)
+                    * s.max_len), 6) AS pad_free_fill
+    FROM t, sweep s
+    GROUP BY s.max_len ORDER BY max_len
+    """,
+    doc="Context-budget tuner: for every candidate max_seq_len, how many "
+    "documents truncate, how many tokens the corpus loses (count and "
+    "fraction), how many training sequences the kept mass yields, and "
+    "the fill rate a padding-free packer could reach at that budget — "
+    "the table read BEFORE committing doc_context_packing's fixed bin "
+    "size. The whole sweep is one corpus scan (token counts) exploded "
+    "by |sweep| budgets into a |sweep|-row aggregate; exact BIGINT "
+    "arithmetic throughout (ceil division as (x+L-1) div L), two "
+    "rounded divisions at the end.",
+)
+def q_context_length_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).filter(F.length(F.trim("text")) > 0)
+    t = d.select(token_count("text").alias("n_tokens"))
+    s = t.select(
+        "n_tokens",
+        F.explode(F.array(*[F.lit(x) for x in CTX_SWEEP])).alias("max_len"),
+    )
+    lost = F.greatest(F.col("n_tokens") - F.col("max_len"), F.lit(0))
+    kept = F.least(F.col("n_tokens"), F.col("max_len"))
+    seqs = F.expr("(least(n_tokens, max_len) + max_len - 1) div max_len")
+    return (
+        s.groupBy("max_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens") > F.col("max_len"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(lost).cast("bigint").alias("tokens_lost"),
+            F.round(F.sum(lost).cast("double") / F.sum("n_tokens"), 6).alias(
+                "frac_lost"
+            ),
+            F.sum(seqs).cast("bigint").alias("n_seqs"),
+            F.round(
+                F.sum(kept).cast("double")
+                / (F.sum(seqs) * F.first("max_len")).cast("double"),
+                6,
+            ).alias("pad_free_fill"),
+        )
+        .select(F.col("max_len").cast("bigint").alias("max_len"), "n_docs",
+                "n_truncated", "tokens_total", "tokens_lost", "frac_lost",
+                "n_seqs", "pad_free_fill")
+        .orderBy("max_len")
+    )

@@ -765,3 +765,42 @@ def test_ann_ndcg_matches_hand_recompute_and_recall_hits(spark):
         assert g.n_perfect == sum(1 for v in ndcgs if v == 1_000_000)
         assert recall[method] == n_hits
         assert 0 <= g.mean_ndcg_micro <= 1_000_000
+
+
+def test_context_sweep_monotone_and_consistent_with_packer(spark):
+    """context_length_sweep: losses shrink monotonically with budget,
+    token totals equal doc_context_packing's corpus mass, and the
+    per-budget columns obey their own arithmetic identities."""
+    rows = {
+        r.max_len: r
+        for r in REGISTRY["context_length_sweep"].spark(spark, SF).collect()
+    }
+    budgets = sorted(rows)
+    packed_total = sum(
+        r.n_tokens for r in REGISTRY["doc_context_packing"].spark(spark, SF).collect()
+    )
+    losses = [rows[b].tokens_lost for b in budgets]
+    assert losses == sorted(losses, reverse=True)
+    truncs = [rows[b].n_truncated for b in budgets]
+    assert truncs == sorted(truncs, reverse=True)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(num: int, den: int) -> float:
+        # Spark/DuckDB round() is HALF_UP on the double quotient; for an
+        # exact-decimal quotient (e.g. 24142/32000 = 0.7544375) Python's
+        # round() banker's-rounds the other way — replicate HALF_UP
+        return float(
+            (Decimal(num) / Decimal(den)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    for b in budgets:
+        r = rows[b]
+        assert r.tokens_total == packed_total
+        assert abs(r.frac_lost - r6(r.tokens_lost, r.tokens_total)) < 1e-9
+        # kept mass fits the sequence budget exactly
+        assert r.tokens_total - r.tokens_lost <= r.n_seqs * b
+        assert abs(
+            r.pad_free_fill - r6(r.tokens_total - r.tokens_lost, r.n_seqs * b)
+        ) < 1e-9
