@@ -19,6 +19,8 @@ HEADLINE = [
     "source_quality_calibration", "media_wav_silence_runs",
     "unigram_corpus_encoding",
     "hll_register_sketch", "wordpiece_corpus_encoding",
+    "watermark_lateness_sweep", "embedding_dq_audit",
+    "warc_container_records", "hll_precision_sweep",
 ]
 _ensure_loaded()
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
