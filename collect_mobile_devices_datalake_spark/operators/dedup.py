@@ -1600,3 +1600,100 @@ def q_paragraph_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shared / F.count("*").cast("double"), 6).alias("shared_frac"),
         )
     )
+
+
+# --- simhash-native near-dup pairs ---------------------------------------------
+
+# The Manku-Jain-Sarma algorithm (WWW 2007: "Detecting Near-Duplicates
+# for Web Crawling" — Google's production simhash dedup): split the
+# f-bit fingerprint into T+1 bands; any pair within Hamming distance T
+# agrees exactly on at least one band (pigeonhole), so banded equality
+# joins generate a COMPLETE candidate set and the exact bit_count
+# verify makes the operator exact, not probabilistic — the same design
+# media_phash_near_dup applies to image aHashes, here on the text
+# fingerprint that previously had no native candidate path (simhash
+# quality was only ever reported over the MinHash-LSH candidates).
+SIMHASH_T = 3  # exact through this Hamming distance; bands = T + 1
+_SIMHASH_BANDS = SIMHASH_T + 1
+_SIMHASH_BAND_BITS = 32 // _SIMHASH_BANDS  # 8 bits per band
+
+
+def _simhash_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             list_reduce(
+               list_transform(range(0, 32),
+                 j -> CASE WHEN len(list_filter(h, x -> ((x * (2*j + 3) + j*5 + 1) % 1000000007) % 2 = 1)) * 2 > len(h)
+                           THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
+               (acc, x) -> acc + x) AS simhash
+      FROM (SELECT doc_id, {_HASHES_SQL} AS h FROM documents
+            WHERE len({_SHINGLES_SQL}) > 0)
+    """
+
+
+@register(
+    "simhash_band_near_dup",
+    oracle=f"""
+    WITH sim AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (CAST(b.band AS INTEGER) * {_SIMHASH_BAND_BITS}))
+               & {(1 << _SIMHASH_BAND_BITS) - 1} AS bval
+      FROM sim, (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {SIMHASH_T}
+    ORDER BY doc_a, doc_b
+    """,
+    doc=f"SimHash-native near-duplicate pairs — the Manku-Jain-Sarma "
+    "WWW'07 production algorithm: the 32-bit fingerprint splits into "
+    f"{_SIMHASH_BANDS} bands of {_SIMHASH_BAND_BITS} bits; any pair "
+    f"within Hamming {SIMHASH_T} agrees on >= 1 band (pigeonhole), so "
+    "band-equality bucket joins yield a COMPLETE candidate set and the "
+    "exact bit_count verify makes the output EXACT (every pair at "
+    f"distance <= {SIMHASH_T}, zero probabilistic recall) — the text "
+    "twin of media_phash_near_dup, giving simhash its own candidate "
+    "path instead of riding the MinHash-LSH buckets "
+    "(simhash_estimate_quality). Scale: candidate mass is band-bucket "
+    "bounded exactly as in dedup_minhash_lsh_pairs; fingerprints are "
+    "one scan, the join shuffles 8-bit band keys, never shingle sets.",
+)
+def q_simhash_band_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = q_dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "bval",
+        F.expr(
+            f"shiftright(simhash, CAST(band * {_SIMHASH_BAND_BITS} AS INT)) "
+            f"& {(1 << _SIMHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(ham <= SIMHASH_T)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

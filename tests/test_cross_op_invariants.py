@@ -804,3 +804,27 @@ def test_context_sweep_monotone_and_consistent_with_packer(spark):
         assert abs(
             r.pad_free_fill - r6(r.tokens_total - r.tokens_lost, r.n_seqs * b)
         ) < 1e-9
+
+
+def test_simhash_band_pairs_are_exact_through_threshold(spark):
+    """simhash_band_near_dup must equal the full quadratic recompute:
+    every pair at Hamming <= T present (pigeonhole completeness through
+    T = bands-1), nothing beyond T, and the reported distances exact."""
+    import itertools
+
+    from collect_mobile_devices_datalake_spark.operators.dedup import SIMHASH_T
+
+    hs = {
+        r.doc_id: r.simhash
+        for r in REGISTRY["dedup_simhash"].spark(spark, SF).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        h = bin(hs[a] ^ hs[b]).count("1")
+        if h <= SIMHASH_T:
+            want[(a, b)] = h
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in REGISTRY["simhash_band_near_dup"].spark(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
