@@ -1372,3 +1372,99 @@ def q_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "m")
     )
+
+
+# --- KMV k sweep ----------------------------------------------------------------
+
+# The third sketch-budget tuner (CMS width, HLL registers, now KMV k),
+# riding the same exactness trick as hll_precision_sweep: a k-min list
+# is PREFIX-CLOSED — the first k' entries of the k=64 sketch ARE the
+# k'-min sketch — so every candidate budget reads off the one sketch
+# already built, no corpus rescan. Numerators (k'-1)*P are shared
+# per-budget literals so the one float division mirrors
+# kmv_vocab_distinct's formula exactly at every budget.
+KMV_SWEEP_KS = [8, 16, 32, 64]
+
+
+def _kmv_sweep_oracle() -> str:
+    num_case = " ".join(
+        f"WHEN {k} THEN {float((k - 1) * P)!r}" for k in KMV_SWEEP_KS
+    )
+    shingle_pairs = f"SELECT DISTINCT source, h FROM ({_HLL_SHINGLE_PAIRS_SQL})"
+    return f"""
+    WITH sk AS ({kmv_sketch_sql(shingle_pairs, "source")}),
+    sweep AS (SELECT unnest(ARRAY{KMV_SWEEP_KS}) AS k)
+    SELECT source, CAST(s.k AS BIGINT) AS k,
+           kmin[LEAST(CAST(s.k AS INT), CAST(n_exact AS INT))] AS kth_min,
+           CASE WHEN n_exact < s.k THEN n_exact
+                ELSE CAST(floor((CASE s.k {num_case} END)
+                                / kmin[CAST(s.k AS INT)]) AS BIGINT)
+           END AS est_distinct,
+           n_exact,
+           round(100.0 * abs(
+             (CASE WHEN n_exact < s.k THEN n_exact
+                   ELSE CAST(floor((CASE s.k {num_case} END)
+                                   / kmin[CAST(s.k AS INT)]) AS BIGINT) END)
+             - n_exact) / n_exact, 6) AS err_pct
+    FROM sk, sweep s ORDER BY source, k
+    """
+
+
+@register(
+    "kmv_k_sweep",
+    oracle=_kmv_sweep_oracle(),
+    doc="KMV budget tuner, completing the sketch-budget trio (CMS width "
+    "/ HLL registers / KMV k): per-source estimate and realized error "
+    "at every candidate k, ALL read off the one k=64 sketch by prefix "
+    "closure (the first k' minima ARE the k'-min sketch — no corpus "
+    "rescan per budget). Each budget applies kmv_vocab_distinct's "
+    "exact formula with its own shared (k-1)*P literal; the exact "
+    "count rides along as the QA column. The table a team reads to "
+    "size per-key sketch memory before deploying the streaming KMV "
+    "lattice. The universe is the char-8-gram shingle space (the "
+    "hll_precision_sweep universe, ~4k distinct per source — the "
+    "31-word fixture vocabulary is smaller than every candidate k, "
+    "which would leave the estimator untested), so the two sweeps "
+    "read memory-vs-error across sketch families on the SAME keys.",
+)
+def q_kmv_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_ngrams
+
+    docs = fan_out(load_table(spark, "documents", sf_dir), "doc_id")
+    pairs = (
+        docs.select(
+            "source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t")
+        )
+        .select("source", rolling_hash("t").alias("h"))
+        .distinct()
+    )
+    kmin = kmv_kmin(pairs, K, "source")
+    exact = pairs.groupBy("source").agg(
+        F.countDistinct("h").cast("bigint").alias("n_exact")
+    )
+    sk = kmin.join(exact, "source")
+    s = sk.select(
+        "source",
+        "kmin",
+        "n_exact",
+        F.explode(F.array(*[F.lit(k) for k in KMV_SWEEP_KS])).alias("k"),
+    )
+    num = F.when(F.col("k") == KMV_SWEEP_KS[0], F.lit(float((KMV_SWEEP_KS[0] - 1) * P)))
+    for k in KMV_SWEEP_KS[1:]:
+        num = num.when(F.col("k") == k, F.lit(float((k - 1) * P)))
+    kth = F.element_at(
+        "kmin", F.least(F.col("k").cast("int"), F.col("n_exact").cast("int"))
+    )
+    est = F.when(F.col("n_exact") < F.col("k"), F.col("n_exact")).otherwise(
+        F.floor(num / F.element_at("kmin", F.col("k").cast("int"))).cast("long")
+    )
+    return s.select(
+        "source",
+        F.col("k").cast("long").alias("k"),
+        kth.alias("kth_min"),
+        est.alias("est_distinct"),
+        "n_exact",
+        F.round(100.0 * F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "err_pct"
+        ),
+    ).orderBy("source", "k")

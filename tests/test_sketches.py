@@ -759,3 +759,50 @@ def test_hll_precision_sweep_fold_identity_and_endpoint(spark):
             assert row.v_empty == m - len(fold)
             assert row.sum_scaled == sum_scaled
             assert row.hll_estimate == round(_HLL_NUMS[m] / sum_scaled, 6)
+
+
+def test_kmv_k_sweep_prefix_closure_and_formula(spark):
+    """Every sweep row must be the exact estimator formula applied to
+    the corresponding PREFIX of one independently-recomputed k=64
+    min-list (prefix closure: the first k' minima ARE the k'-min
+    sketch)."""
+    from collect_mobile_devices_datalake_spark.functions.text import char_ngrams
+    from collect_mobile_devices_datalake_spark.operators.sketches import (
+        HLL_SHINGLE,
+        KMV_SWEEP_KS,
+        P,
+        rolling_hash,
+    )
+    from collect_mobile_devices_datalake_spark.registry import REGISTRY
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    pairs = (
+        docs.select(
+            "source", F.explode(char_ngrams(F.col("text"), HLL_SHINGLE)).alias("t")
+        )
+        .select("source", rolling_hash("t").alias("h"))
+        .distinct()
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in pairs:
+        by_src.setdefault(r["source"], []).append(r["h"])
+    got = {
+        (r.source, r.k): r
+        for r in REGISTRY["kmv_k_sweep"].spark(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(by_src) * len(KMV_SWEEP_KS)
+    for src, hs in by_src.items():
+        hs.sort()
+        n = len(hs)
+        for k in KMV_SWEEP_KS:
+            row = got[(src, k)]
+            assert row.n_exact == n
+            assert row.kth_min == hs[min(k, n) - 1]
+            if n < k:
+                assert row.est_distinct == n
+            else:
+                import math
+
+                assert row.est_distinct == math.floor(float((k - 1) * P) / hs[k - 1])
