@@ -224,6 +224,14 @@ KERNELS = [
     # constant; cold path includes the ranked-vocab artifact build),
     # and the embedding hygiene audit (one scan of array folds + one
     # label-keyed window — output fixed at |labels| rows).
+    # r13 session 3: the Manku-Jain-Sarma simhash near-dup — banded
+    # candidate join over 8-bit band keys; candidate mass is the
+    # quadratic risk exactly as in dedup_minhash_lsh_pairs, and the
+    # same workload caveat as media_phash_near_dup applies (the 1-in-3
+    # rewrite leaves replicas fingerprint-close to their originals, so
+    # true-pair output grows superlinearly by construction; wall time
+    # per candidate is the gradeable quantity).
+    ("simhash_band_near_dup", "documents"),
     ("watermark_lateness_sweep", "events"),
     ("wp_vocab_size_sweep", "documents"),
     ("embedding_dq_audit", "embeddings"),
