@@ -350,7 +350,10 @@ def frame_audio(media: DataFrame) -> DataFrame:
 
 def frame_sample(media: DataFrame, every_n: int = 1000) -> DataFrame:
     """Audio/video frame sampling plan: sampled frame indices per asset
-    (sequence + explode; the decode of each sampled frame is the stub)."""
+    (sequence + explode). This op is the INDEX plan only — the real
+    per-frame decode lives in ``frame_audio`` (RIFF/WAVE parse →
+    per-frame PCM stats), which a caller joins against these indices;
+    since r12/r13 no modality decode in this module is stubbed."""
     audio = media.filter(F.col("kind") == "audio")
     idx = F.sequence(
         F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
