@@ -1380,3 +1380,93 @@ def q_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- rank-aware hybrid-retrieval QA --------------------------------------------
+
+
+def _hybrid_ndcg_oracle() -> str:
+    """Compose the exact and indexed RRF oracles verbatim, score the
+    indexed ranking with the shared integer nDCG discounts (the
+    ann_ndcg_report machinery, applied to the retrieval pair)."""
+    from ..registry import REGISTRY
+    from .similarity import _NDCG_IDEAL, _NDCG_W
+
+    exact = REGISTRY["hybrid_search_rrf"].oracle
+    indexed = REGISTRY["hybrid_search_rrf_indexed"].oracle
+    wt = " UNION ALL ".join(
+        f"SELECT {i + 1} AS rk, CAST({w} AS BIGINT) AS wmicro"
+        for i, w in enumerate(_NDCG_W)
+    )
+    return f"""
+    WITH exact_r AS (SELECT query_id, doc_id FROM ({exact})),
+    idx AS (SELECT query_id, doc_id, rk FROM ({indexed})),
+    panel AS (SELECT DISTINCT query_id FROM exact_r),
+    wt AS ({wt}),
+    dcg AS (
+      SELECT i.query_id, CAST(SUM(w.wmicro) AS BIGINT) AS dcg_micro
+      FROM idx i
+      JOIN exact_r e ON e.query_id = i.query_id AND e.doc_id = i.doc_id
+      JOIN wt w ON w.rk = i.rk
+      GROUP BY i.query_id
+    ),
+    perq AS (
+      SELECT p.query_id,
+             (1000000 * COALESCE(d.dcg_micro, 0)) // {_NDCG_IDEAL} AS ndcg_micro
+      FROM panel p LEFT JOIN dcg d ON d.query_id = p.query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(ndcg_micro) // COUNT(*) AS BIGINT) AS mean_ndcg_micro,
+           CAST(MIN(ndcg_micro) AS BIGINT) AS min_ndcg_micro,
+           CAST(SUM(CASE WHEN ndcg_micro = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_perfect
+    FROM perq
+    """
+
+
+@register(
+    "hybrid_search_ndcg",
+    oracle=_hybrid_ndcg_oracle(),
+    doc="Rank-aware QA for the hybrid-retrieval pair: binary-relevance "
+    "nDCG@10 of the INDEXED RRF pipeline (token postings + LSH vector "
+    "leg) against its EXACT twin's top-10 — the retrieval counterpart "
+    "of ann_ndcg_report, closing the loop on the r12 headline swap: "
+    "set-recall said the indexed path finds the exact answers; this "
+    "says how well it ORDERS them (rank inversions are free under "
+    "recall, charged here). Same exactness discipline: shared integer "
+    "micro-unit discounts, floor-divided BIGINT means, queries missed "
+    "entirely scoring 0 through the panel left join. Scale: both legs "
+    "ride their registered pipelines; the metric adds one "
+    "query-panel-sized aggregation.",
+)
+def q_hybrid_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _NDCG_IDEAL, _NDCG_W
+
+    exact = (
+        q_hybrid_search_rrf(spark, sf_dir)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    idx = q_hybrid_search_rrf_indexed(spark, sf_dir).select(
+        "query_id", "doc_id", "rk"
+    )
+    panel = exact.select("query_id").distinct()
+    warr = F.array(*[F.lit(w).cast("bigint") for w in _NDCG_W])
+    dcg = (
+        idx.join(exact, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(F.element_at(warr, F.col("rk"))).cast("bigint").alias("dcg_micro"))
+    )
+    perq = panel.join(dcg, "query_id", "left").select(
+        F.expr(f"(1000000 * COALESCE(dcg_micro, 0)) div {_NDCG_IDEAL}").alias(
+            "ndcg_micro"
+        )
+    )
+    return perq.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.expr("sum(ndcg_micro) div count(*)").cast("bigint").alias("mean_ndcg_micro"),
+        F.min("ndcg_micro").cast("bigint").alias("min_ndcg_micro"),
+        F.sum(F.when(F.col("ndcg_micro") == 1_000_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_perfect"),
+    )

@@ -828,3 +828,29 @@ def test_simhash_band_pairs_are_exact_through_threshold(spark):
         for r in REGISTRY["simhash_band_near_dup"].spark(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_hybrid_ndcg_matches_hand_recompute(spark):
+    """hybrid_search_ndcg must equal a by-hand nDCG from the two
+    registered RRF outputs (exact twin defines relevance; indexed twin
+    supplies the ranking)."""
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        _NDCG_IDEAL,
+        _NDCG_W,
+    )
+
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in REGISTRY["hybrid_search_rrf"].spark(spark, SF).collect()
+    }
+    panel = sorted({q for q, _ in exact})
+    dcg: dict[int, int] = {}
+    for r in REGISTRY["hybrid_search_rrf_indexed"].spark(spark, SF).collect():
+        if (r.query_id, r.doc_id) in exact:
+            dcg[r.query_id] = dcg.get(r.query_id, 0) + _NDCG_W[r.rk - 1]
+    ndcgs = [(1_000_000 * dcg.get(q, 0)) // _NDCG_IDEAL for q in panel]
+    got = REGISTRY["hybrid_search_ndcg"].spark(spark, SF).collect()[0]
+    assert got.n_queries == len(panel)
+    assert got.mean_ndcg_micro == sum(ndcgs) // len(panel)
+    assert got.min_ndcg_micro == min(ndcgs)
+    assert got.n_perfect == sum(1 for v in ndcgs if v == 1_000_000)
