@@ -978,68 +978,79 @@ FROM selu{KCENTER_K} ORDER BY rank""")
     f"{KCENTER_K} maximally-diverse embeddings under cosine distance — "
     "the diversity-sampling selector for labeling budgets and eval-set "
     "construction, complementing per-query MMR with a GLOBAL selection. "
-    "Each round is one map-only pass (distance to ≤ k broadcast "
-    "centers) + a 1-row argmax kept as a broadcast DataFrame, so the "
-    "cost at 100 TB is k scans with no shuffle wider than the argmax — "
-    "the radius column is the classic non-increasing covering-radius "
-    "curve (each selected point's distance to its nearest prior "
-    "center). Oracle: unrolled greedy rounds (the BPE/MMR technique).",
+    "The k selected centers are collected driver-side (k-bounded — the "
+    "ONE legitimate driver-side loop shape) and re-injected as literal "
+    "arrays, so each round is a single map-only scan (distance to ≤ k "
+    "literal centers via F.least) + a TakeOrdered 1-row argmax: NO "
+    "shuffle, NO checkpoint barrier — at 100 TB the cost is exactly k "
+    "cached scans. The radius column is the classic non-increasing "
+    "covering-radius curve (each selected point's distance to its "
+    "nearest prior center). Oracle: unrolled greedy rounds (the "
+    "BPE/MMR technique).",
 )
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     corpus = emb.select(
         "vec_id", "embedding", l2_norm("embedding").alias("nrm")
-    ).localCheckpoint(eager=True)
-    first = (
-        corpus.orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).cast("long").alias("rank"),
-            "vec_id",
-            F.lit(0.0).alias("radius"),
-            "embedding",
-            "nrm",
-        )
-        .localCheckpoint(eager=True)
-    )
-    sel = first
-    dist = 1.0 - F.when(F.col("nrm") * F.col("cnrm") == 0, F.lit(0.0)).otherwise(
-        dot_product("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))
-    )
-    # k-bounded rounds over a corpus-wide frame; the per-round shuffles
-    # (min-dist groupBy + 1-row argmax) are working-set-sized
-    with scoped_shuffle_width(spark, corpus.count()):
+    ).persist()
+    try:
+        seed = corpus.orderBy("vec_id").limit(1).collect()[0]
+        # (rank, vec_id, radius, embedding-as-doubles, norm). Collected
+        # float32 elements widen to double exactly, and nrm was computed
+        # as a double JVM-side, so the literal re-injection reproduces
+        # the former column-to-column arithmetic bit-for-bit.
+        centers = [
+            (1, seed["vec_id"], 0.0, [float(x) for x in seed["embedding"]], float(seed["nrm"]))
+        ]
+        # One F.expr per round: composing ~k*64 F.lit columns through
+        # py4j costs ~0.9 s of driver chatter per round; a single SQL
+        # string is one round trip and parses JVM-side in microseconds.
+        # cast('<repr>' as double) is an exact round trip for Python's
+        # shortest-repr floats, so the literal arithmetic is bit-equal
+        # to the former column-to-column form.
+        def _d(x: float) -> str:
+            return f"cast('{x!r}' as double)"
+
         for t in range(2, KCENTER_K + 1):
-            centers = sel.select(
-                F.col("vec_id").alias("cid"),
-                F.col("embedding").alias("cemb"),
-                F.col("nrm").alias("cnrm"),
-            )
-            mind = (
-                corpus.join(
-                    sel.select(F.col("vec_id").alias("cid")),
-                    corpus.vec_id == F.col("cid"),
-                    "left_anti",
+            dists = []
+            for _rank, _cid, _rad, cemb, cnrm in centers:
+                arr = "array(" + ",".join(_d(x) for x in cemb) + ")"
+                nc = _d(cnrm)
+                dot = (
+                    f"aggregate(zip_with(embedding, {arr}, "
+                    f"(x, y) -> cast(x as double) * y), "
+                    f"cast(0.0 as double), (acc, x) -> acc + x)"
                 )
-                .crossJoin(F.broadcast(centers))
-                .groupBy("vec_id")
-                .agg(F.min(dist).alias("mind"))
+                dists.append(
+                    f"(cast(1.0 as double) - (case when nrm * {nc} = 0 "
+                    f"then cast(0.0 as double) else {dot} / (nrm * {nc}) end))"
+                )
+            mind = F.expr(
+                "least(" + ",".join(dists) + ")" if len(dists) > 1 else dists[0]
             )
             pick = (
-                mind.orderBy(F.desc("mind"), F.asc("vec_id"))
+                corpus.where(~F.col("vec_id").isin([c[1] for c in centers]))
+                .select("vec_id", mind.alias("mind"), "embedding", "nrm")
+                .orderBy(F.desc("mind"), F.asc("vec_id"))
                 .limit(1)
-                .join(corpus, "vec_id")
-                .select(
-                    F.lit(t).cast("long").alias("rank"),
-                    "vec_id",
-                    F.col("mind").alias("radius"),
-                    "embedding",
-                    "nrm",
-                )
-                .localCheckpoint(eager=True)
+                .collect()[0]
             )
-            sel = sel.unionByName(pick)
-    return sel.select("rank", "vec_id", F.round("radius", 6).alias("radius")).orderBy(
+            centers.append(
+                (
+                    t,
+                    pick["vec_id"],
+                    float(pick["mind"]),
+                    [float(x) for x in pick["embedding"]],
+                    float(pick["nrm"]),
+                )
+            )
+    finally:
+        corpus.unpersist()
+    out = spark.createDataFrame(
+        [(r, v, rad) for r, v, rad, _e, _n in centers],
+        "rank long, vec_id long, radius double",
+    )
+    return out.select("rank", "vec_id", F.round("radius", 6).alias("radius")).orderBy(
         "rank"
     )
 
