@@ -475,11 +475,21 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
+    return simhash_fingerprints(d, 32)
+
+
+def simhash_fingerprints(d: DataFrame, n_bits: int) -> DataFrame:
+    """Per-doc SimHash at any width ≤ 62: per-bit majority vote over the
+    shingle-hash family (same derivation as the 32-bit ``dedup_simhash``
+    key, bit j from parity of an affine reindex of each shingle hash).
+    Widths stop at 62 because bit 63 is the BIGINT sign bit — DuckDB
+    raises on ``1::BIGINT << 63`` — and keeping fingerprints positive
+    keeps every downstream shift/xor engine-portable."""
     shingled = shingled_docs(d).withColumnRenamed("sh", "shingles")
     hashes = F.transform(F.col("shingles"), lambda s: rolling_hash(s))
     n = F.size("shingles")
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda j: F.when(
             F.size(F.filter(hashes, lambda h: ((h * (2 * j + 3) + j * 5 + 1) % P) % 2 == 1)) * 2 > n,
             F.pow(F.lit(2.0), j.cast("double")).cast("bigint"),
@@ -1614,15 +1624,23 @@ def q_paragraph_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprint that previously had no native candidate path (simhash
 # quality was only ever reported over the MinHash-LSH candidates).
 SIMHASH_T = 3  # exact through this Hamming distance; bands = T + 1
+# Manku's production fingerprint is 64-bit; 60 is the widest width that
+# (a) divides into T+1 = 4 equal bands and (b) stays clear of the
+# BIGINT sign bit, which DuckDB refuses to construct (1::BIGINT << 63
+# overflows) and which would make shift/mask band extraction
+# sign-sensitive cross-engine. 15-bit bands give 2^15 = 32768 bucket
+# keys per band (vs 256 at the old 32-bit width), so candidate mass is
+# Θ(N²/2^15) per band before the exact bit_count verify.
+SIMHASH_F = 60
 _SIMHASH_BANDS = SIMHASH_T + 1
-_SIMHASH_BAND_BITS = 32 // _SIMHASH_BANDS  # 8 bits per band
+_SIMHASH_BAND_BITS = SIMHASH_F // _SIMHASH_BANDS  # 15 bits per band
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = SIMHASH_F) -> str:
     return f"""
       SELECT doc_id,
              list_reduce(
-               list_transform(range(0, 32),
+               list_transform(range(0, {bits}),
                  j -> CASE WHEN len(list_filter(h, x -> ((x * (2*j + 3) + j*5 + 1) % 1000000007) % 2 = 1)) * 2 > len(h)
                            THEN CAST(power(2, j) AS BIGINT) ELSE 0 END),
                (acc, x) -> acc + x) AS simhash
@@ -1654,7 +1672,9 @@ def _simhash_sql() -> str:
     ORDER BY doc_a, doc_b
     """,
     doc=f"SimHash-native near-duplicate pairs — the Manku-Jain-Sarma "
-    "WWW'07 production algorithm: the 32-bit fingerprint splits into "
+    f"WWW'07 production algorithm on a {SIMHASH_F}-bit fingerprint "
+    "(Manku's is 64; 60 is the widest 4-band width clear of the BIGINT "
+    f"sign bit cross-engine): the fingerprint splits into "
     f"{_SIMHASH_BANDS} bands of {_SIMHASH_BAND_BITS} bits; any pair "
     f"within Hamming {SIMHASH_T} agrees on >= 1 band (pigeonhole), so "
     "band-equality bucket joins yield a COMPLETE candidate set and the "
@@ -1662,12 +1682,16 @@ def _simhash_sql() -> str:
     f"distance <= {SIMHASH_T}, zero probabilistic recall) — the text "
     "twin of media_phash_near_dup, giving simhash its own candidate "
     "path instead of riding the MinHash-LSH buckets "
-    "(simhash_estimate_quality). Scale: candidate mass is band-bucket "
-    "bounded exactly as in dedup_minhash_lsh_pairs; fingerprints are "
-    "one scan, the join shuffles 8-bit band keys, never shingle sets.",
+    "(simhash_estimate_quality). Scale: candidate mass is "
+    f"Θ(N²/2^{_SIMHASH_BAND_BITS}) per band — a real bound only while "
+    "corpus bit-patterns spread across the 2^15 bucket keys; a skewed "
+    "hot bucket degrades toward quadratic, which scale_slopes tracks. "
+    "Fingerprints are one scan; the join shuffles 15-bit band keys, "
+    "never shingle sets.",
 )
 def q_simhash_band_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sim = q_dedup_simhash(spark, sf_dir)
+    d = load_table(spark, "documents", sf_dir)
+    sim = simhash_fingerprints(d, SIMHASH_F)
     bands = sim.select(
         "doc_id",
         "simhash",

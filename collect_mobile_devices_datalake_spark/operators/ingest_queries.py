@@ -18,6 +18,7 @@ from ..registry import register
 from ..session import load_table
 from ..sources.fixtures import spec_pages
 from ..sources.parse import PARSERS
+from ..sources.warc import WARC_BUCKETS, WARC_FIXED_OVERHEAD
 
 _URL = "'https://example.com/devices/{src}/p_' || CAST(p_partkey AS VARCHAR)"
 _PRICE = "CAST(CAST(p_retailprice AS DECIMAL(10,2)) AS VARCHAR)"
@@ -170,7 +171,7 @@ def q_ingest_specs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "warc_container_records",
     oracle=f"""
     WITH r AS (
-      SELECT source, doc_id % 8 AS bucket, doc_id,
+      SELECT source, doc_id % {WARC_BUCKETS} AS bucket, doc_id,
              length(coalesce(text, '')) AS n,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
@@ -181,7 +182,7 @@ def q_ingest_specs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sz AS (
       SELECT *,
-             CAST(83 + length(CAST(doc_id AS VARCHAR))
+             CAST({WARC_FIXED_OVERHEAD} + length(CAST(doc_id AS VARCHAR))
                      + length(CAST(n AS VARCHAR)) + n AS BIGINT) AS rec_size
       FROM r
     )

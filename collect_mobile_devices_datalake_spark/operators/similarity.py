@@ -2640,14 +2640,16 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
              (embedding IS NULL) AS is_null,
              CASE WHEN embedding IS NULL THEN -1 ELSE len(embedding) END AS dim,
              CASE WHEN embedding IS NULL THEN FALSE
-                  ELSE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0
+                  ELSE len(list_filter(embedding,
+                           x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
              END AS nonfinite
       FROM embeddings
     ),
     norms AS (
       SELECT b.vec_id, b.label,
              CAST(floor(sqrt(list_reduce(
-                 list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                  (a, x) -> a + x)) * 1000) AS BIGINT) AS mnorm
       FROM base b JOIN embeddings e USING (vec_id)
       WHERE NOT b.is_null AND NOT b.nonfinite
@@ -2682,7 +2684,11 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Vector-ingest hygiene QA per label shard — the audit a vector "
     "store runs before committing an embedding batch: null payloads, "
-    "non-finite elements (NaN/Inf), dimension range (a mixed-dim shard "
+    "degenerate elements (NaN/Inf/NULL — a NULL element counts as "
+    "n_nonfinite and is excluded from norms on both engines; the "
+    "oracle's list_reduce is seeded via list_prepend so an EMPTY "
+    "embedding folds to mnorm=0, matching Spark's aggregate seed, "
+    "instead of erroring), dimension range (a mixed-dim shard "
     "breaks every kernel downstream), zero-norm vectors (they poison "
     "cosine — the same guard knn_bruteforce special-cases), and the "
     "milli-norm distribution (min/median/max plus half/double-median "
@@ -2704,11 +2710,16 @@ def q_embedding_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("embedding").isNull(), F.lit(-1))
         .otherwise(F.size("embedding"))
         .alias("dim"),
+        # x.isNull() in the predicate makes F.exists total: a NULL
+        # element is itself a defect (counted here, excluded from
+        # norms), and without the clause exists() returns NULL on
+        # no-match-with-nulls, silently dropping the row from BOTH
+        # counters — the cross-engine divergence this guard closes.
         F.when(F.col("embedding").isNull(), F.lit(False))
         .otherwise(
             F.exists(
                 "embedding",
-                lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+                lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
             )
         )
         .alias("nonfinite"),
@@ -2787,6 +2798,12 @@ def _ndcg_oracle() -> str:
         f"SELECT {i + 1} AS rk, CAST({w} AS BIGINT) AS wmicro"
         for i, w in enumerate(_NDCG_W)
     )
+    # fixed arm list, NOT SELECT DISTINCT method FROM hits: an arm with
+    # zero hits corpus-wide must still appear (as all-zero nDCG rows),
+    # exactly as the Spark side always unions all four arms — deriving
+    # the list from hits would drop it in precisely the total-recall-
+    # failure regime this report exists to surface.
+    mlist = " UNION ALL ".join(f"SELECT '{name}' AS method" for name in methods)
     arms = "\n    UNION ALL\n".join(
         f"""
     SELECT '{name}' AS method, a.query_id, a.rk
@@ -2809,7 +2826,7 @@ def _ndcg_oracle() -> str:
       SELECT m.method, p.query_id,
              (1000000 * COALESCE(d.dcg_micro, 0)) // {_NDCG_IDEAL} AS ndcg_micro
       FROM panel p
-      CROSS JOIN (SELECT DISTINCT method FROM hits) m
+      CROSS JOIN ({mlist}) m
       LEFT JOIN dcg d ON d.method = m.method AND d.query_id = p.query_id
     )
     SELECT method,

@@ -812,11 +812,18 @@ def test_simhash_band_pairs_are_exact_through_threshold(spark):
     T = bands-1), nothing beyond T, and the reported distances exact."""
     import itertools
 
-    from collect_mobile_devices_datalake_spark.operators.dedup import SIMHASH_T
+    from collect_mobile_devices_datalake_spark.operators.dedup import (
+        SIMHASH_F,
+        SIMHASH_T,
+        simhash_fingerprints,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
 
     hs = {
         r.doc_id: r.simhash
-        for r in REGISTRY["dedup_simhash"].spark(spark, SF).collect()
+        for r in simhash_fingerprints(
+            load_table(spark, "documents", SF), SIMHASH_F
+        ).collect()
     }
     want = {}
     for a, b in itertools.combinations(sorted(hs), 2):

@@ -265,9 +265,13 @@ def test_lsh_index_stats_accounting(spark):
 
 def test_embedding_dq_audit_detects_planted_defects(spark, tmp_path):
     """The audit's defect counters must fire on a shard with planted
-    problems: null payloads, NaN/Inf elements, mixed dims, zero-norm
-    vectors, and half/double-median norm outliers (the clean driver
-    fixture exercises only the healthy path)."""
+    problems: null payloads, NaN/Inf elements, NULL elements, EMPTY
+    (non-null) arrays, mixed dims, zero-norm vectors, and
+    half/double-median norm outliers (the clean driver fixture
+    exercises only the healthy path). The NULL-element and empty-array
+    rows pin the two cross-engine divergences from the r13 advice:
+    exists() returning NULL on no-match-with-nulls, and DuckDB's
+    unseeded list_reduce erroring on []."""
     import math
 
     from pyspark.sql import Row
@@ -284,8 +288,12 @@ def test_embedding_dq_audit_detects_planted_defects(spark, tmp_path):
         Row(vec_id=7, embedding=[1.0, 1.0, 1.0], label=0),   # dim mismatch, low norm
         Row(vec_id=8, embedding=[0.0, 0.0], label=0),        # zero norm
         Row(vec_id=9, embedding=[30.0, 40.0], label=0),      # high outlier
+        Row(vec_id=10, embedding=[None, 1.0], label=0),      # NULL element
+        Row(vec_id=11, embedding=[], label=0),               # empty payload
     ]
-    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
 
     out = {
@@ -293,14 +301,28 @@ def test_embedding_dq_audit_detects_planted_defects(spark, tmp_path):
         for r in REGISTRY["embedding_dq_audit"].spark(spark, str(tmp_path)).collect()
     }
     a = out[0]
-    assert a.n_vectors == 9
+    assert a.n_vectors == 11
     assert a.n_null == 1
-    assert a.n_nonfinite == 2
-    assert (a.min_dim, a.max_dim) == (2, 3)
-    assert a.n_zero_norm == 1
-    # healthy norms: 5000 x3, floor(sqrt(3)*1000)=1732, 0, 50000
+    assert a.n_nonfinite == 3     # NaN, Inf, and the NULL-element array
+    assert (a.min_dim, a.max_dim) == (0, 3)
+    assert a.n_zero_norm == 2     # [0,0] and the empty array both fold to 0
+    # healthy norms: 5000 x3, floor(sqrt(3)*1000)=1732, 0, 0, 50000
     assert a.med_mnorm == 5000
     assert a.min_mnorm == 0 and a.max_mnorm == 50000
-    assert a.n_norm_low == 2      # 1732 and 0 are below half the median
+    assert a.n_norm_low == 3      # 1732 and the two zeros are below half-median
     assert a.n_norm_high == 1     # 50000 is above double the median
     assert a.med_mnorm == math.floor(5.0 * 1000)
+
+    # the planted shard must also certify cross-engine, not just fire
+    # the counters — this is where the two r13 divergence classes lived
+    import duckdb
+
+    spec = REGISTRY["embedding_dq_audit"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    orc = con.execute(spec.oracle).fetchall()
+    got = [tuple(r) for r in spec.spark(spark, str(tmp_path)).collect()]
+    assert got == orc
