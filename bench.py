@@ -121,6 +121,36 @@ STREAMING = [
 ]
 
 
+def fs_calibration_sec(runs: int) -> float:
+    """Best-of-N wall time of a fixed write-fsync-read-delete loop
+    (64 x 1 MiB files in a fresh temp dir) — the fs-bound twin of the
+    CPU calibration row. The streaming guard set's wall time is
+    dominated by availableNow checkpoint/compaction fs traffic, which
+    scales with filesystem contention, NOT CPU load (the r13 finding:
+    CPU normalization OVER-corrects streaming rows on a busy box —
+    streaming_bloom_state's first-green had to be re-recorded).
+    perf_sweep.baseline_v2_ratios divides streaming rows by this row
+    on both sides when available. Excluded from the total."""
+    import tempfile
+
+    payload = b"\x5a" * (1 << 20)
+    best = float("inf")
+    for _ in range(max(2, runs)):
+        t0 = time.perf_counter()
+        with tempfile.TemporaryDirectory(prefix="benchfs-") as d:
+            for i in range(64):
+                p = os.path.join(d, f"f{i}")
+                with open(p, "wb") as f:
+                    f.write(payload)
+                    f.flush()
+                    os.fsync(f.fileno())
+                with open(p, "rb") as f:
+                    f.read()
+                os.remove(p)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # SPARK_GRAFT_BENCH_RUNS: samples per query (best-of-N). Default 2 —
@@ -162,6 +192,7 @@ def main() -> None:
         spark.range(8_000_000_000).selectExpr("sum(id % 1000)").collect()
         calibration = min(calibration, time.perf_counter() - t0)
     calibration = round(calibration, 3)
+    calibration_fs = fs_calibration_sec(runs)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -211,6 +242,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_sec": calibration,
+                "calibration_fs_sec": calibration_fs,
             }
         )
     )

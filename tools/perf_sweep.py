@@ -89,12 +89,28 @@ def baseline_v2_ratios(
     bcal, vcal = bench.get("calibration_sec"), v2.get("calibration_sec")
     if not bcal or not vcal:
         return []
+    # Streaming-protocol rows are fs-bound (availableNow checkpoint /
+    # compaction traffic), so CPU calibration OVER-corrects them on a
+    # busy box — normalize them by the fs calibration row when both
+    # sides carry one (bench.py's write-fsync-read-delete loop),
+    # falling back to the CPU row otherwise.
+    _root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    if _root not in sys.path:
+        sys.path.insert(0, _root)
+    try:
+        from bench import STREAMING as _streaming
+    except ImportError:  # pragma: no cover - bench.py always at repo root
+        _streaming = []
+    bfs, vfs = bench.get("calibration_fs_sec"), v2.get("calibration_fs_sec")
     out = []
     for name, v2_sec in sorted(v2.get("queries", {}).items()):
         b_sec = bench.get("queries", {}).get(name)
         if b_sec is None or v2_sec <= 0:
             continue
-        ratio = (b_sec / bcal) / (v2_sec / vcal)
+        if name in _streaming and bfs and vfs:
+            ratio = (b_sec / bfs) / (v2_sec / vfs)
+        else:
+            ratio = (b_sec / bcal) / (v2_sec / vcal)
         if ratio > gate:
             out.append(f"{name}: {ratio:.2f}x (raw {b_sec:.2f}s vs v2 {v2_sec:.2f}s)")
     return out
