@@ -157,6 +157,191 @@ def _parse_bmp(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
     return width, h, bytes(px)
 
 
+# --- PNG: the first COMPRESSED codec (r14 — stdlib zlib) ---------------------
+#
+# The third real container after WAV and BMP, and the first with an
+# entropy-coded payload: 8-bit grayscale PNG (color type 0), IHDR/IDAT/
+# IEND chunk walk with per-chunk CRC32 verification, DEFLATE via stdlib
+# zlib, and the five scanline filters. The fixture encoder cycles
+# filters 0/1/2 (None/Sub/Up — the unfilter paths that vectorize), so
+# production decode stays numpy-fast; filters 3/4 (Average/Paeth) are
+# implemented in the decoder and pinned by the round-trip unit test.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(
+    pixels: bytes, width: int, height: int, filter_cycle: tuple[int, ...] = (0, 1, 2)
+) -> bytes:
+    """A genuine 8-bit grayscale PNG (stdlib ``struct`` + ``zlib``):
+    IHDR / IDAT / IEND chunks with correct CRC32s, scanlines filtered
+    per ``filter_cycle[y % len]`` (PNG filter semantics: predictors read
+    RAW neighbor values, so encoding vectorizes), DEFLATE-compressed.
+    The compressed twin of ``_bmp_bytes``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(pixels) != width * height or width <= 0 or height <= 0:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != width*height {width}*{height}"
+        )
+    raw = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width).astype(np.int64)
+    lines = []
+    for y in range(height):
+        f = filter_cycle[y % len(filter_cycle)]
+        row = raw[y]
+        left = np.concatenate(([0], row[:-1]))
+        up = raw[y - 1] if y > 0 else np.zeros(width, dtype=np.int64)
+        upleft = (
+            np.concatenate(([0], raw[y - 1][:-1]))
+            if y > 0
+            else np.zeros(width, dtype=np.int64)
+        )
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - up
+        elif f == 3:
+            filt = row - (left + up) // 2
+        elif f == 4:
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
+    """Strict PNG parse: signature, CRC32-verified chunk walk, IHDR
+    shape gate (8-bit grayscale, non-interlaced), IDAT concatenation +
+    inflate, and full five-filter scanline reconstruction. Returns
+    (width, height, pixels); per-media ValueError on any malformed or
+    unsupported container — the same strictness as ``_parse_bmp``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError(f"media_id {media_id}: not a PNG (bad signature)")
+    pos, ihdr, idat, ended = len(_PNG_SIG), None, [], False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError(f"media_id {media_id}: truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"media_id {media_id}: truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"media_id {media_id}: PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            if ihdr is not None or pos != len(_PNG_SIG):
+                raise ValueError(f"media_id {media_id}: misplaced IHDR")
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError(f"media_id {media_id}: PNG missing IHDR or IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"media_id {media_id}: IHDR length {len(ihdr)} != 13")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"media_id {media_id}: expected 8-bit grayscale non-interlaced "
+            f"PNG, got depth={depth} color={ctype} comp={comp} "
+            f"filter={filt} interlace={inter}"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"media_id {media_id}: bad PNG dimensions {w}x{h}")
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"media_id {media_id}: PNG inflate failed: {e}") from e
+    if len(stream) != h * (w + 1):
+        raise ValueError(
+            f"media_id {media_id}: PNG scanline stream {len(stream)} bytes "
+            f"!= {h * (w + 1)}"
+        )
+    sl = np.frombuffer(stream, dtype=np.uint8).reshape(h, w + 1)
+    filters, rows = sl[:, 0], sl[:, 1:].astype(np.int64)
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        f, filt_row = int(filters[y]), rows[y]
+        prev = out[y - 1] if y > 0 else np.zeros(w, dtype=np.int64)
+        if f == 0:
+            out[y] = filt_row
+        elif f == 1:  # Sub: recon(x) = filt(x) + recon(x-1) → cumsum mod 256
+            out[y] = np.cumsum(filt_row) % 256
+        elif f == 2:  # Up
+            out[y] = (filt_row + prev) % 256
+        elif f == 3:  # Average: sequential in x (depends on recon left)
+            left = 0
+            for x in range(w):
+                left = (filt_row[x] + (left + prev[x]) // 2) % 256
+                out[y, x] = left
+        elif f == 4:  # Paeth: sequential in x
+            left = upleft = 0
+            for x in range(w):
+                up = int(prev[x])
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+                v = (int(filt_row[x]) + pred) % 256
+                out[y, x] = v
+                left, upleft = v, up
+        else:
+            raise ValueError(f"media_id {media_id}: unknown PNG filter {f}")
+    return w, h, out.astype(np.uint8).tobytes()
+
+
+def _parse_image(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
+    """Container dispatch for the image decode seam: PNG by signature,
+    BMP by magic. Every downstream image consumer (decode stats, resize,
+    phash, gradient energy) parses through here, so a new container only
+    needs a parser and an entry in this dispatch."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _parse_png(payload, media_id)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload, media_id)
+    raise ValueError(
+        f"media_id {media_id}: unknown image container "
+        f"(first bytes {bytes(payload[:8])!r})"
+    )
+
+
 def bmp_media_table(documents: DataFrame) -> DataFrame:
     """The image half of ``media_table`` with a REAL BMP payload: each
     image doc's utf-8 text bytes, tiled to width*height pixels, become a
@@ -194,6 +379,42 @@ def bmp_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def png_media_table(documents: DataFrame) -> DataFrame:
+    """The PNG twin of ``bmp_media_table``: the SAME doc subset, pixel
+    tiling, and dimensions, but packed into a compressed container
+    (``_png_bytes``) — so every image consumer, and the value-level
+    decode-stats oracle, can run unchanged against either container,
+    and PNG-vs-BMP pixel parity is testable asset-for-asset."""
+
+    @pandas_udf("binary")
+    def png_encode(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        def enc(t: str | None, w: int, h: int) -> bytes:
+            b = (t or "").encode("utf-8")
+            if not b:
+                raise ValueError("empty payload: cannot tile zero bytes to pixels")
+            n = w * h
+            return _png_bytes((b * (n // len(b) + 1))[:n], w, h)
+
+        return pd.Series(
+            [enc(t, int(w), int(h)) for t, w, h in zip(text, width, height)]
+        )
+
+    img = documents.filter(F.col("doc_id") % 2 == 0)
+    w = ((F.col("doc_id") % 8 + 1) * 64).cast("int")
+    h = ((F.col("doc_id") % 4 + 1) * 64).cast("int")
+    return img.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        png_encode("text", w, h).alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def decode_images(media: DataFrame) -> DataFrame:
     """mapInPandas decode: image rows with REAL BMP payloads → per-asset
     pixel stats.
@@ -212,7 +433,7 @@ def decode_images(media: DataFrame) -> DataFrame:
             img = pdf[pdf["kind"] == "image"]
             rows = []
             for _, r in img.iterrows():
-                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
+                w, h, px = _parse_image(bytes(r["payload"]), r["media_id"])
                 rows.append(
                     {
                         "media_id": r["media_id"],
@@ -391,7 +612,7 @@ def resize_images(media: DataFrame) -> DataFrame:
             img = pdf[pdf["kind"] == "image"]
             rows = []
             for _, r in img.iterrows():
-                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
+                w, h, px = _parse_image(bytes(r["payload"]), r["media_id"])
                 long_edge = max(w, h, 1)
                 out_w = max(1, (w * RESIZE_TARGET) // long_edge)
                 out_h = max(1, (h * RESIZE_TARGET) // long_edge)
@@ -450,7 +671,7 @@ def phash_images(media: DataFrame) -> DataFrame:
             img = pdf[pdf["kind"] == "image"]
             rows = []
             for _, r in img.iterrows():
-                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
+                w, h, px = _parse_image(bytes(r["payload"]), r["media_id"])
                 n = len(px)
                 if n < PHASH_BITS:
                     raise ValueError(
@@ -490,7 +711,7 @@ def gradient_energy(media: DataFrame) -> DataFrame:
             img = pdf[pdf["kind"] == "image"]
             rows = []
             for _, r in img.iterrows():
-                w, h, px = _parse_bmp(bytes(r["payload"]), r["media_id"])
+                w, h, px = _parse_image(bytes(r["payload"]), r["media_id"])
                 arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
                 grad = int(np.abs(np.diff(arr.reshape(h, w), axis=1)).sum())
                 rows.append(

@@ -56,17 +56,17 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_decode_stats",
-    # r13: REAL decode. The fixture BMP tiles the utf-8 text bytes to
-    # width*height pixels, so pixel_sum = (n // len) * full_byte_sum +
-    # prefix_byte_sum(n % len) — recomputable in SQL from the text, while
-    # the Spark side reads width/height/pixels from the parsed
-    # BITMAPINFOHEADER + padded bottom-up rows. Parity therefore certifies
-    # the encode->BMP->decode round trip. The mean is a plain double
-    # division in BOTH engines (IEEE-correctly-rounded, so bit-identical);
-    # the UDF itself only emits integer stats.
-    oracle="""
+# REAL decode oracle, shared by the BMP and PNG decode keys. The fixture
+# containers tile the utf-8 text bytes to width*height pixels, so
+# pixel_sum = (n // len) * full_byte_sum + prefix_byte_sum(n % len) —
+# recomputable in SQL from the text, while the Spark side reads
+# width/height/pixels from the container parse (BITMAPINFOHEADER +
+# padded bottom-up rows for BMP; CRC-verified chunk walk + inflate +
+# scanline unfiltering for PNG). Parity therefore certifies the full
+# encode->container->decode round trip per format. The mean is a plain
+# double division in BOTH engines (IEEE-correctly-rounded, so
+# bit-identical); the UDFs themselves only emit integer stats.
+_DECODE_STATS_ORACLE = """
     WITH img AS (
       SELECT doc_id AS media_id, 'image' AS kind,
              CAST((doc_id % 8 + 1) * 64 AS INTEGER) AS width,
@@ -93,7 +93,12 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE ((n // len) * full_sum + rem_sum) / CAST(n AS DOUBLE)
            END AS mean_byte
     FROM sums
-    """,
+    """
+
+
+@register(
+    "media_decode_stats",
+    oracle=_DECODE_STATS_ORACLE,
     doc="REAL image decode (r13): genuine 8-bit grayscale BMP payloads "
     "built from the fixture docs (stdlib struct; palette + padded "
     "bottom-up rows) are parsed back executor-side inside mapInPandas — "
@@ -108,6 +113,27 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return decode_images(bmp_media_table(d))
+
+
+@register(
+    "media_png_decode_stats",
+    oracle=_DECODE_STATS_ORACLE,
+    doc="REAL image decode, compressed container (r14): genuine 8-bit "
+    "grayscale PNGs (stdlib zlib — IHDR/IDAT/IEND with per-chunk CRC32, "
+    "DEFLATE, five-filter scanlines; fixture encoder cycles the three "
+    "vectorizable filters) built from the SAME fixture docs as "
+    "media_decode_stats and parsed back inside mapInPandas through the "
+    "shared _parse_image seam, so the identical oracle certifies the "
+    "encode->PNG->decode round trip value-for-value — and equality with "
+    "the BMP key certifies container-independence of the decode. Scale: "
+    "map-only; compressed payloads never shuffle, and the entropy-coded "
+    "container is ~8x smaller on the wire than the BMP twin.",
+)
+def q_media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import png_media_table
+
+    d = load_table(spark, "documents", sf_dir)
+    return decode_images(png_media_table(d))
 
 
 @register(
