@@ -244,11 +244,21 @@ bk AS (
   SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
   FROM embeddings e CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t CROSS JOIN pl
 ),
+masks AS (
+  -- Hamming-2 probe masks (query-side deepening, r14): identity, every
+  -- 1-bit flip, every 2-bit flip — mirrors _multiprobe(radius=2)
+  SELECT CAST(0 AS BIGINT) AS mask
+  UNION ALL
+  SELECT CAST(power(2, i.i) AS BIGINT)
+  FROM (SELECT unnest(range(0, (SELECT p FROM pl))) AS i) i
+  UNION ALL
+  SELECT CAST(power(2, i.i) + power(2, j.j) AS BIGINT)
+  FROM (SELECT unnest(range(0, (SELECT p FROM pl))) AS i) i
+  JOIN (SELECT unnest(range(0, (SELECT p FROM pl))) AS j) j ON j.j > i.i
+),
 probes AS (
-  SELECT bk.vec_id AS query_id, bk.t,
-         CASE WHEN f.f = 0 THEN bucket
-              ELSE xor(bucket, CAST(power(2, f.f - 1) AS BIGINT)) END AS probe
-  FROM bk CROSS JOIN (SELECT unnest(range(0, (SELECT p FROM pl) + 1)) AS f) f
+  SELECT bk.vec_id AS query_id, bk.t, xor(bucket, m.mask) AS probe
+  FROM bk CROSS JOIN masks m
   WHERE bk.vec_id % {QUERY_MOD} = 0
 ),
 vcand AS (
@@ -293,7 +303,7 @@ def q_hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = _lex_shortlist(spark, sf_dir)
     w_vec = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     vec = (
-        lsh_scored_pairs(spark, sf_dir)
+        lsh_scored_pairs(spark, sf_dir, probe_radius=2)
         .withColumn("vec_rk", F.row_number().over(w_vec))
         .filter(F.col("vec_rk") <= LEG_TOPN)
         .select("query_id", F.col("neighbor_id").alias("doc_id"), "vec_rk")

@@ -129,7 +129,14 @@ def lsh_bucket(vec: Column) -> Column:
 N_TABLES = 8
 PLANES_PER_TABLE = 8  # FLOOR; the effective count adapts to corpus size
 PLANES_MAX = 20  # cap: 2^20 buckets/table is plenty at any realistic shard
-BUCKET_TARGET_OCCUPANCY = 32  # expected vectors per bucket before widening
+# Expected vectors per bucket before widening. 8, not 32: candidate
+# mass per table is n * (p+1) * occupancy / 2, and the r14 profile of
+# semantic_cluster_survivors' 10x leg measured 24.8M candidates at
+# occupancy ~20 (planes step lag) with the cosine VERIFY as the hot
+# stage — a 4x occupancy cut trades ~2 extra probe columns for ~4x
+# less verify work. At every driver SF (n <= 2000) the formula still
+# floors at PLANES_PER_TABLE, so certified values are bit-unchanged.
+BUCKET_TARGET_OCCUPANCY = 8
 
 
 def planes_for_count(n: int) -> int:
@@ -261,14 +268,20 @@ def _multitable_buckets(vec: Column, planes: int = PLANES_PER_TABLE) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(N_TABLES - 1)), table_bucket)
 
 
-def _multiprobe(bucket: Column, planes: int = PLANES_PER_TABLE) -> Column:
-    """Hamming-1 multiprobe expansion: the bucket itself plus every
-    single-bit flip (``planes`` + 1 probe keys per table). The ONE
-    definition of the probe scheme — shared by the LSH probe, near-dup
-    pairs, and every graph build / maintenance path, and mirrored by the
-    xor(bucket, 2^(f-1)) CASE in the SQL oracles. ``planes`` must match
-    the count the index was bucketed with (corpus_planes)."""
-    return F.concat(
+def _multiprobe(
+    bucket: Column, planes: int = PLANES_PER_TABLE, radius: int = 1
+) -> Column:
+    """Hamming-``radius`` multiprobe expansion: the bucket itself plus
+    every single-bit flip (``planes`` + 1 probe keys per table), and at
+    radius 2 every two-bit flip as well (+ planes*(planes-1)/2 keys).
+    The ONE definition of the probe scheme — shared by the LSH probe,
+    near-dup pairs, and every graph build / maintenance path, and
+    mirrored by the xor-mask CTEs in the SQL oracles. ``planes`` must
+    match the count the index was bucketed with (corpus_planes).
+    Radius 2 is the QUERY-side deepening knob (per-query cost only —
+    the r14 hybrid-nDCG fix): candidate mass per query stays bounded by
+    probes x target occupancy regardless of corpus size."""
+    probes = F.concat(
         F.array(bucket),
         F.transform(
             F.sequence(F.lit(0), F.lit(planes - 1)),
@@ -277,6 +290,23 @@ def _multiprobe(bucket: Column, planes: int = PLANES_PER_TABLE) -> Column:
             ),
         ),
     )
+    if radius >= 2:
+        two_bit = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(planes - 2)),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.lit(planes - 1)),
+                    lambda j: bucket.bitwiseXOR(
+                        (
+                            F.pow(F.lit(2.0), i.cast("double"))
+                            + F.pow(F.lit(2.0), j.cast("double"))
+                        ).cast("bigint")
+                    ),
+                ),
+            )
+        )
+        probes = F.concat(probes, two_bit)
+    return probes
 
 
 # session-lifetime cache: index key -> parquet path of the built index table
@@ -501,14 +531,20 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_scored_pairs(
+    spark: SparkSession, sf_dir: str, probe_radius: int = 1
+) -> DataFrame:
     """(query_id, neighbor_id, cos) for the standard query set
     (vec_id % QUERY_MOD == 0), scored over multi-table LSH multiprobe
     candidates — the shared shortlist generator behind ``knn_lsh_probe``
     (top-10 surface) and ``hybrid_search_rrf_indexed``'s vector leg
-    (top-LEG_TOPN shortlist). Factored so the scalable candidate path is
-    ONE implementation: candidates come from the persisted bucket index
-    (never a corpus scan), embeddings join in only at the exact re-rank."""
+    (top-LEG_TOPN shortlist, probed at Hamming radius 2: the r14 fix
+    for the worst-decile fused rankings, whose missing docs were the
+    EXACT vector leg's ranks 1-3 — pure Hamming-1 candidate misses).
+    Factored so the scalable candidate path is ONE implementation:
+    candidates come from the persisted bucket index (never a corpus
+    scan), embeddings join in only at the exact re-rank; probe depth is
+    a query-side knob that never touches the index."""
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # the 64-plane signature feeds BOTH the corpus index and the query
     # probes; it lives in a persisted table built once per corpus (see
@@ -520,7 +556,9 @@ def lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "t",
             F.explode(
-                _multiprobe(F.col("bucket"), corpus_planes(spark, sf_dir))
+                _multiprobe(
+                    F.col("bucket"), corpus_planes(spark, sf_dir), probe_radius
+                )
             ).alias("probe"),
         )
     )
