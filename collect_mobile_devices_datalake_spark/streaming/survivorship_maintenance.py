@@ -1,47 +1,37 @@
 """Streaming golden-record survivorship: the per-user conflict-resolved
-profile kept current as event files land.
-
-Fourth instance of the batch-partition maintenance protocol, and the
-third distinct merge lattice in the family:
-
-- KMV (sketch_maintenance):      k-min   — idempotent G-set CRDT
-- CMS / logbin (same module):    sum     — NOT idempotent (manifest
-                                           compaction required)
-- survivorship (this module):    argmax  — idempotent join-semilattice
+profile kept current as event files land — a ``LatticeFamily`` over the
+shared batch-partition protocol (``streaming/lattice.py``) with the
+argmax merge class.
 
 The argmax-by-okey merge (okey totally orders events: priority, then
 recency, then event_id — operators/advanced.py::survivorship_keyed) is
 associative, commutative, AND idempotent: re-merging a batch partial
 that was already absorbed cannot move any user's golden record, so
 producer re-delivery under a fresh batch id is harmless for every
-argmax/max column, with no anti-join and no compaction manifest — the
-same delivery guarantee as the KMV streams. The one non-idempotent leg,
-``n_events`` (a SUM), inherits the CMS caveat instead: checkpoint
-replay repairs in place (a batch id overwrites its own partition
-wholesale), wholesale re-delivery double-counts it. The test pins both
-behaviors separately — the split is the point: a deployment that needs
-exact counts under re-delivery keeps them in the deduplicated lake,
-not in a sum lattice.
+argmax/max column — the KMV delivery guarantee, compacted by the
+idempotent sweep. The one non-idempotent leg, ``n_events`` (a SUM),
+inherits the CMS caveat instead: checkpoint replay repairs in place (a
+batch id overwrites its own partition wholesale), wholesale re-delivery
+double-counts it. The tests pin both behaviors separately — the split
+is the point: a deployment that needs exact counts under re-delivery
+keeps them in the deduplicated lake, not in a sum lattice.
 
-State is O(users-per-batch * batches-since-compaction); compaction is
-the same fold written back as one partition (idempotent merge → the
-KMV-style sweep, no manifest needed for the argmax legs; n_events
-stays correct because compaction replaces exactly the partials it
-read, and `compact_kmv_state`-style crash windows only ever leave
-EXTRA partials whose re-absorption is a no-op for argmax and whose
-double-count window for n_events is the documented sum caveat).
+The family's read fold differs from its compaction fold in one column:
+the surfaced state drops ``okey`` (consumers see golden values only),
+while the compacted partition must KEEP the max okey per user so later
+batch partials keep comparing correctly — expressed as the family's
+``read_fold_fn`` / ``fold_fn`` pair.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.advanced import survivorship_golden, survivorship_keyed
-from .fsutil import delete_dir, dir_has_parquet, list_batch_dirs
+from ..operators.advanced import survivorship_keyed
+from . import lattice
+from .lattice import LatticeFamily
 
 SURV_EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -64,70 +54,49 @@ def survivorship_partial(batch: DataFrame) -> DataFrame:
     )
 
 
-def _maintain_surv_batch(state_dir: str):
-    def fn(batch: DataFrame, batch_id: int) -> None:
-        survivorship_partial(batch).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch={batch_id}")
-        )
+def _golden_aggs() -> list:
+    return [
+        F.max_by("golden_k", "okey").alias("golden_k"),
+        F.max_by("golden_event_id", "okey").alias("golden_event_id"),
+        F.max_by("golden_type", "okey").alias("golden_type"),
+        F.sum("n_events").alias("n_events"),
+        F.max("last_ts").alias("last_ts"),
+    ]
 
-    return fn
+
+def _surv_family() -> LatticeFamily:
+    return LatticeFamily(
+        name="surv",
+        source_schema=SURV_EVENTS_SCHEMA,
+        partial_fn=survivorship_partial,
+        # compaction keeps okey (the merge key) for later comparisons...
+        fold_fn=lambda u: u.groupBy("user_id").agg(
+            F.max("okey").alias("okey"), *_golden_aggs()
+        ),
+        # ...the surfaced read drops it
+        read_fold_fn=lambda u: u.groupBy("user_id").agg(*_golden_aggs()),
+        empty_schema=(
+            "user_id bigint, golden_k bigint, golden_event_id bigint, "
+            "golden_type string, n_events bigint, last_ts timestamp"
+        ),
+    )
+
+
+def _maintain_surv_batch(state_dir: str):
+    return lattice.maintain_batch(_surv_family(), state_dir)
 
 
 def read_survivorship_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The current golden records: fold of every batch partial. Reading
-    IS merging — argmax-by-okey across partials per user; n_events sums."""
-    parts = [
-        os.path.join(state_dir, d)
-        for d in list_batch_dirs(spark, state_dir)
-        if dir_has_parquet(spark, os.path.join(state_dir, d))
-    ]
-    if not parts:
-        return spark.createDataFrame(
-            [],
-            "user_id bigint, golden_k bigint, golden_event_id bigint, "
-            "golden_type string, n_events bigint, last_ts timestamp",
-        )
-    return (
-        spark.read.parquet(*parts)
-        .groupBy("user_id")
-        .agg(
-            F.max_by("golden_k", "okey").alias("golden_k"),
-            F.max_by("golden_event_id", "okey").alias("golden_event_id"),
-            F.max_by("golden_type", "okey").alias("golden_type"),
-            F.sum("n_events").alias("n_events"),
-            F.max("last_ts").alias("last_ts"),
-        )
-    )
+    """The current golden records: fold of every batch partial —
+    argmax-by-okey across partials per user; n_events sums."""
+    return lattice.read_state(spark, _surv_family(), state_dir)
 
 
 def compact_survivorship_state(spark: SparkSession, state_dir: str) -> None:
-    """Fold all partials into one partition. The merged partition must
-    keep okey (the merge key) — re-derive it as the max okey per user —
-    so later batches keep comparing correctly."""
-    parts = list_batch_dirs(spark, state_dir)
-    if len(parts) <= 1:
-        return
-    merged = (
-        spark.read.parquet(*[os.path.join(state_dir, d) for d in parts])
-        .groupBy("user_id")
-        .agg(
-            F.max("okey").alias("okey"),
-            F.max_by("golden_k", "okey").alias("golden_k"),
-            F.max_by("golden_event_id", "okey").alias("golden_event_id"),
-            F.max_by("golden_type", "okey").alias("golden_type"),
-            F.sum("n_events").alias("n_events"),
-            F.max("last_ts").alias("last_ts"),
-        )
-    )
-    if "batch=compacted" in parts:
-        # re-compaction overwrites a dir the fold still reads — only then
-        # is a materialization barrier needed; the first compaction writes
-        # a fresh dir disjoint from every input
-        merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(os.path.join(state_dir, "batch=compacted"))
-    for d in parts:
-        if d != "batch=compacted":
-            delete_dir(spark, os.path.join(state_dir, d))
+    """Fold all partials into one partition, keeping okey per user
+    (idempotent sweep for the argmax legs; n_events carries the
+    documented sum caveat)."""
+    lattice.compact_state(spark, _surv_family(), state_dir)
 
 
 def start_survivorship_stream(
@@ -139,14 +108,7 @@ def start_survivorship_stream(
 ) -> StreamingQuery:
     """Streaming entity resolution: the live counterpart of
     golden_record_survivorship."""
-    stream = (
-        spark.readStream.schema(SURV_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
-    )
-    return (
-        stream.writeStream.foreachBatch(_maintain_surv_batch(state_dir))
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "surv_maint"))
-        .trigger(availableNow=True)
-        .start()
+    return lattice.start_maintenance_stream(
+        spark, _surv_family(), events_dir, state_dir, checkpoint_dir,
+        max_files_per_trigger,
     )

@@ -196,12 +196,12 @@ def test_compaction_fails_fast_on_remote_root(spark):
     import pytest
 
     from collect_mobile_devices_datalake_spark.streaming.sketch_maintenance import (
-        _compact_sum_state,
+        compact_cms_state,
     )
 
     for root in ("s3a://bucket/sketch", "hdfs://nn:8020/sketch"):
         with pytest.raises(NotImplementedError, match="atomic manifest swap"):
-            _compact_sum_state(spark, root, ["row_j", "cell"])
+            compact_cms_state(spark, root)
 
 
 class _MockRenameFS:
