@@ -118,6 +118,10 @@ STREAMING = [
     # r13 session 3: the eighth lattice family — packed-word bitwise OR
     # (the saved-set membership bitmap resume_bloom_prefilter probes)
     "streaming_bloom_state",
+    # r14: the ninth lattice family — per-source MIN/MAX ingest profile,
+    # the ~40-line plug-in that certifies the lattice.py protocol
+    # extraction (streaming/profile_maintenance.py)
+    "streaming_profile_state",
 ]
 
 

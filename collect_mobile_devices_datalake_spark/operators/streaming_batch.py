@@ -1538,3 +1538,63 @@ def q_watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("allowed_lateness_s")
     )
+
+
+# --- the ninth lattice family: streaming per-source ingest profile -----------
+
+
+@register(
+    "streaming_profile_state",
+    oracle="""
+    SELECT source,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+           CAST(MAX(length(text)) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="The streaming MIN/MAX-extrema lattice, driver-gated at value "
+    "level — the NINTH certified lattice family, and the proof that "
+    "streaming/lattice.py's protocol extraction holds: the family is a "
+    "~40-line declaration (streaming/profile_maintenance.py) — a one-"
+    "row-per-source batch partial and a min/max fold — inheriting "
+    "replay repair, reading-is-merging, restart, and sweep compaction "
+    "from the shared module. Documents are fed through the ACTUAL "
+    "maintenance stream in two availableNow runs against ONE "
+    "checkpoint, the state is compacted and read, and the folded "
+    "profile is emitted as per-source doc-id/length extrema. The "
+    "oracle is the batch profile over the whole corpus — equality "
+    "proves min/max-merge is a true idempotent lattice join across "
+    "batch partials, a restart boundary, AND compaction. At 100 TB "
+    "this is the live catalog-statistics profile an ingest keeps so "
+    "'what id range / document sizes has source X shipped?' never "
+    "scans the lake.",
+)
+def q_streaming_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.profile_maintenance import (
+        compact_profile_state,
+        read_profile_state,
+        start_profile_maintenance_stream,
+    )
+
+    base = _stream_temp_root("profile_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    with _data_sized_width(spark, src):
+        q = start_profile_maintenance_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2
+        )
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_profile_maintenance_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2
+        )
+        _await_or_fail(q)
+        compact_profile_state(spark, state)
+    return read_profile_state(spark, state).orderBy("source")

@@ -1035,3 +1035,48 @@ def test_priority_sample_state_idempotent_merge(spark, tmp_path):
     assert {
         (r.doc_id, r.pri) for r in read_sample_state(spark, state).collect()
     } == merged_once
+
+
+def test_profile_state_minmax_lattice_idempotence(spark, tmp_path):
+    """The ninth family's lattice guarantees, pinned at the protocol
+    level: the fold of tranche partials equals the one-shot batch
+    profile, checkpoint replay (same batch id) and wholesale
+    re-delivery (fresh batch id) are both absorbed by the min/max
+    merge, and compaction sweeps to one partition with state intact."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.streaming.profile_maintenance import (
+        compact_profile_state,
+        profile_partial,
+        read_profile_state,
+        _profile_family,
+    )
+    from collect_mobile_devices_datalake_spark.streaming import lattice
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, "documents", sf).select("doc_id", "text", "source")
+    st = str(tmp_path / "profile")
+    fn = lattice.maintain_batch(_profile_family(), st)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    fn(first, 0)
+    fn(second, 1)
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    want = snap(profile_partial(docs))  # one-shot profile == folded state
+    assert snap(read_profile_state(spark, st)) == want and len(want) > 0
+    # partials are bounded: one row per source per batch
+    n_sources = docs.select("source").distinct().count()
+    assert profile_partial(first).count() <= n_sources
+
+    fn(first, 0)  # checkpoint replay: wholesale overwrite, no drift
+    assert snap(read_profile_state(spark, st)) == want
+    fn(first, 99)  # re-delivery under a fresh batch id: absorbed by min/max
+    assert snap(read_profile_state(spark, st)) == want
+
+    compact_profile_state(spark, st)
+    assert snap(read_profile_state(spark, st)) == want
+    parts = [d for d in os.listdir(st) if d.startswith("batch=")]
+    assert parts == ["batch=compacted"]
