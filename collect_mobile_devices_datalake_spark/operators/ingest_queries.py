@@ -218,3 +218,51 @@ def q_warc_container_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return parse_warc(warc_containers(docs)).orderBy("source", "bucket", "rec_index")
+
+
+@register(
+    "warc_gzip_member_records",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id % {WARC_BUCKETS} AS bucket, doc_id,
+             length(coalesce(text, '')) AS n,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(coalesce(text, ''), ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> a + b) AS payload_sum
+      FROM documents
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(row_number() OVER (PARTITION BY source, bucket ORDER BY doc_id) - 1
+                AS BIGINT) AS rec_index,
+           doc_id, CAST(n AS BIGINT) AS content_length, payload_sum
+    FROM r
+    ORDER BY source, bucket, rec_index
+    """,
+    doc="warc.gz container ingest (r14) — the compression convention "
+    "CommonCrawl actually ships: every record is an independent gzip "
+    "member (deterministic stdlib gzip, mtime=0), members concatenated "
+    "per sharded container, which is what makes record-level random "
+    "access possible (seek to a member offset, inflate one member, get "
+    "one record). The parser walks member boundaries STRICTLY with "
+    "zlib.decompressobj — each member must inflate to exactly ONE "
+    "well-formed CRLF-framed record (grammar shared with "
+    "warc_container_records via _parse_record), truncated/corrupt "
+    "members raise with their compressed offset. Compressed sizes "
+    "depend on the zlib build, so the oracle certifies the DECODED "
+    "stream (per-member doc_id / content_length / payload_sum by "
+    "closed-form arithmetic); member framing invariants (offsets "
+    "monotone, sizes partition the container, per-member round trip) "
+    "are pinned by unit tests. Scale: same as the plain container — "
+    "members are compressed record-local in an Arrow batch (no "
+    "payload shuffle), containers are the unit of parallelism, and "
+    "the wire cost is the DEFLATE-compressed size.",
+)
+def q_warc_gzip_member_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import parse_warc_gzip, warc_gzip_containers
+
+    docs = load_table(spark, "documents", sf_dir)
+    return parse_warc_gzip(warc_gzip_containers(docs)).orderBy(
+        "source", "bucket", "rec_index"
+    )

@@ -83,6 +83,37 @@ def warc_containers(documents: DataFrame) -> DataFrame:
     )
 
 
+def _parse_record(buf: bytes, pos: int, ctx: str) -> tuple[int, int, int, int]:
+    """Parse ONE CRLF-framed record starting at ``pos``: magic check,
+    header block, Content-Length payload, CRLFCRLF trailer. Returns
+    (doc_id, content_length, payload_sum, end_pos). Shared by the plain
+    container walk and the gzip member walk — the record grammar is
+    defined once."""
+    if buf[pos : pos + 10] != b"WARC/1.0\r\n":
+        raise ValueError(f"bad magic at offset {pos} in {ctx}")
+    pos += 10
+    hdrs: dict[bytes, bytes] = {}
+    while True:
+        eol = buf.index(b"\r\n", pos)
+        if eol == pos:  # blank line ends the header block
+            pos += 2
+            break
+        k, _, v = buf[pos:eol].partition(b": ")
+        hdrs[k] = v
+        pos = eol + 2
+    n = int(hdrs[b"Content-Length"])
+    rid = hdrs[b"WARC-Record-ID"]
+    if not (rid.startswith(b"<urn:doc:") and rid.endswith(b">")):
+        raise ValueError(f"bad record id {rid!r} in {ctx}")
+    payload = buf[pos : pos + n]
+    if len(payload) != n:
+        raise ValueError(f"truncated payload at offset {pos} in {ctx}")
+    pos += n
+    if buf[pos : pos + 4] != b"\r\n\r\n":
+        raise ValueError(f"bad record trailer at offset {pos} in {ctx}")
+    return int(rid[9:-1]), n, int(sum(payload)), pos + 4
+
+
 def parse_warc(containers: DataFrame) -> DataFrame:
     """Strict byte-level container walk (mapInPandas): magic check, CRLF
     header framing, Content-Length-driven payload read, trailing CRLFCRLF
@@ -104,45 +135,147 @@ def parse_warc(containers: DataFrame) -> DataFrame:
                 idx = 0
                 while pos < len(buf):
                     start = pos
-                    if buf[pos : pos + 10] != b"WARC/1.0\r\n":
-                        raise ValueError(f"bad magic at offset {pos} in {src}/{bucket}")
-                    pos += 10
-                    hdrs: dict[bytes, bytes] = {}
-                    while True:
-                        eol = buf.index(b"\r\n", pos)
-                        if eol == pos:  # blank line ends the header block
-                            pos += 2
-                            break
-                        k, _, v = buf[pos:eol].partition(b": ")
-                        hdrs[k] = v
-                        pos = eol + 2
-                    n = int(hdrs[b"Content-Length"])
-                    rid = hdrs[b"WARC-Record-ID"]
-                    if not (rid.startswith(b"<urn:doc:") and rid.endswith(b">")):
-                        raise ValueError(f"bad record id {rid!r} in {src}/{bucket}")
-                    payload = buf[pos : pos + n]
-                    if len(payload) != n:
-                        raise ValueError(
-                            f"truncated payload at offset {pos} in {src}/{bucket}"
-                        )
-                    pos += n
-                    if buf[pos : pos + 4] != b"\r\n\r\n":
-                        raise ValueError(
-                            f"bad record trailer at offset {pos} in {src}/{bucket}"
-                        )
-                    pos += 4
+                    doc_id, n, psum, pos = _parse_record(
+                        buf, pos, f"{src}/{bucket}"
+                    )
                     out["source"].append(src)
                     out["bucket"].append(int(bucket))
                     out["rec_index"].append(idx)
                     out["offset"].append(start)
-                    out["doc_id"].append(int(rid[9:-1]))
+                    out["doc_id"].append(doc_id)
                     out["content_length"].append(n)
-                    out["payload_sum"].append(int(sum(payload)))
+                    out["payload_sum"].append(psum)
                     idx += 1
             yield pd.DataFrame(out)
 
     schema = (
         "source string, bucket long, rec_index long, offset long, "
+        "doc_id long, content_length long, payload_sum long"
+    )
+    return containers.mapInPandas(fn, schema)
+
+
+# --- warc.gz: per-record gzip members (the Common Crawl convention) ----------
+#
+# CommonCrawl ships .warc.gz files where EVERY record is an independent
+# gzip member; the members are concatenated back to back, which is what
+# makes record-level random access possible (seek to a member offset,
+# inflate one member, get one record). The build side compresses each
+# CRLF-framed record as a deterministic member (mtime=0, no filename,
+# fixed level — stdlib gzip) in an Arrow-batched pandas UDF, then the
+# binary members concatenate JVM-side in doc_id order. The parse side
+# walks member boundaries STRICTLY with zlib.decompressobj(wbits=31):
+# each member must inflate to exactly one well-formed record (the
+# one-record-per-member contract readers rely on), a truncated or
+# corrupt member raises with its compressed offset, and trailing
+# garbage after the last member is an error. Compressed offsets and
+# sizes depend on the zlib build, so the value oracle certifies the
+# DECODED stream (doc_id / content_length / payload_sum per member
+# index — the same closed-form arithmetic as the plain container,
+# minus the byte offset); member framing itself is pinned by unit
+# tests (offsets monotone, sizes partition the container, per-member
+# round trip).
+
+WARC_GZIP_LEVEL = 6
+
+
+def warc_gzip_containers(documents: DataFrame) -> DataFrame:
+    """(source, bucket, container): sharded .warc.gz containers — one
+    deterministic gzip member per record, members concatenated in
+    doc_id order JVM-side."""
+    import gzip
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gzip_member(rec: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                gzip.compress(r.encode("utf-8"), WARC_GZIP_LEVEL, mtime=0)
+                for r in rec
+            ]
+        )
+
+    d = documents.withColumn("text", F.coalesce("text", F.lit("")))
+    rec = d.select(
+        "source",
+        (F.col("doc_id") % WARC_BUCKETS).alias("bucket"),
+        "doc_id",
+        gzip_member(
+            F.concat(
+                F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:"),
+                F.col("doc_id").cast("string"),
+                F.lit(">\r\nContent-Length: "),
+                F.length("text").cast("string"),
+                F.lit("\r\n\r\n"),
+                F.col("text"),
+                F.lit("\r\n\r\n"),
+            )
+        ).alias("member"),
+    )
+    return (
+        rec.groupBy("source", "bucket")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "member"))),
+                    lambda x: x["member"],
+                ),
+                F.lit(b"").cast("binary"),
+                lambda acc, x: F.concat(acc, x),
+            ).alias("container")
+        )
+    )
+
+
+def parse_warc_gzip(containers: DataFrame) -> DataFrame:
+    """Strict member-by-member .warc.gz walk (mapInPandas). Emits per
+    member: (source, bucket, rec_index, doc_id, content_length,
+    payload_sum). One record per member enforced; malformed compressed
+    bytes raise with the member's compressed offset."""
+    import zlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "source": [], "bucket": [], "rec_index": [],
+                "doc_id": [], "content_length": [], "payload_sum": [],
+            }
+            for src, bucket, blob in zip(
+                pdf["source"], pdf["bucket"], pdf["container"]
+            ):
+                buf = bytes(blob)
+                pos = 0
+                idx = 0
+                while pos < len(buf):
+                    ctx = f"{src}/{bucket} member at compressed offset {pos}"
+                    d = zlib.decompressobj(wbits=31)  # gzip framing only
+                    try:
+                        rec = d.decompress(buf[pos:])
+                    except zlib.error as e:
+                        raise ValueError(f"corrupt gzip {ctx}: {e}") from e
+                    if not d.eof:
+                        raise ValueError(f"truncated gzip {ctx}")
+                    consumed = len(buf) - pos - len(d.unused_data)
+                    doc_id, n, psum, end = _parse_record(rec, 0, ctx)
+                    if end != len(rec):
+                        raise ValueError(
+                            f"{ctx}: member holds {len(rec) - end} bytes "
+                            "beyond one record (one-record-per-member "
+                            "contract violated)"
+                        )
+                    out["source"].append(src)
+                    out["bucket"].append(int(bucket))
+                    out["rec_index"].append(idx)
+                    out["doc_id"].append(doc_id)
+                    out["content_length"].append(n)
+                    out["payload_sum"].append(psum)
+                    pos += consumed
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    schema = (
+        "source string, bucket long, rec_index long, "
         "doc_id long, content_length long, payload_sum long"
     )
     return containers.mapInPandas(fn, schema)

@@ -209,3 +209,86 @@ def test_warc_build_matches_independent_python_and_parser_is_strict(spark):
         )
         with pytest.raises(Exception):
             parse_warc(df).collect()
+
+
+def test_warc_gzip_members_frame_and_parse_strictly(spark):
+    """warc.gz (r14): the JVM-concatenated container must equal an
+    independent Python construction byte for byte (deterministic gzip:
+    mtime=0, fixed level), member boundaries must partition the
+    container exactly, and the parser must refuse corrupt members,
+    truncated members, multi-record members, and trailing garbage."""
+    import gzip
+    import zlib
+
+    import pytest
+
+    from collect_mobile_devices_datalake_spark.sources.warc import (
+        WARC_BUCKETS,
+        WARC_GZIP_LEVEL,
+        parse_warc_gzip,
+        warc_gzip_containers,
+    )
+
+    rows = [
+        (3, "hello world", "en", "alpha", 11),
+        (11, "", "en", "alpha", 0),
+        (19, "a\r\nb", "en", "alpha", 4),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    built = {
+        (r["source"], r["bucket"]): bytes(r["container"])
+        for r in warc_gzip_containers(docs).collect()
+    }
+
+    def py_member(doc_id, text):
+        payload = text.encode()
+        rec = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: "
+            f"<urn:doc:{doc_id}>\r\nContent-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+        return gzip.compress(rec, WARC_GZIP_LEVEL, mtime=0)
+
+    want: dict[tuple, bytes] = {}
+    for doc_id, text, _, src, _ in sorted(rows):
+        key = (src, doc_id % WARC_BUCKETS)
+        want[key] = want.get(key, b"") + py_member(doc_id, text)
+    assert built == want
+
+    parsed = parse_warc_gzip(warc_gzip_containers(docs)).collect()
+    got = {r.doc_id: (r.rec_index, r.content_length, r.payload_sum) for r in parsed}
+    assert got[3] == (0, 11, sum(b"hello world"))
+    assert got[11][1] == 0 and got[19][2] == sum(b"a\r\nb")
+
+    # member boundaries partition the container: walking with
+    # decompressobj consumes every byte with no slack
+    blob = built[("alpha", 3)]
+    pos, n_members = 0, 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(blob[pos:])
+        assert d.eof
+        pos = len(blob) - len(d.unused_data)
+        n_members += 1
+    assert pos == len(blob) and n_members == len(
+        [r for r in rows if r[0] % WARC_BUCKETS == 3 and r[3] == "alpha"]
+    )
+
+    def expect_fail(bad: bytes):
+        df = spark.createDataFrame(
+            [("alpha", 3, bytearray(bad))],
+            "source string, bucket long, container binary",
+        )
+        with pytest.raises(Exception):
+            parse_warc_gzip(df).collect()
+
+    expect_fail(blob[:-4])                      # truncated final member
+    expect_fail(blob + b"junk")                 # trailing garbage
+    corrupt = bytearray(blob)
+    corrupt[len(blob) // 2] ^= 0xFF             # flip a DEFLATE byte
+    expect_fail(bytes(corrupt))
+    two_recs = gzip.compress(                   # 2 records in one member
+        gzip.decompress(py_member(3, "x")) * 2, WARC_GZIP_LEVEL, mtime=0
+    )
+    expect_fail(two_recs)
