@@ -163,7 +163,8 @@ def parse_warc(containers: DataFrame) -> DataFrame:
 # inflate one member, get one record). The build side compresses each
 # CRLF-framed record as a deterministic member (mtime=0, no filename,
 # fixed level — stdlib gzip) in an Arrow-batched pandas UDF, then the
-# binary members concatenate JVM-side in doc_id order. The parse side
+# binary members join linearly (one b"".join per group, Arrow-batched)
+# in doc_id order. The parse side
 # walks member boundaries STRICTLY with zlib.decompressobj(wbits=31):
 # each member must inflate to exactly one well-formed record (the
 # one-record-per-member contract readers rely on), a truncated or
@@ -182,7 +183,7 @@ WARC_GZIP_LEVEL = 6
 def warc_gzip_containers(documents: DataFrame) -> DataFrame:
     """(source, bucket, container): sharded .warc.gz containers — one
     deterministic gzip member per record, members concatenated in
-    doc_id order JVM-side."""
+    doc_id order."""
     import gzip
 
     from pyspark.sql.functions import pandas_udf
@@ -195,6 +196,16 @@ def warc_gzip_containers(documents: DataFrame) -> DataFrame:
                 for r in rec
             ]
         )
+
+    # Linear member assembly: ``b"".join`` over the sorted member array
+    # in one Arrow batch. The earlier F.aggregate(concat(acc, x)) fold
+    # rebuilt the accumulator per element — quadratic bytes copied per
+    # (source, bucket) group. (base64 + concat_ws + unbase64 would stay
+    # JVM-side but mis-decodes on embedded '=' padding, since member
+    # lengths are arbitrary.)
+    @pandas_udf("binary")
+    def join_members(members: pd.Series) -> pd.Series:
+        return pd.Series([b"".join(m) for m in members])
 
     d = documents.withColumn("text", F.coalesce("text", F.lit("")))
     rec = d.select(
@@ -213,18 +224,14 @@ def warc_gzip_containers(documents: DataFrame) -> DataFrame:
             )
         ).alias("member"),
     )
-    return (
-        rec.groupBy("source", "bucket")
-        .agg(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "member"))),
-                    lambda x: x["member"],
-                ),
-                F.lit(b"").cast("binary"),
-                lambda acc, x: F.concat(acc, x),
-            ).alias("container")
-        )
+    grouped = rec.groupBy("source", "bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "member"))),
+            lambda x: x["member"],
+        ).alias("members")
+    )
+    return grouped.select(
+        "source", "bucket", join_members("members").alias("container")
     )
 
 
@@ -245,13 +252,17 @@ def parse_warc_gzip(containers: DataFrame) -> DataFrame:
                 pdf["source"], pdf["bucket"], pdf["container"]
             ):
                 buf = bytes(blob)
+                # zero-copy view: slicing a memoryview per member keeps
+                # the walk O(total bytes); slicing bytes would copy the
+                # whole remaining buffer once per member (O(M²)/container)
+                mv = memoryview(buf)
                 pos = 0
                 idx = 0
                 while pos < len(buf):
                     ctx = f"{src}/{bucket} member at compressed offset {pos}"
                     d = zlib.decompressobj(wbits=31)  # gzip framing only
                     try:
-                        rec = d.decompress(buf[pos:])
+                        rec = d.decompress(mv[pos:])
                     except zlib.error as e:
                         raise ValueError(f"corrupt gzip {ctx}: {e}") from e
                     if not d.eof:

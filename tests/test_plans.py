@@ -542,3 +542,24 @@ def test_watermark_sweep_two_phase_prefix_scan_plan(spark):
     # window's partition spec — a global-order window over events would
     # show an empty partition spec feeding a single partition)
     assert "hashpartitioning(chunk" in plan, plan
+
+
+def test_simhash_permuted_tables_join_on_prefix_keys(spark):
+    """The Manku permuted-table near-dup must be a HASH join whose equi
+    keys are (perm_id, pkey) — the 30-bit permuted prefix — never a
+    cartesian/nested-loop product. (At fixture scale Catalyst broadcasts
+    one exploded side; at cluster scale the same keys drive a shuffled
+    hash/sort-merge join — either way the candidate set is the keyed
+    bucket, not a product.)"""
+    q = REGISTRY["simhash_band_near_dup"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the candidate join is an equi hash join keyed on the permuted prefix
+    assert "HashJoin" in plan, plan
+    import re
+
+    keys = re.search(r"Left keys \[2\]: \[perm_id#\d+, pkey#\d+L\]", plan)
+    assert keys, plan
+    # the exact Hamming verify is pushed into the join itself
+    assert "bit_count" in plan, plan

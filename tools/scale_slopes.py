@@ -224,10 +224,11 @@ KERNELS = [
     # constant; cold path includes the ranked-vocab artifact build),
     # and the embedding hygiene audit (one scan of array folds + one
     # label-keyed window — output fixed at |labels| rows).
-    # r13 session 3: the Manku-Jain-Sarma simhash near-dup — banded
-    # candidate join over 8-bit band keys; candidate mass is the
-    # quadratic risk exactly as in dedup_minhash_lsh_pairs, and the
-    # same workload caveat as media_phash_near_dup applies (the 1-in-3
+    # r15: the Manku-Jain-Sarma simhash near-dup in its permuted-table
+    # form — C(6,3)=20 tables keyed on 30-bit prefixes; candidate mass
+    # is Θ(N²/2^30)/table + true-pair output, so the measured slope
+    # should now track output growth, not a bucket-collision tail. The
+    # media_phash_near_dup workload caveat still applies (the 1-in-3
     # rewrite leaves replicas fingerprint-close to their originals, so
     # true-pair output grows superlinearly by construction; wall time
     # per candidate is the gradeable quantity).
