@@ -327,15 +327,392 @@ def _parse_png(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
     return w, h, out.astype(np.uint8).tobytes()
 
 
+# --- JPEG: the first LOSSY codec (r15 — stdlib struct + numpy) ---------------
+#
+# The fourth real container, and the first entropy-coded TRANSFORM codec:
+# baseline JFIF grayscale (ITU T.81 SOF0) — 8x8 FDCT, quantization,
+# zigzag, DC-differential + AC run-length Huffman coding with the Annex K
+# standard luminance tables, byte-stuffed entropy stream. The decoder
+# parses markers STRICTLY (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), builds its
+# Huffman tables FROM the file's DHT segments (never assumes Annex K),
+# dequantizes with the file's DQT table, and inverts the DCT — so a
+# corrupt marker, truncated segment, undecodable Huffman prefix, or
+# trailing garbage each raises with the media_id, same strictness as the
+# BMP/PNG/WAV parsers.
+#
+# JPEG is lossy BY DESIGN, which changes what the value oracle can pin:
+# the fixture encoder uses an all-ones quantization table (a valid
+# "quality 100" baseline JPEG), so the only loss is integer rounding of
+# DCT coefficients — |err per coeff| <= 1/2, and the 2D IDCT's worst-case
+# amplification is (1/4)*(sum_u |C(u)|)^2 = (1/4)*(1/sqrt(2)+7)^2 = 14.85,
+# giving a PROVABLE per-pixel bound of 7.43 < JPEG_TOL = 8. The oracled
+# key therefore certifies the exact structural decode (dims, pixel/block
+# counts from the actual parse) plus the bounded-error DECISION
+# (within_tol), while pixel-level fidelity is pinned by unit tests
+# (flat images round-trip EXACTLY — DC-only blocks quantize without
+# loss — and random images stay inside the proven bound).
+
+_JPEG_TOL = 8  # provable bound: ceil((1/4) * (1/sqrt(2) + 7)^2 * 1/2) — see above
+
+# zigzag scan order: position k in the scan reads row-major index
+# _JPEG_ZIGZAG[k] of the 8x8 block (T.81 Figure 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+# Annex K standard luminance Huffman tables (T.81 Tables K.3/K.5):
+# BITS[i] = number of codes of length i+1; HUFFVAL in code order
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix M: forward F = M @ B @ M.T equals
+    T.81's (1/4) C(u) C(v) sum-cos-cos; inverse is M.T @ F @ M."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _huff_encode_table(bits, vals):
+    """Canonical Huffman (T.81 C.2): {symbol: (code, length)}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical Huffman decode map: {(length, code): symbol}."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _huff_encode_table(bits, vals).items()
+    }
+
+
+def _jpeg_bytes(pixels: bytes, width: int, height: int) -> bytes:
+    """A genuine baseline-JFIF grayscale JPEG (stdlib struct + numpy):
+    level shift, 8x8 FDCT, all-ones quantization (the lossless-but-for-
+    rounding 'quality 100' table — see the module note on _JPEG_TOL),
+    zigzag, DC-differential + AC run-length Huffman with the Annex K
+    luminance tables, 0xFF byte stuffing. Edge-replicated padding for
+    dims that are not multiples of 8 (the decoder crops). The lossy
+    transform-coded sibling of ``_png_bytes``."""
+    import struct
+
+    import numpy as np
+
+    if len(pixels) != width * height or width <= 0 or height <= 0:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != width*height {width}*{height}"
+        )
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph, pw = (-height) % 8, (-width) % 8
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    h8, w8 = arr.shape
+    nby, nbx = h8 // 8, w8 // 8
+    blocks = (
+        arr.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128.0
+    )
+    m = _jpeg_dct_matrix()
+    coef = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+    q = np.rint(coef).astype(np.int64).reshape(nby * nbx, 64)
+    zz = q[:, list(_JPEG_ZIGZAG)]
+
+    dc_tab = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    buf, acc, nbits = bytearray(), 0, 0
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            b = (acc >> (nbits - 8)) & 0xFF
+            buf.append(b)
+            if b == 0xFF:  # byte stuffing: 0xFF in entropy data -> 0xFF 0x00
+                buf.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def put_dc(v: int) -> None:
+        # category (size) + size bits; negatives use one's-complement bits
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        if s > 11:
+            raise ValueError(f"JPEG dc coefficient {v} exceeds category 11")
+        code, ln = dc_tab[s]
+        put(code, ln)
+        if s:
+            put(v if v > 0 else v + (1 << s) - 1, s)
+
+    prev_dc = 0
+    for blk in zz:
+        put_dc(int(blk[0]) - prev_dc)
+        prev_dc = int(blk[0])
+        run = 0
+        last_nz = max((k for k in range(1, 64) if blk[k]), default=0)
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL: 16 zeros
+                put(code, ln)
+                run -= 16
+            s = v.bit_length() if v > 0 else (-v).bit_length()
+            if s > 10:
+                raise ValueError(f"JPEG ac coefficient {v} exceeds category 10")
+            code, ln = ac_tab[(run << 4) | s]
+            put(code, ln)
+            put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_tab[0x00]  # EOB
+            put(code, ln)
+    if nbits:  # pad to byte boundary with 1-bits (T.81 F.1.2.3)
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = bytes([0]) + bytes(1 for _ in range(64))  # Pq=0/Tq=0, all-ones zigzag
+    # SOF0 carries the TRUE dims; the decoder re-derives the padded MCU
+    # grid ((h+7)//8 blocks) and crops back, per T.81 A.2.1
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    jfif = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, jfif)  # APP0
+        + seg(0xFFDB, qtab)  # DQT
+        + seg(0xFFC0, sof0)  # SOF0 baseline
+        + seg(0xFFC4, dht_dc)  # DHT DC
+        + seg(0xFFC4, dht_ac)  # DHT AC
+        + seg(0xFFDA, sos)  # SOS
+        + bytes(buf)
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def _parse_jpeg(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
+    """Strict baseline-JFIF grayscale JPEG decode: marker walk (every
+    table read FROM the file — DQT quantizers, DHT Huffman codes, SOF0
+    dims), byte-unstuffed entropy decode (DC differential + AC
+    run-length), dequantize, inverse DCT, level shift, clip, crop the
+    8-multiple padding. Per-media ValueError on any malformed marker,
+    undecodable prefix, wrong mode (only SOF0 / 8-bit / single-component
+    / 1x1 sampling), or trailing garbage."""
+    import struct
+
+    import numpy as np
+
+    def die(msg: str):
+        raise ValueError(f"media_id {media_id}: {msg}")
+
+    if payload[:2] != b"\xff\xd8":
+        die("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            die(f"expected marker at offset {pos}")
+        marker = payload[pos + 1] if pos + 1 < len(payload) else None
+        if marker is None:
+            die("truncated marker")
+        pos += 2
+        if marker == 0xD9:  # EOI
+            if pos != len(payload):
+                die(f"{len(payload) - pos} trailing bytes after EOI")
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0xDD:
+            die("restart markers / DRI unsupported (strict baseline scope)")
+        if pos + 2 > len(payload):
+            die(f"truncated segment header for marker 0x{marker:02x}")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            die(f"truncated segment body for marker 0x{marker:02x}")
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    die("only 8-bit DQT supported (baseline)")
+                if off + 65 > len(body):
+                    die("truncated DQT")
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    die("truncated DHT")
+                htables[(cls, tid)] = _huff_decode_table(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                die(f"expected 8-bit single-component SOF0, got prec={prec} ncomp={ncomp}")
+            cid, samp, tq = body[6], body[7], body[8]
+            if samp != 0x11:
+                die(f"expected 1x1 sampling, got 0x{samp:02x}")
+            sof = (h, w, cid, tq)
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            die(f"unsupported SOF mode 0x{marker:02x} (baseline SOF0 only)")
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            if sof is None:
+                die("SOS before SOF0")
+            ns = body[0]
+            if ns != 1:
+                die(f"expected single-component scan, got {ns}")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            # entropy data: everything up to the next non-stuffed marker
+            end = pos
+            while end + 1 < len(payload) and not (
+                payload[end] == 0xFF and payload[end + 1] != 0x00
+            ):
+                end += 1
+            if end + 1 >= len(payload):
+                die("entropy stream missing terminating marker")
+            scan = (dc_id, ac_id, payload[pos:end])
+            pos = end
+        # APP0/COM and other APPn segments: parsed length-wise, ignored
+    if sof is None or scan is None:
+        die("missing SOF0 or SOS")
+    h, w, _cid, tq = sof
+    if tq not in qtables:
+        die(f"SOF0 references missing quant table {tq}")
+    dc_id, ac_id, data = scan
+    if (0, dc_id) not in htables or (1, ac_id) not in htables:
+        die("SOS references missing Huffman table")
+    dc_tab, ac_tab = htables[(0, dc_id)], htables[(1, ac_id)]
+
+    # unstuff 0xFF 0x00 -> 0xFF
+    data = data.replace(b"\xff\x00", b"\xff")
+    acc, nbits, dpos = 0, 0, 0
+
+    def read_bits(k: int) -> int:
+        nonlocal acc, nbits, dpos
+        while nbits < k:
+            if dpos >= len(data):
+                die("entropy stream exhausted mid-block")
+            acc = (acc << 8) | data[dpos]
+            dpos += 1
+            nbits += 8
+        nbits -= k
+        v = (acc >> nbits) & ((1 << k) - 1)
+        acc &= (1 << nbits) - 1
+        return v
+
+    def read_symbol(tab: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | read_bits(1)
+            sym = tab.get((ln, code))
+            if sym is not None:
+                return sym
+        die("undecodable Huffman prefix in entropy stream")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    zz = np.zeros((nby * nbx, 64), dtype=np.int64)
+    prev_dc = 0
+    for bi in range(nby * nbx):
+        s = read_symbol(dc_tab)
+        diff = extend(read_bits(s), s) if s else 0
+        prev_dc += diff
+        zz[bi, 0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = read_symbol(ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                die("AC run overruns block")
+            zz[bi, k] = extend(read_bits(size), size)
+            k += 1
+
+    qvec = np.array(qtables[tq], dtype=np.int64)  # zigzag order, like the file
+    deq = np.zeros((nby * nbx, 64), dtype=np.float64)
+    deq[:, list(_JPEG_ZIGZAG)] = (zz * qvec).astype(np.float64)
+    blocks = deq.reshape(nby, nbx, 8, 8)
+    m = _jpeg_dct_matrix()
+    out = np.einsum("xu,ijuv,yv->ijxy", m.T, blocks, m.T) + 128.0
+    img = (
+        np.clip(np.rint(out), 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
+    return w, h, img[:h, :w].tobytes()
+
+
 def _parse_image(payload: bytes, media_id: object) -> tuple[int, int, bytes]:
     """Container dispatch for the image decode seam: PNG by signature,
-    BMP by magic. Every downstream image consumer (decode stats, resize,
-    phash, gradient energy) parses through here, so a new container only
-    needs a parser and an entry in this dispatch."""
+    BMP and JPEG by magic. Every downstream image consumer (decode
+    stats, resize, phash, gradient energy) parses through here, so a new
+    container only needs a parser and an entry in this dispatch."""
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _parse_png(payload, media_id)
     if payload[:2] == b"BM":
         return _parse_bmp(payload, media_id)
+    if payload[:2] == b"\xff\xd8":
+        return _parse_jpeg(payload, media_id)
     raise ValueError(
         f"media_id {media_id}: unknown image container "
         f"(first bytes {bytes(payload[:8])!r})"
@@ -413,6 +790,104 @@ def png_media_table(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+# JPEG fixture dims are a quarter of the BMP/PNG tables' (max 128x64,
+# not 512x256): entropy decode of a transform codec is the one
+# genuinely bit-serial stage in the repo — the pure-Python Huffman walk
+# costs ~1 symbol per nonzero coefficient, and text-tiled pixels keep
+# most of the 63 ACs nonzero — so the fixture is sized to keep a full
+# decode pass in seconds. A production deployment swaps libjpeg/PIL
+# behind the same ``_parse_image`` seam for the 100 TB path.
+_JPEG_DIM_SCALE = 16
+
+
+def jpeg_media_table(documents: DataFrame, keep_text: bool = False) -> DataFrame:
+    """The JPEG (lossy) sibling of ``bmp_media_table``/``png_media_table``:
+    same doc subset and pixel tiling, quarter-scale dims (see
+    ``_JPEG_DIM_SCALE``), packed as baseline-JFIF grayscale via
+    ``_jpeg_bytes``. ``keep_text=True`` carries the source text through
+    so a fidelity consumer can recompute the pre-encode ground-truth tile
+    without a second join against documents."""
+
+    @pandas_udf("binary")
+    def jpeg_encode(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        def enc(t: str | None, w: int, h: int) -> bytes:
+            b = (t or "").encode("utf-8")
+            if not b:
+                raise ValueError("empty payload: cannot tile zero bytes to pixels")
+            n = w * h
+            return _jpeg_bytes((b * (n // len(b) + 1))[:n], w, h)
+
+        return pd.Series(
+            [enc(t, int(w), int(h)) for t, w, h in zip(text, width, height)]
+        )
+
+    img = documents.filter(F.col("doc_id") % 2 == 0)
+    w = ((F.col("doc_id") % 8 + 1) * _JPEG_DIM_SCALE).cast("int")
+    h = ((F.col("doc_id") % 4 + 1) * _JPEG_DIM_SCALE).cast("int")
+    cols = [
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        jpeg_encode("text", w, h).alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    ]
+    if keep_text:
+        cols.append(F.col("text"))
+    return img.select(*cols)
+
+
+JPEG_STATS_SCHEMA = (
+    "media_id bigint, width int, height int, n_pixels bigint, "
+    "n_blocks int, within_tol boolean"
+)
+
+
+def jpeg_fidelity_stats(media_with_text: DataFrame) -> DataFrame:
+    """mapInPandas decode of REAL baseline-JFIF payloads → per-asset
+    structural stats plus the bounded-error DECISION.
+
+    JPEG is lossy, so unlike the BMP/PNG keys the decoded pixel_sum is
+    not SQL-derivable; what IS exact and oracle-checkable: width/height
+    (from the SOF0 parse), n_pixels (length of the actually-decoded
+    array), n_blocks (the decoded MCU grid), and ``within_tol`` — max
+    |decoded - pre-encode tile| <= _JPEG_TOL, where the tile is
+    recomputed from the carried source text and the bound is PROVABLE
+    for the all-ones quant table (see the codec note). Map-only; the
+    compressed payloads never shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, px = _parse_jpeg(bytes(r["payload"]), r["media_id"])
+                b = (r["text"] or "").encode("utf-8")
+                n = w * h
+                truth = np.frombuffer((b * (n // len(b) + 1))[:n], dtype=np.uint8)
+                got = np.frombuffer(px, dtype=np.uint8)
+                err = int(np.abs(truth.astype(np.int64) - got.astype(np.int64)).max())
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_pixels": len(px),
+                        "n_blocks": ((w + 7) // 8) * ((h + 7) // 8),
+                        "within_tol": err <= _JPEG_TOL,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_pixels", "n_blocks", "within_tol"
+            ])
+
+    return media_with_text.mapInPandas(fn, JPEG_STATS_SCHEMA)
 
 
 def decode_images(media: DataFrame) -> DataFrame:

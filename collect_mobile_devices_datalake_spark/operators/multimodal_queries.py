@@ -137,6 +137,49 @@ def q_media_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_jpeg_decode_stats",
+    # JPEG is LOSSY, so this oracle certifies a different contract than
+    # the BMP/PNG twins: the structural decode exactly (width/height
+    # from the SOF0 parse, n_pixels from the decoded array, n_blocks
+    # from the MCU grid — all closed-form from doc_id), plus the
+    # bounded-error DECISION within_tol = (max |decoded - pre-encode
+    # tile| <= 8), whose TRUE value is not empirical: the fixture's
+    # all-ones quant table makes the 7.43 worst-case pixel error a
+    # theorem (see multimodal._JPEG_TOL). Pixel-level fidelity beyond
+    # the decision is pinned by unit tests (flat assets round-trip
+    # EXACTLY; random assets stay inside the proven bound) — the
+    # decontam_bloom_report precedent: oracle the decision, test the
+    # mechanism.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST((doc_id % 8 + 1) * 16 AS INTEGER) AS width,
+           CAST((doc_id % 4 + 1) * 16 AS INTEGER) AS height,
+           CAST((doc_id % 8 + 1) * 16 * (doc_id % 4 + 1) * 16 AS BIGINT)
+             AS n_pixels,
+           CAST((doc_id % 8 + 1) * 2 * (doc_id % 4 + 1) * 2 AS INTEGER)
+             AS n_blocks,
+           TRUE AS within_tol
+    FROM documents WHERE doc_id % 2 = 0 AND length(text) > 0
+    """,
+    doc="REAL image decode, LOSSY transform codec (r15): genuine "
+    "baseline-JFIF grayscale JPEGs (stdlib struct + numpy — 8x8 FDCT, "
+    "all-ones quantization, zigzag, Annex-K Huffman, byte-stuffed "
+    "entropy stream) built from the fixture docs and parsed back "
+    "executor-side through the shared _parse_image seam: the decoder "
+    "reads its quant and Huffman tables FROM the file's DQT/DHT "
+    "segments, entropy-decodes, dequantizes, and inverts the DCT. "
+    "Quarter-scale fixture dims keep the pure-Python Huffman walk in "
+    "seconds (production swaps libjpeg behind the same seam). Scale: "
+    "map-only; compressed payloads never shuffle.",
+)
+def q_media_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import jpeg_fidelity_stats, jpeg_media_table
+
+    d = load_table(spark, "documents", sf_dir).filter(F.length("text") > 0)
+    return jpeg_fidelity_stats(jpeg_media_table(d, keep_text=True))
+
+
+@register(
     "media_audio_frames",
     # r12: REAL decode. The Spark side builds a genuine RIFF/WAVE file per
     # audio doc (8-bit mono 16 kHz PCM, samples = utf-8 text bytes; stdlib

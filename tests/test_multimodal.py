@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from collect_mobile_devices_datalake_spark.multimodal import (
@@ -395,3 +396,166 @@ def test_gradient_energy_matches_python_and_survives_roundtrip(spark):
         e = got[r["doc_id"]]
         assert (e.width, e.height, e.n_pairs, e.grad_sum) == (w, h, (w - 1) * h, want)
         assert e.grad_mean == round(want / ((w - 1) * h), 6)
+
+
+def test_jpeg_round_trip_flat_exact_and_random_bounded():
+    """r15: the JPEG codec is a genuine lossy transform round trip —
+    flat images reconstruct EXACTLY (DC-only blocks quantize without
+    loss under the all-ones table), and arbitrary images stay inside
+    the PROVABLE _JPEG_TOL bound, across dims that exercise the
+    pad-and-crop path (non-multiples of 8) and both MCU grid shapes."""
+    import numpy as np
+
+    from collect_mobile_devices_datalake_spark.multimodal import (
+        _JPEG_TOL,
+        _jpeg_bytes,
+        _parse_image,
+        _parse_jpeg,
+    )
+
+    for w, h in [(8, 8), (16, 8), (17, 9), (1, 1), (64, 24), (13, 29)]:
+        flat = bytes([201]) * (w * h)
+        pw, ph, got = _parse_jpeg(_jpeg_bytes(flat, w, h), media_id=0)
+        assert (pw, ph, got) == (w, h, flat)
+    rng = np.random.default_rng(42)
+    for w, h in [(8, 8), (24, 16), (17, 9), (128, 64)]:
+        px = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        blob = _jpeg_bytes(px, w, h)
+        assert blob[:2] == b"\xff\xd8" and blob.endswith(b"\xff\xd9")
+        # the dispatch seam recognizes the magic
+        pw, ph, got = _parse_image(blob, media_id=1)
+        a = np.frombuffer(px, dtype=np.uint8).astype(int)
+        b = np.frombuffer(got, dtype=np.uint8).astype(int)
+        assert (pw, ph) == (w, h) and len(got) == w * h
+        assert np.abs(a - b).max() <= _JPEG_TOL
+
+
+def test_jpeg_decoder_reads_tables_from_the_file():
+    """The decoder must use the FILE's DQT, not assume the fixture's
+    all-ones table: re-emit the same entropy stream with a doubled quant
+    table and the decoded pixels must change accordingly (every
+    dequantized coefficient doubles -> roughly doubled contrast around
+    the level-shift midpoint), while a decoder that hardcoded ones would
+    return the original pixels."""
+    import numpy as np
+
+    from collect_mobile_devices_datalake_spark.multimodal import (
+        _jpeg_bytes,
+        _parse_jpeg,
+    )
+
+    # high-contrast vertical stripes: large AC coefficients, so doubling
+    # the quantizer visibly doubles the reconstructed swing
+    px = bytes((20 if i % 2 == 0 else 220) for i in range(16 * 16))
+    blob = bytearray(_jpeg_bytes(px, 16, 16))
+    at = blob.index(b"\xff\xdb") + 5  # DQT body: Pq/Tq byte then 64 entries
+    assert blob[at : at + 64] == bytes([1]) * 64
+    blob[at : at + 64] = bytes([2]) * 64
+    _, _, doubled = _parse_jpeg(bytes(blob), media_id=0)
+    orig = np.frombuffer(px, dtype=np.uint8).astype(int)
+    got = np.frombuffer(doubled, dtype=np.uint8).astype(int)
+    # doubling the quantizer doubles the AC swing around the DC level
+    assert np.abs(got - orig).max() > 8
+
+
+def test_parse_jpeg_rejects_malformed_containers():
+    """Strict lossy decode: bad SOI, truncated segment, unsupported SOF
+    mode (progressive), non-baseline precision, corrupted Huffman
+    lengths, truncated entropy stream, and trailing garbage each raise
+    a per-media ValueError naming the asset."""
+    import pytest
+
+    from collect_mobile_devices_datalake_spark.multimodal import (
+        _jpeg_bytes,
+        _parse_jpeg,
+    )
+
+    blob = _jpeg_bytes(bytes(range(64)), 8, 8)
+    with pytest.raises(ValueError, match="media_id 7.*SOI"):
+        _parse_jpeg(b"XX" + blob[2:], media_id=7)
+    with pytest.raises(ValueError, match="media_id 8.*truncated"):
+        _parse_jpeg(blob[:15], media_id=8)  # cut mid-APP0
+    with pytest.raises(ValueError, match="media_id 13.*missing SOF0"):
+        _parse_jpeg(blob[:20], media_id=13)  # cut at a segment boundary
+    # SOF0 -> SOF2 (progressive): refused as unsupported mode
+    prog = bytearray(blob)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="media_id 9.*(SOF|baseline)"):
+        _parse_jpeg(bytes(prog), media_id=9)
+    # 12-bit precision: outside baseline
+    deep = bytearray(blob)
+    deep[deep.index(b"\xff\xc0") + 4] = 12
+    with pytest.raises(ValueError, match="media_id 10.*8-bit"):
+        _parse_jpeg(bytes(deep), media_id=10)
+    with pytest.raises(ValueError, match="media_id 11.*trailing"):
+        _parse_jpeg(blob + b"junk", media_id=11)
+    # amputate the entropy stream mid-block
+    cut = blob[: len(blob) - 12] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="media_id 12"):
+        _parse_jpeg(cut, media_id=12)
+
+
+def test_jpeg_and_bmp_consumers_agree_within_lossy_tolerance(spark):
+    """Container independence for the LOSSY codec: the same assets
+    packed as JPEG vs lossless BMP at the JPEG fixture dims must agree
+    through the shared consumers up to the codec's proven error bound —
+    phash within a small Hamming radius and gradient energy within a
+    small relative band (exact equality is the PNG/BMP contract; a
+    transform codec earns a tolerance contract)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from collect_mobile_devices_datalake_spark.multimodal import (
+        _JPEG_DIM_SCALE,
+        _bmp_bytes,
+        gradient_energy,
+        jpeg_media_table,
+        phash_images,
+    )
+
+    d = load_table(spark, "documents", SF).filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 16)
+    )
+    jpg = jpeg_media_table(d)
+
+    # BMP twin at the same (quarter-scale) dims, built through the same
+    # tiling so pixels are the pre-encode ground truth
+    @pandas_udf("binary")
+    def bmp_encode(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        def enc(t, w, h):
+            b = (t or "").encode("utf-8")
+            n = int(w) * int(h)
+            return _bmp_bytes((b * (n // len(b) + 1))[:n], int(w), int(h))
+
+        return pd.Series([enc(t, w, h) for t, w, h in zip(text, width, height)])
+
+    w = ((F.col("doc_id") % 8 + 1) * _JPEG_DIM_SCALE).cast("int")
+    h = ((F.col("doc_id") % 4 + 1) * _JPEG_DIM_SCALE).cast("int")
+    bmp = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        bmp_encode("text", w, h).alias("payload"),
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    from collect_mobile_devices_datalake_spark.operators.multimodal_queries import (
+        PHASH_HAM_T,
+    )
+
+    ph_j = {r["media_id"]: r["phash"] for r in phash_images(jpg).collect()}
+    ph_b = {r["media_id"]: r["phash"] for r in phash_images(bmp).collect()}
+    assert set(ph_j) == set(ph_b) and len(ph_j) == 8
+    # the codec must keep every asset inside its own near-dup orbit:
+    # the JPEG/BMP twins stay within the registered phash near-dup
+    # threshold (media_phash_near_dup's PHASH_HAM_T)
+    for mid in ph_j:
+        assert bin(ph_j[mid] ^ ph_b[mid]).count("1") <= PHASH_HAM_T, mid
+    ge_j = {r["media_id"]: r["grad_sum"] for r in gradient_energy(jpg).collect()}
+    ge_b = {r["media_id"]: r["grad_sum"] for r in gradient_energy(bmp).collect()}
+    for mid in ge_j:
+        rel = abs(ge_j[mid] - ge_b[mid]) / max(ge_b[mid], 1)
+        assert rel <= 0.25, (mid, ge_j[mid], ge_b[mid])
