@@ -122,6 +122,10 @@ STREAMING = [
     # the ~40-line plug-in that certifies the lattice.py protocol
     # extraction (streaming/profile_maintenance.py)
     "streaming_profile_state",
+    # r15: the tenth lattice family — Misra-Gries/SpaceSaving top-k
+    # heavy hitters (counters sum, reduction errors add; manifest-
+    # committed like the other SUM families)
+    "streaming_topk_state",
 ]
 
 

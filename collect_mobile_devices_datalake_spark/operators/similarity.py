@@ -484,9 +484,10 @@ def _cos_sql_pair(a: str, b: str) -> str:
 """
 
 
-@register(
-    "knn_lsh_probe",
-    oracle=f"""
+# shared by knn_lsh_probe and knn_lsh_incremental: the incremental
+# (base + delta) index MUST produce the identical probe result as a
+# full rebuild — same oracle, same spec, different maintenance cost
+_LSH_PROBE_ORACLE = f"""
     WITH pl AS ({_PLANES_SQL}),
     bk AS (
       SELECT e.vec_id, t.t, {_MT_BUCKET_SQL} AS bucket
@@ -513,7 +514,12 @@ def _cos_sql_pair(a: str, b: str) -> str:
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
       FROM scored
     ) WHERE rk <= 10
-    """,
+    """
+
+
+@register(
+    "knn_lsh_probe",
+    oracle=_LSH_PROBE_ORACLE,
     doc="ANN via multi-table LSH: 8 tables x 8 hyperplane bits, Hamming-1 "
     "multiprobe (9 probe buckets per table). Corpus is bucketed once "
     "(8 rows/vector); queries explode to 72 probe keys and bucket-join — "
@@ -531,8 +537,81 @@ def q_knn_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic append-batch convention, shared with dedup_incremental:
+# vec_id % 10 == 7 plays the NEW BATCH, the rest the existing corpus
+_DELTA_MOD, _DELTA_REM = 10, 7
+
+
+def lsh_base_delta_indexes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally-maintained LSH bucket index: base + delta shards.
+
+    The append-only maintenance discipline (dedup_incremental's
+    base+delta pattern applied to the persisted ANN index): the BASE
+    index — vec_id % 10 != 7, standing in for the pre-existing corpus —
+    is a persisted parquet table built once and NEVER rewritten on
+    append; a new batch (vec_id % 10 == 7) writes only its own DELTA
+    shard, whose build buckets just the batch vectors. Reading is
+    union-ing: a probe scans base + delta, so index maintenance cost is
+    O(|delta|), not O(|corpus|) — at a 100 TB lake with daily appends
+    this is the difference between an hourly shard write and a full
+    rebuild. The hyperplane count is pinned to the FULL corpus's
+    planes_for_count (re-planing is by definition a rebuild — a real
+    deployment re-planes on a schedule, not per append), so
+    base ∪ delta is bit-identical to the full-rebuild index and the
+    probe result equals knn_lsh_probe's exactly."""
+    p = corpus_planes(spark, sf_dir)
+
+    def shard(name: str, keep) -> DataFrame:
+        def build() -> DataFrame:
+            emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+            return emb.filter(keep(F.col("vec_id"))).select(
+                "vec_id",
+                F.posexplode(_multitable_buckets(F.col("embedding"), p)).alias(
+                    "t", "bucket"
+                ),
+            )
+
+        return _persisted_index(spark, name, sf_dir, f"t{N_TABLES}p{p}", build)
+
+    base = shard("lshbase", lambda v: v % _DELTA_MOD != _DELTA_REM)
+    delta = shard("lshdelta", lambda v: v % _DELTA_MOD == _DELTA_REM)
+    return base, delta
+
+
+@register(
+    "knn_lsh_incremental",
+    oracle=_LSH_PROBE_ORACLE,
+    doc="Incremental ANN index maintenance: the SAME multi-table LSH "
+    "probe as knn_lsh_probe, but served from a base index shard plus an "
+    "append-batch delta shard (vec_id % 10 == 7 plays the new batch — "
+    "the dedup_incremental convention) instead of a full rebuild. "
+    "Appending writes only the delta's bucket rows (O(|delta|)); the "
+    "probe reads base UNION delta. The hyperplane count is pinned to "
+    "the full corpus's planes_for_count — re-planing IS a rebuild, done "
+    "on a schedule, not per append — so the incremental index is "
+    "bit-identical to the rebuilt one and this key shares "
+    "knn_lsh_probe's exact value oracle: same answer, O(|delta|) "
+    "maintenance. Plan-tested: candidates come from two persisted "
+    "parquet shards, never a corpus re-bucketing.",
+)
+def q_knn_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base, delta = lsh_base_delta_indexes(spark, sf_dir)
+    scored = lsh_scored_pairs(spark, sf_dir, buckets=base.unionByName(delta))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
 def lsh_scored_pairs(
-    spark: SparkSession, sf_dir: str, probe_radius: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    probe_radius: int = 1,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos) for the standard query set
     (vec_id % QUERY_MOD == 0), scored over multi-table LSH multiprobe
@@ -544,12 +623,15 @@ def lsh_scored_pairs(
     Factored so the scalable candidate path is ONE implementation:
     candidates come from the persisted bucket index (never a corpus
     scan), embeddings join in only at the exact re-rank; probe depth is
-    a query-side knob that never touches the index."""
+    a query-side knob that never touches the index. ``buckets`` swaps
+    in an alternative index relation with the same (vec_id, t, bucket)
+    schema — knn_lsh_incremental passes base UNION delta."""
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     # the 64-plane signature feeds BOTH the corpus index and the query
     # probes; it lives in a persisted table built once per corpus (see
     # bucket_index) — the query-side read prunes on vec_id at the scan
-    buckets = bucket_index(spark, sf_dir)
+    if buckets is None:
+        buckets = bucket_index(spark, sf_dir)
     probes = (
         buckets.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(

@@ -1598,3 +1598,74 @@ def q_streaming_profile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_or_fail(q)
         compact_profile_state(spark, state)
     return read_profile_state(spark, state).orderBy("source")
+
+
+# --- the tenth lattice family: streaming top-k heavy hitters ------------------
+
+
+@register(
+    "streaming_topk_state",
+    # Exact token counts: at fixture scale every micro-batch's
+    # vocabulary fits the K_CAND=64 counter budget, so each MG
+    # reduction's c* is 0, the summed error is 0, and the folded
+    # summary IS the exact count table — cnt_min = cnt_max = true
+    # count. The truncating path (c* > 0) is pinned by the
+    # planted-skew unit test, which asserts the MG bound per item.
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks WHERE length(word) > 0 GROUP BY word
+    )
+    SELECT word, cnt AS cnt_min, cnt AS cnt_max, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+          FROM counts)
+    WHERE rk <= 10 ORDER BY rk
+    """,
+    doc="The streaming top-k heavy-hitter lattice (Misra-Gries /"
+    "SpaceSaving under the mergeable-summaries merge — counters sum, "
+    "reduction errors add), driver-gated at value level — the TENTH "
+    "lattice family (streaming/topk_maintenance.py): each micro-batch "
+    "writes a bounded MG summary (<= 64 counter rows + one error "
+    "marker), folds are manifest-committed like the other SUM families "
+    "(CMS/logbin), and the surfaced state carries per-item bounds "
+    "cnt_min <= true <= cnt_max. Documents flow through the ACTUAL "
+    "maintenance stream in two availableNow runs against ONE "
+    "checkpoint, the state is compacted and read; the oracle is the "
+    "exact top-10 token-count SQL — equality proves the partial + "
+    "restart + manifest-compaction chain composes to exact counting "
+    "whenever vocabularies fit the budget (and the planted-skew unit "
+    "test certifies the bound when they don't). At 100 TB: state is "
+    "O(batches x 65 rows), never vocabulary-sized.",
+)
+def q_streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.topk_maintenance import (
+        compact_topk_state,
+        read_topk_state,
+        start_topk_maintenance_stream,
+    )
+
+    base = _stream_temp_root("topk_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text", "source")
+    d.filter(F.col("doc_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    with _data_sized_width(spark, src):
+        q = start_topk_maintenance_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2
+        )
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        d.filter(F.col("doc_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_topk_maintenance_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2
+        )
+        _await_or_fail(q)
+        compact_topk_state(spark, state)
+    return read_topk_state(spark, state).orderBy("rk")

@@ -563,3 +563,16 @@ def test_simhash_permuted_tables_join_on_prefix_keys(spark):
     assert keys, plan
     # the exact Hamming verify is pushed into the join itself
     assert "bit_count" in plan, plan
+
+
+def test_lsh_incremental_reads_base_and_delta_shards(spark):
+    """knn_lsh_incremental must serve candidates from TWO persisted
+    index shards (base + delta parquet scans) — never a corpus
+    re-bucketing per probe, never a cartesian product; queries still
+    move by broadcast."""
+    q = REGISTRY["knn_lsh_incremental"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert plan.count("ann_index_") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan

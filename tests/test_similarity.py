@@ -326,3 +326,36 @@ def test_embedding_dq_audit_detects_planted_defects(spark, tmp_path):
     orc = con.execute(spec.oracle).fetchall()
     got = [tuple(r) for r in spec.spark(spark, str(tmp_path)).collect()]
     assert got == orc
+
+
+def test_lsh_incremental_equals_full_rebuild_and_never_rewrites_base(spark):
+    """The base+delta LSH index must (a) answer probes EXACTLY like the
+    full-rebuild index — same oracle, same values — and (b) be TRULY
+    incremental: re-deriving the indexes for the same corpus reuses the
+    persisted base shard (same path, untouched bytes) instead of
+    rebuilding it."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        _INDEX_CACHE,
+        lsh_base_delta_indexes,
+    )
+
+    full = {
+        tuple(r) for r in REGISTRY["knn_lsh_probe"].spark(spark, SF).collect()
+    }
+    inc = {
+        tuple(r)
+        for r in REGISTRY["knn_lsh_incremental"].spark(spark, SF).collect()
+    }
+    assert inc == full and len(inc) > 0
+
+    # the maintenance property: a second derivation reuses the persisted
+    # base shard byte-for-byte (the cache key includes the corpus
+    # fingerprint, so only an actual append would mint a new delta)
+    base_paths = [p for k, p in _INDEX_CACHE.items() if k.startswith("lshbase:")]
+    assert base_paths, "base shard not persisted"
+    before = {p: os.path.getmtime(p) for p in base_paths}
+    lsh_base_delta_indexes(spark, SF)
+    after = {p: os.path.getmtime(p) for p in base_paths}
+    assert before == after

@@ -1080,3 +1080,90 @@ def test_profile_state_minmax_lattice_idempotence(spark, tmp_path):
     assert snap(read_profile_state(spark, st)) == want
     parts = [d for d in os.listdir(st) if d.startswith("batch=")]
     assert parts == ["batch=compacted"]
+
+
+def test_topk_state_mg_guarantee_under_planted_skew(spark, tmp_path):
+    """The tenth family's heavy-hitter guarantee, pinned at the protocol
+    level with a workload that FORCES truncation (per-batch vocabulary
+    400 >> K_CAND=64): after partials + fold, for every surfaced item
+    cnt_min <= true <= cnt_max (the Misra-Gries mergeable-summaries
+    bound), every item with true count > err_total survives the
+    reduction, and the planted heavy hitters rank first. Checkpoint
+    replay (same batch id) is absorbed wholesale; the state stays
+    bounded at <= K_CAND+1 rows per batch."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.streaming import lattice
+    from collect_mobile_devices_datalake_spark.streaming.topk_maintenance import (
+        K_CAND,
+        _topk_family,
+        read_topk_counters,
+        read_topk_state,
+        topk_partial,
+    )
+
+    # planted skew: words w0..w9 are heavy (count ~ 2000 - 100*i), the
+    # 390-word tail is light — a batch vocabulary of 400 words against
+    # a 64-counter budget, so every batch's c* > 0
+    rows = []
+    doc_id = 0
+    for i in range(10):
+        for _ in range(2000 - 100 * i):
+            rows.append((doc_id, f"w{i}", "hot"))
+            doc_id += 1
+    for j in range(390):
+        for _ in range(1 + j % 3):
+            rows.append((doc_id, f"tail{j}", "cold"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    true_counts = {
+        r["word"]: r["cnt"]
+        for r in docs.select(F.explode(F.split(F.trim("text"), "\\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+
+    st = str(tmp_path / "topk")
+    fn = lattice.maintain_batch(_topk_family(), st)
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    fn(first, 0)
+    fn(second, 1)
+
+    # bounded partials, and truncation really happened
+    p0 = topk_partial(first).collect()
+    assert len(p0) <= K_CAND + 1
+    err0 = [r["err"] for r in p0 if r["word"] is None]
+    assert err0 and err0[0] > 0, "planted skew failed to force c* > 0"
+
+    counters = read_topk_counters(spark, st).collect()
+    err_total = sum(r["err"] for r in counters if r["word"] is None)
+    assert err_total > 0
+    for r in counters:
+        if r["word"] is None:
+            continue
+        true = true_counts[r["word"]]
+        assert r["cnt"] <= true <= r["cnt"] + err_total, (r["word"], r["cnt"], true)
+    # completeness: anything heavier than the summed error is present
+    surfaced = {r["word"] for r in counters if r["word"] is not None}
+    for w, true in true_counts.items():
+        if true > err_total:
+            assert w in surfaced, (w, true, err_total)
+
+    # the surfaced top-k leads with the planted heavy hitters, in order
+    top = read_topk_state(spark, st).orderBy("rk").collect()
+    assert [r["word"] for r in top[:5]] == [f"w{i}" for i in range(5)]
+    for r in top:
+        assert r["cnt_min"] <= true_counts[r["word"]] <= r["cnt_max"]
+
+    # checkpoint replay: wholesale overwrite of the same batch partition
+    before = {(r["word"], r["cnt"], r["err"]) for r in counters}
+    fn(first, 0)
+    after = {
+        (r["word"], r["cnt"], r["err"])
+        for r in read_topk_counters(spark, st).collect()
+    }
+    assert after == before
+    parts = [d for d in os.listdir(st) if d.startswith("batch=")]
+    assert len(parts) == 2
