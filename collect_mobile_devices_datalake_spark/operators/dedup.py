@@ -1710,10 +1710,11 @@ def _simhash_sql(bits: int = SIMHASH_F) -> str:
     "the permuted prefix key, one hash shuffle per table, no global "
     "sort. Scale: candidate mass is Θ(N²/2^"
     f"{_SIMHASH_K * _SIMHASH_BLOCK_BITS}) per table plus the true-pair "
-    "output itself — at 10⁹ docs that is ~10³ collision candidates per "
-    "table, vs the ~3×10¹³ the earlier single-block 15-bit banding "
-    "admitted. Fingerprints are one scan; the join shuffles 30-bit "
-    "prefix keys, never shingle sets.",
+    "output itself — at 10⁹ docs ~10⁹ collision candidates per table "
+    "(~2×10¹⁰ over all 20, spread across 2³⁰ keys so no hot bucket), "
+    "vs the ~3×10¹³ the earlier single-block 15-bit banding admitted. "
+    "Fingerprints are one scan; the join shuffles 30-bit prefix keys, "
+    "never shingle sets.",
 )
 def q_simhash_band_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)

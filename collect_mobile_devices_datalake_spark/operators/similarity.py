@@ -1151,13 +1151,17 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
     return cents
 
 
-def _kmeans_cte_chain(k: int, iters: int) -> list[str]:
+def _kmeans_cte_chain(k: int, iters: int, train_where: str = "TRUE") -> list[str]:
     """Shared CTE prefix: unrolled Lloyd iterations cent0 → cent{iters} plus
     the ``final`` per-vector cell assignment — reused by the k-means probe
-    oracle and the IVF-PQ oracle."""
+    oracle and the IVF-PQ oracle. ``train_where`` restricts the QUANTIZER
+    TRAINING set (seeds + Lloyd assignments) — the incremental-IVF oracle
+    trains on the base corpus only — while ``final`` always assigns EVERY
+    vector to the trained centroids (frozen-quantizer semantics)."""
     ctes = [
+        f"train AS (SELECT * FROM embeddings WHERE {train_where})",
         f"cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
-        f"FROM embeddings WHERE vec_id < {k})"
+        f"FROM train WHERE vec_id < {k})",
     ]
     for it in range(1, iters + 1):
         ctes.append(
@@ -1166,7 +1170,7 @@ def _kmeans_cte_chain(k: int, iters: int) -> list[str]:
         SELECT e.vec_id, e.embedding, c.cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_cos_sql_pair('e.embedding', 'c.centroid')} DESC, c.cell) AS rk
-        FROM embeddings e CROSS JOIN cent{it - 1} c
+        FROM train e CROSS JOIN cent{it - 1} c
       ) WHERE rk = 1
     )"""
         )
@@ -1184,7 +1188,9 @@ def _kmeans_cte_chain(k: int, iters: int) -> list[str]:
     return ctes
 
 
-def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
+def _kmeans_probe_oracle(
+    k: int = 8, iters: int = 4, nprobe: int = 3, train_where: str = "TRUE"
+) -> str:
     """Unrolled Lloyd-in-SQL twin of kmeans_centroids + the probe query.
 
     Each iteration is two CTEs — argmax-cosine assignment (ties by cell)
@@ -1193,7 +1199,7 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
     to the Spark loop, so even the iterative operator gets a hash-level
     driver gate.
     """
-    ctes = _kmeans_cte_chain(k, iters)
+    ctes = _kmeans_cte_chain(k, iters, train_where)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM final WHERE vec_id % {QUERY_MOD} = 0)"
     )
@@ -1230,7 +1236,12 @@ def _kmeans_probe_oracle(k: int = 8, iters: int = 4, nprobe: int = 3) -> str:
 
 
 def ivf_assignment(
-    spark: SparkSession, sf_dir: str, emb: DataFrame, cents: DataFrame, params: str
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    cents: DataFrame,
+    params: str,
+    kind: str = "ivf",
 ) -> DataFrame:
     """The IVF inverted file — every vector's final cell assignment — is THE
     index of this method: persisted once per corpus (deterministic seeds →
@@ -1239,7 +1250,9 @@ def ivf_assignment(
 
     ``params`` must encode the k-means parameters that produced ``cents``
     (e.g. ``"k8i4"``) — it is part of the cache key, so two callers with
-    different quantizers can never share an assignment table.
+    different quantizers can never share an assignment table. ``kind``
+    names the shard: the incremental key persists a base shard and a
+    delta shard separately, so an append only writes the delta's rows.
     """
 
     def build() -> DataFrame:
@@ -1253,7 +1266,7 @@ def ivf_assignment(
             .select("vec_id", "embedding", "cell")
         )
 
-    return _persisted_index(spark, "ivf", sf_dir, params, build)
+    return _persisted_index(spark, kind, sf_dir, params, build)
 
 
 @register(
@@ -1269,6 +1282,13 @@ def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     cents = kmeans_centroids(emb, k=8, iters=4)
     assigned = ivf_assignment(spark, sf_dir, emb, cents, params="k8i4")
+    return _ivf_probe(assigned, cents, nprobe=3)
+
+
+def _ivf_probe(assigned: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Shared IVF probe tail: query set from the assignment table, nprobe
+    best cells per query by centroid cosine, exact re-rank inside the
+    probed cells — used by the full-rebuild and incremental keys."""
     q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1279,7 +1299,9 @@ def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine_similarity("query_vec", "centroid").alias("csim"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), "cell")
-    probes = qc.withColumn("prk", F.row_number().over(wq)).filter(F.col("prk") <= 3)
+    probes = qc.withColumn("prk", F.row_number().over(wq)).filter(
+        F.col("prk") <= nprobe
+    )
     cands = (
         probes.join(assigned, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1293,6 +1315,41 @@ def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+@register(
+    "knn_ivf_incremental",
+    oracle=_kmeans_probe_oracle(
+        k=8, iters=4, nprobe=3,
+        train_where="vec_id % 10 <> 7",
+    ),
+    doc="Incremental IVF index maintenance — the base+delta discipline "
+    "applied to the DATA-DEPENDENT index family: the k-means coarse "
+    "quantizer trains on the BASE corpus only (vec_id % 10 != 7; the "
+    "append batch is % 10 == 7, the dedup_incremental convention) and "
+    "is then FROZEN — appending assigns only the delta's vectors to the "
+    "existing centroids and writes only the delta's inverted-file shard "
+    "(O(|delta| x k) work); probes read base UNION delta. Unlike "
+    "knn_lsh_incremental (data-independent hyperplanes -> bit-identical "
+    "to a rebuild), a frozen quantizer is the HONEST semantics here: "
+    "re-training on base+delta IS a rebuild, done on a schedule — so "
+    "this key's oracle trains its unrolled Lloyd CTE chain on the same "
+    "base subset and assigns all vectors to the frozen centroids, "
+    "value-certifying exactly the maintenance contract a real lake "
+    "runs. Plan-tested: two persisted inverted-file shards, no corpus "
+    "re-assignment at probe time.",
+)
+def q_knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
+    is_delta = F.col("vec_id") % 10 == 7
+    cents = kmeans_centroids(emb.filter(~is_delta), k=8, iters=4)
+    base = ivf_assignment(
+        spark, sf_dir, emb.filter(~is_delta), cents, params="k8i4", kind="ivfbase"
+    )
+    delta = ivf_assignment(
+        spark, sf_dir, emb.filter(is_delta), cents, params="k8i4", kind="ivfdelta"
+    )
+    return _ivf_probe(base.unionByName(delta), cents, nprobe=3)
 
 
 def _recall_oracle() -> str:

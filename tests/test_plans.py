@@ -576,3 +576,13 @@ def test_lsh_incremental_reads_base_and_delta_shards(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_ivf_incremental_reads_base_and_delta_shards(spark):
+    """knn_ivf_incremental must probe against TWO persisted inverted-file
+    shards (base + delta parquet scans) — an append never re-assigns the
+    base corpus; no cartesian product anywhere."""
+    q = REGISTRY["knn_ivf_incremental"].spark(spark, SF)
+    plan = formatted_plan(q)
+    assert plan.count("ann_index_") >= 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -359,3 +359,45 @@ def test_lsh_incremental_equals_full_rebuild_and_never_rewrites_base(spark):
     lsh_base_delta_indexes(spark, SF)
     after = {p: os.path.getmtime(p) for p in base_paths}
     assert before == after
+
+
+def test_ivf_incremental_frozen_quantizer_and_base_shard_reuse(spark):
+    """The incremental IVF contract: the quantizer is trained on the
+    base only and FROZEN — so every base vector's cell assignment is
+    identical whether or not the delta exists — and re-deriving the
+    shards for the same corpus reuses the persisted base inverted file
+    untouched (an append writes only the delta shard)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        _INDEX_CACHE,
+        ivf_assignment,
+        kmeans_centroids,
+    )
+    from collect_mobile_devices_datalake_spark.session import fan_out, load_table
+
+    emb = fan_out(load_table(spark, "embeddings", SF), "vec_id")
+    is_delta = F.col("vec_id") % 10 == 7
+    cents = kmeans_centroids(emb.filter(~is_delta), k=8, iters=4)
+    base = ivf_assignment(
+        spark, SF, emb.filter(~is_delta), cents, params="k8i4", kind="ivfbase"
+    )
+    # frozen quantizer: base assignments with and without the delta agree
+    both = ivf_assignment(
+        spark, SF, emb, cents, params="k8i4", kind="ivfboth"
+    )
+    a = {(r["vec_id"], r["cell"]) for r in base.collect()}
+    b = {
+        (r["vec_id"], r["cell"])
+        for r in both.filter(F.col("vec_id") % 10 != 7).collect()
+    }
+    assert a == b and len(a) > 0
+
+    base_paths = [p for k, p in _INDEX_CACHE.items() if k.startswith("ivfbase:")]
+    assert base_paths
+    before = {p: os.path.getmtime(p) for p in base_paths}
+    REGISTRY["knn_ivf_incremental"].spark(spark, SF).count()
+    after = {p: os.path.getmtime(p) for p in base_paths}
+    assert before == after
