@@ -1,7 +1,7 @@
 """The merge-lattice maintenance protocol — ONE skeleton for every
 batch-partition streaming family.
 
-Eight certified families ride this module (r14 unification of what was
+Ten certified families ride this module (r14 unification of what was
 previously copied across sketch/sample/survivorship maintenance):
 
 ==============  =========================  ====================== =========
@@ -12,8 +12,10 @@ hll             per-register max           idempotent             sweep
 bloom           bitwise OR (packed words)  idempotent             sweep
 priority sample K+1 largest priorities     idempotent             sweep
 survivorship    argmax by okey (+ sum leg) idempotent (argmax)    sweep
+profile         per-source min/max         idempotent             sweep
 cms             cell-wise sum              NOT idempotent         manifest
 logbin          cell-wise sum              NOT idempotent         manifest
+topk (MG)       counter sum + error sum    NOT idempotent         manifest
 ==============  =========================  ====================== =========
 
 (The rollup stream is NOT a member: its state is the engine's watermark
@@ -45,7 +47,7 @@ Protocol invariants, stated once:
   semantics of any counting sketch (dedup upstream or use a G-set
   family when that matters).
 
-A ninth family is a ``LatticeFamily`` declaration: name the checkpoint
+A new family is a ``LatticeFamily`` declaration: name the checkpoint
 subdir, give the batch→partial projection and the fold, pick the
 lattice class. Everything else — stream wiring, live-partition
 enumeration (Hadoop FileSystem API, so HDFS/S3 roots behave like local
