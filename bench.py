@@ -126,6 +126,10 @@ STREAMING = [
     # heavy hitters (counters sum, reduction errors add; manifest-
     # committed like the other SUM families)
     "streaming_topk_state",
+    # r15: the eleventh family — streaming maintenance of the LSH
+    # bucket index itself (G-set distinct union; the state IS the
+    # persisted index knn_lsh_probe reads)
+    "streaming_lsh_index_state",
 ]
 
 

@@ -1669,3 +1669,69 @@ def q_streaming_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await_or_fail(q)
         compact_topk_state(spark, state)
     return read_topk_state(spark, state).orderBy("rk")
+
+
+# --- the eleventh lattice family: streaming LSH bucket-index maintenance ------
+
+
+def _lshindex_stream_oracle() -> str:
+    from ..operators.similarity import _MT_BUCKET_SQL, N_TABLES
+    from ..streaming.lshindex_maintenance import STREAM_PLANES
+
+    return f"""
+    WITH pl AS (SELECT {STREAM_PLANES} AS p)
+    SELECT e.vec_id, CAST(t.t AS INTEGER) AS t, {_MT_BUCKET_SQL} AS bucket
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(0, {N_TABLES})) AS t) t
+    CROSS JOIN pl
+    ORDER BY e.vec_id, t.t
+    """
+
+
+@register(
+    "streaming_lsh_index_state",
+    oracle=_lshindex_stream_oracle(),
+    doc="Streaming maintenance of the multi-table LSH bucket index — "
+    "the ELEVENTH lattice family (streaming/lshindex_maintenance.py), "
+    "closing the incremental-ANN loop for a continuously ingesting "
+    "lake: each micro-batch of newly landed vectors writes its own "
+    "bucket rows (8 per vector, a map-only projection — exactly what "
+    "knn_lsh_incremental's delta shard holds), the merge is a DISTINCT "
+    "union (idempotent G-set: producer re-delivery is absorbed, "
+    "compaction is the sweep protocol), and the folded state IS the "
+    "persisted index the probes read — row-for-row equal to the batch "
+    "bucket_index at the pinned plane count (re-planing = rebuild, "
+    "scheduled out-of-band). Vectors flow through the ACTUAL "
+    "maintenance stream in two availableNow runs against ONE "
+    "checkpoint, the state is compacted and read; the oracle is the "
+    "deterministic-hyperplane bucket SQL every LSH key shares. Append "
+    "maintenance cost: O(|batch| x 8) rows, never a corpus rescan.",
+)
+def q_streaming_lsh_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.lshindex_maintenance import (
+        compact_lshindex_state,
+        read_lshindex_state,
+        start_lshindex_maintenance_stream,
+    )
+
+    base = _stream_temp_root("lshidx_stream_")
+    src = os.path.join(base, "in")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    e = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    e.filter(F.col("vec_id") % 4 != 0).coalesce(4).write.mode("append").parquet(src)
+    with _data_sized_width(spark, src):
+        q = start_lshindex_maintenance_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2
+        )
+        _await_or_fail(q)
+        # late tranche after the stream stopped; SAME checkpoint resumes
+        e.filter(F.col("vec_id") % 4 == 0).coalesce(2).write.mode("append").parquet(src)
+        q = start_lshindex_maintenance_stream(
+            spark, src, state, ckpt, max_files_per_trigger=2
+        )
+        _await_or_fail(q)
+        compact_lshindex_state(spark, state)
+    return read_lshindex_state(spark, state).orderBy("vec_id", "t")

@@ -1167,3 +1167,48 @@ def test_topk_state_mg_guarantee_under_planted_skew(spark, tmp_path):
     assert after == before
     parts = [d for d in os.listdir(st) if d.startswith("batch=")]
     assert len(parts) == 2
+
+
+def test_lshindex_state_equals_batch_index_and_absorbs_redelivery(spark, tmp_path):
+    """The eleventh family's contract: the streamed LSH-index state is
+    row-for-row the batch bucket_index relation (at the driver fixture
+    the adaptive plane count floors to the stream's pinned count), the
+    DISTINCT-union merge absorbs both checkpoint replay and wholesale
+    re-delivery, and compaction sweeps to one partition with the index
+    intact."""
+    import os
+
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        bucket_index,
+    )
+    from collect_mobile_devices_datalake_spark.streaming import lattice
+    from collect_mobile_devices_datalake_spark.streaming.lshindex_maintenance import (
+        _lshindex_family,
+        compact_lshindex_state,
+        read_lshindex_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf).select("vec_id", "embedding", "label")
+    st = str(tmp_path / "lshidx")
+    fn = lattice.maintain_batch(_lshindex_family(), st)
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    fn(first, 0)
+    fn(second, 1)
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    want = snap(bucket_index(spark, sf))  # the persisted batch index
+    assert snap(read_lshindex_state(spark, st)) == want and len(want) > 0
+
+    fn(first, 0)  # checkpoint replay: wholesale partition overwrite
+    assert snap(read_lshindex_state(spark, st)) == want
+    fn(first, 99)  # wholesale re-delivery: absorbed by the G-set distinct
+    assert snap(read_lshindex_state(spark, st)) == want
+
+    compact_lshindex_state(spark, st)
+    assert snap(read_lshindex_state(spark, st)) == want
+    parts = [d for d in os.listdir(st) if d.startswith("batch=")]
+    assert parts == ["batch=compacted"]
