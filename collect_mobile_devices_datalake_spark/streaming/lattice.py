@@ -1,8 +1,8 @@
 """The merge-lattice maintenance protocol — ONE skeleton for every
 batch-partition streaming family.
 
-Ten certified families ride this module (r14 unification of what was
-previously copied across sketch/sample/survivorship maintenance):
+Eleven certified families ride this module (r14 unification of what
+was previously copied across sketch/sample/survivorship maintenance):
 
 ==============  =========================  ====================== =========
 family          merge                      lattice class          compaction
@@ -13,6 +13,7 @@ bloom           bitwise OR (packed words)  idempotent             sweep
 priority sample K+1 largest priorities     idempotent             sweep
 survivorship    argmax by okey (+ sum leg) idempotent (argmax)    sweep
 profile         per-source min/max         idempotent             sweep
+lsh index       distinct bucket rows       idempotent G-set       sweep
 cms             cell-wise sum              NOT idempotent         manifest
 logbin          cell-wise sum              NOT idempotent         manifest
 topk (MG)       counter sum + error sum    NOT idempotent         manifest
