@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import N_TABLES, PLANES_PER_TABLE, _multitable_buckets
+from ..operators.similarity import PLANES_PER_TABLE, _multitable_buckets
 from . import lattice
 from .lattice import LatticeFamily
 
