@@ -1114,6 +1114,50 @@ def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- adaptive IVF cell count (r15: planes_for_count's discipline applied
+# to the k-means coarse quantizer) -------------------------------------------
+#
+# With a FIXED cell count, IVF per-query verify work is nprobe * n / k —
+# it grows linearly with the corpus, and the r15 scale harness measured
+# the end-to-end knn_ivf_incremental slope at 1.8 on the 3->10x leg
+# before this fix (fixed k=8: occupancy 625 -> 2000/cell). The classical
+# IVF sizing rule balances the two query-side costs (k centroid scans +
+# nprobe * n / k verifies): k ~ sqrt(n). cells_for_count pins
+# k = ceil(sqrt(n / 32)), floored at 8 and capped at 16384 (centroids
+# broadcast at ~8 MB of doubles at the cap). At every driver scale
+# factor (n <= 2000 vectors) the formula floors to 8, so every
+# previously certified value is bit-unchanged — the planes_for_count
+# invariant. The SAME formula runs in the oracles (LEAST/GREATEST/CEIL/
+# SQRT over COUNT(*) of the TRAINING subset — IEEE sqrt is correctly
+# rounded in both engines, so the cell counts agree exactly).
+IVF_CELLS_FLOOR = 8
+IVF_CELLS_MAX = 16384
+IVF_CELL_TARGET = 32  # k = ceil(sqrt(n / TARGET))
+
+
+def cells_for_count(n: int) -> int:
+    """Corpus-size-adaptive IVF cell count: ceil(sqrt(n/32)), floor 8,
+    cap 16384 — see the block comment above for the derivation and the
+    certified-values invariant."""
+    import math
+
+    if n <= 0:
+        return IVF_CELLS_FLOOR
+    return min(
+        IVF_CELLS_MAX,
+        max(IVF_CELLS_FLOOR, math.ceil(math.sqrt(n / IVF_CELL_TARGET))),
+    )
+
+
+# the same formula as a DuckDB scalar over the chain's `train` CTE (the
+# quantizer's training subset — the full corpus unless train_where
+# restricts it, mirroring the Spark side's count of the same relation)
+_CELLS_SQL = (
+    f"SELECT LEAST({IVF_CELLS_MAX}, GREATEST({IVF_CELLS_FLOOR}, "
+    f"CAST(CEIL(SQRT(COUNT(*) / {IVF_CELL_TARGET}.0)) AS INT))) AS k FROM train"
+)
+
+
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
     """Lloyd's k-means as a driver-side loop of DataFrame ops (no MLlib):
     assign = broadcast-centroid argmin; update = posexplode + groupBy mean
@@ -1151,17 +1195,21 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 4) -> DataFrame:
     return cents
 
 
-def _kmeans_cte_chain(k: int, iters: int, train_where: str = "TRUE") -> list[str]:
+def _kmeans_cte_chain(iters: int, train_where: str = "TRUE") -> list[str]:
     """Shared CTE prefix: unrolled Lloyd iterations cent0 → cent{iters} plus
     the ``final`` per-vector cell assignment — reused by the k-means probe
     oracle and the IVF-PQ oracle. ``train_where`` restricts the QUANTIZER
     TRAINING set (seeds + Lloyd assignments) — the incremental-IVF oracle
     trains on the base corpus only — while ``final`` always assigns EVERY
-    vector to the trained centroids (frozen-quantizer semantics)."""
+    vector to the trained centroids (frozen-quantizer semantics). The
+    cell count is adaptive (``_CELLS_SQL`` over the train subset — the
+    cells_for_count twin); seeds are the training vectors with
+    vec_id < k (matching kmeans_centroids' seed rule)."""
     ctes = [
         f"train AS (SELECT * FROM embeddings WHERE {train_where})",
-        f"cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
-        f"FROM train WHERE vec_id < {k})",
+        f"kp AS ({_CELLS_SQL})",
+        "cent0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
+        "FROM train WHERE vec_id < (SELECT k FROM kp))",
     ]
     for it in range(1, iters + 1):
         ctes.append(
@@ -1189,7 +1237,7 @@ def _kmeans_cte_chain(k: int, iters: int, train_where: str = "TRUE") -> list[str
 
 
 def _kmeans_probe_oracle(
-    k: int = 8, iters: int = 4, nprobe: int = 3, train_where: str = "TRUE"
+    iters: int = 4, nprobe: int = 3, train_where: str = "TRUE"
 ) -> str:
     """Unrolled Lloyd-in-SQL twin of kmeans_centroids + the probe query.
 
@@ -1197,9 +1245,9 @@ def _kmeans_probe_oracle(
     and a decimal-exact mean-centroid update — chained cent0 → cent{iters};
     deterministic seeds + exact sums make the whole chain value-identical
     to the Spark loop, so even the iterative operator gets a hash-level
-    driver gate.
+    driver gate. The cell count is the adaptive _CELLS_SQL scalar.
     """
-    ctes = _kmeans_cte_chain(k, iters, train_where)
+    ctes = _kmeans_cte_chain(iters, train_where)
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, embedding AS qv FROM final WHERE vec_id % {QUERY_MOD} = 0)"
     )
@@ -1271,17 +1319,22 @@ def ivf_assignment(
 
 @register(
     "knn_ivf_kmeans_probe",
-    oracle=_kmeans_probe_oracle(k=8, iters=4, nprobe=3),
+    oracle=_kmeans_probe_oracle(iters=4, nprobe=3),
     doc="True IVF: k-means coarse quantizer (Lloyd iterations as DataFrame "
-    "loops), nprobe=3 of k=8 cells, exact re-rank inside probed cells. "
-    "Decimal-exact centroid sums make every Lloyd iteration reproducible, "
-    "so the oracle unrolls the same 4 iterations as CTEs and the gate is "
-    "value-level even for this iterative operator.",
+    "loops), nprobe=3 of an ADAPTIVE cell count (cells_for_count: "
+    "k = ceil(sqrt(n/32)), the classical IVF sizing that balances "
+    "centroid scans against per-cell verifies — floor 8, so every "
+    "driver-SF value is bit-unchanged from the fixed-k era), exact "
+    "re-rank inside probed cells. Decimal-exact centroid sums make "
+    "every Lloyd iteration reproducible, so the oracle unrolls the "
+    "same 4 iterations as CTEs (with the same SQL cell-count scalar) "
+    "and the gate is value-level even for this iterative operator.",
 )
 def q_knn_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-    cents = kmeans_centroids(emb, k=8, iters=4)
-    assigned = ivf_assignment(spark, sf_dir, emb, cents, params="k8i4")
+    k = cells_for_count(emb.count())
+    cents = kmeans_centroids(emb, k=k, iters=4)
+    assigned = ivf_assignment(spark, sf_dir, emb, cents, params=f"k{k}i4")
     return _ivf_probe(assigned, cents, nprobe=3)
 
 
@@ -1320,7 +1373,7 @@ def _ivf_probe(assigned: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
 @register(
     "knn_ivf_incremental",
     oracle=_kmeans_probe_oracle(
-        k=8, iters=4, nprobe=3,
+        iters=4, nprobe=3,
         train_where="vec_id % 10 <> 7",
     ),
     doc="Incremental IVF index maintenance — the base+delta discipline "
@@ -1342,12 +1395,16 @@ def _ivf_probe(assigned: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
 def q_knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
     is_delta = F.col("vec_id") % 10 == 7
-    cents = kmeans_centroids(emb.filter(~is_delta), k=8, iters=4)
+    # the cell count derives from the TRAINING subset (the base), the
+    # relation the frozen quantizer actually saw — mirrored by the
+    # oracle's kp-over-train scalar
+    k = cells_for_count(emb.filter(~is_delta).count())
+    cents = kmeans_centroids(emb.filter(~is_delta), k=k, iters=4)
     base = ivf_assignment(
-        spark, sf_dir, emb.filter(~is_delta), cents, params="k8i4", kind="ivfbase"
+        spark, sf_dir, emb.filter(~is_delta), cents, params=f"k{k}i4", kind="ivfbase"
     )
     delta = ivf_assignment(
-        spark, sf_dir, emb.filter(is_delta), cents, params="k8i4", kind="ivfdelta"
+        spark, sf_dir, emb.filter(is_delta), cents, params=f"k{k}i4", kind="ivfdelta"
     )
     return _ivf_probe(base.unionByName(delta), cents, nprobe=3)
 
@@ -1416,13 +1473,13 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_SHORTLIST = 64
 
 
-def _ivfpq_oracle(k: int = 8, iters: int = 4, nprobe: int = 3, shortlist: int = PQ_SHORTLIST) -> str:
+def _ivfpq_oracle(iters: int = 4, nprobe: int = 3, shortlist: int = PQ_SHORTLIST) -> str:
     """IVF-PQ twin: the k-means CTE chain + PQ codebook/encode + per-query
     ADC lookup tables + shortlist + exact re-rank, all value-exact (every
     double is a sequential fold in a pinned order on both engines)."""
     from .training import PQ_CODES, PQ_SUBDIM, PQ_SUBSPACES
 
-    ctes = _kmeans_cte_chain(k, iters)
+    ctes = _kmeans_cte_chain(iters)
     ctes.append(f"sp AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s)")
     ctes.append(
         f"""cb AS (
@@ -1525,7 +1582,7 @@ def _ivfpq_oracle(k: int = 8, iters: int = 4, nprobe: int = 3, shortlist: int = 
 
 @register(
     "knn_ivfpq_probe",
-    oracle=_ivfpq_oracle(k=8, iters=4, nprobe=3, shortlist=PQ_SHORTLIST),
+    oracle=_ivfpq_oracle(iters=4, nprobe=3, shortlist=PQ_SHORTLIST),
     doc="The full 100 TB ANN stack — IVF-PQ: k-means coarse cells prune the "
     "corpus (nprobe=3 of 8), PQ codes (8 sub-codes from a broadcast "
     "codebook) rank candidates by asymmetric distance WITHOUT touching "
@@ -1543,8 +1600,9 @@ def q_knn_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import pq_codebook, pq_encode, _slice_by_col, PQ_SUBSPACES
 
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
-    cents = kmeans_centroids(emb, k=8, iters=4)
-    assigned = ivf_assignment(spark, sf_dir, emb, cents, params="k8i4")
+    k = cells_for_count(emb.count())
+    cents = kmeans_centroids(emb, k=k, iters=4)
+    assigned = ivf_assignment(spark, sf_dir, emb, cents, params=f"k{k}i4")
     codes = _persisted_index(
         spark, "pq", sf_dir, f"s{PQ_SUBSPACES}",
         lambda: pq_encode(emb).select("vec_id", "s", "code"),
@@ -2034,6 +2092,18 @@ def _methods_recall_oracle() -> str:
     methods = {
         "lsh_multiprobe": REGISTRY["knn_lsh_probe"].oracle,
         "ivf_kmeans": REGISTRY["knn_ivf_kmeans_probe"].oracle,
+        # r15: the incremental twin — quantizer trained on the base 90%
+        # and frozen. Its recall delta vs ivf_kmeans is the PRICE of
+        # frozen-quantizer maintenance, the number a deployment weighs
+        # against a scheduled re-train. At the fixture it reads HIGHER
+        # (0.70 vs 0.65 at sf0.01): the base excludes seed vec_id 7, so
+        # the frozen quantizer has 7 cells and nprobe=3 covers 3/7 of
+        # the corpus vs 3/8 — more probe mass, not better quantization;
+        # at production cell counts (k >> nprobe) the sign flips to the
+        # expected small deficit. (knn_lsh_incremental is omitted: its
+        # planes are data-independent, so its recall is bit-identical
+        # to lsh_multiprobe by construction.)
+        "ivf_frozen": REGISTRY["knn_ivf_incremental"].oracle,
         "ivf_pq": REGISTRY["knn_ivfpq_probe"].oracle,
         "nsw_graph": REGISTRY["knn_nsw_probe"].oracle,
     }
@@ -2065,7 +2135,9 @@ def _methods_recall_oracle() -> str:
     "which index a deployment builds at 100 TB. Each method's full "
     "pipeline (persisted index + probe) runs as its registered operator; "
     "hit counts join on (query_id, neighbor_id) int pairs; the report is "
-    "four rows. Value-gated end-to-end through all five pipelines.",
+    "five rows (r15 adds ivf_frozen — the incremental twin, whose delta "
+    "vs ivf_kmeans prices frozen-quantizer maintenance). Value-gated "
+    "end-to-end through all six pipelines.",
 )
 def q_ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact baseline feeds four arm joins plus the total — checkpoint
@@ -2078,6 +2150,7 @@ def q_ann_methods_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "lsh_multiprobe": q_knn_lsh_probe,
         "ivf_kmeans": q_knn_ivf_kmeans_probe,
+        "ivf_frozen": q_knn_ivf_incremental,
         "ivf_pq": q_knn_ivfpq_probe,
         "nsw_graph": q_knn_nsw_probe,
     }
@@ -2968,6 +3041,7 @@ def _ndcg_oracle() -> str:
     methods = {
         "lsh_multiprobe": REGISTRY["knn_lsh_probe"].oracle,
         "ivf_kmeans": REGISTRY["knn_ivf_kmeans_probe"].oracle,
+        "ivf_frozen": REGISTRY["knn_ivf_incremental"].oracle,  # r15: see recall report
         "ivf_pq": REGISTRY["knn_ivfpq_probe"].oracle,
         "nsw_graph": REGISTRY["knn_nsw_probe"].oracle,
     }
@@ -2977,7 +3051,7 @@ def _ndcg_oracle() -> str:
     )
     # fixed arm list, NOT SELECT DISTINCT method FROM hits: an arm with
     # zero hits corpus-wide must still appear (as all-zero nDCG rows),
-    # exactly as the Spark side always unions all four arms — deriving
+    # exactly as the Spark side always unions every arm — deriving
     # the list from hits would drop it in precisely the total-recall-
     # failure regime this report exists to surface.
     mlist = " UNION ALL ".join(f"SELECT '{name}' AS method" for name in methods)
@@ -3041,6 +3115,7 @@ def q_ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = {
         "lsh_multiprobe": q_knn_lsh_probe,
         "ivf_kmeans": q_knn_ivf_kmeans_probe,
+        "ivf_frozen": q_knn_ivf_incremental,
         "ivf_pq": q_knn_ivfpq_probe,
         "nsw_graph": q_knn_nsw_probe,
     }

@@ -236,6 +236,22 @@ KERNELS = [
     ("watermark_lateness_sweep", "events"),
     ("wp_vocab_size_sweep", "documents"),
     ("embedding_dq_audit", "embeddings"),
+    # r15: the incremental ANN maintenance paths. Wall time includes the
+    # one-time base+delta index/assignment builds (the cost an append
+    # actually pays is the delta shard alone; the measured slope is the
+    # honest end-to-end build+probe shape).
+    # - LSH: data-independent planes, bucketed probes -> measured flat
+    #   (slope 0.29 on the 3->10x leg).
+    # - IVF: the r15 measurement at FIXED k=8 read slope 1.8 (occupancy
+    #   grows linearly) and drove the cells_for_count fix (k ~ sqrt(n),
+    #   the classical IVF sizing); with adaptive cells the measured
+    #   slope is ~1.4 — the THEORETICAL shape: Lloyd training is
+    #   iters*n*k ~ n^1.5 and the query panel grows with the corpus
+    #   (vec_id % 25) while per-query probe cost grows ~sqrt(n), so
+    #   end-to-end ~n^1.5 (log-log 1.5) is the floor for this family,
+    #   not a defect — same workload-growth class as nsw_probe_sweep.
+    ("knn_lsh_incremental", "embeddings"),
+    ("knn_ivf_incremental", "embeddings"),
 ]
 
 
