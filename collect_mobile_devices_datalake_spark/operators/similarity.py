@@ -1075,7 +1075,13 @@ def _mean_centroids(cells: DataFrame) -> DataFrame:
     doc="IVF-style ANN: label centroids as the coarse quantizer; probe the "
     "query's nearest nprobe=5 centroid cells only, exact re-rank inside. "
     "At 100 TB the corpus is bucketed by cell once; queries broadcast. "
-    "Centroid sums are decimal-exact so the oracle is value-level.",
+    "Centroid sums are decimal-exact so the oracle is value-level. "
+    "NOTE: cells here are the DOMAIN's label partitioning (fixed "
+    "cardinality by schema), so per-cell occupancy grows with the "
+    "corpus — the size-scalable quantizer is the kmeans twin "
+    "(knn_ivf_kmeans_probe), whose cell count adapts via "
+    "cells_for_count; this key exists for the label-supervised "
+    "cell-routing semantics.",
 )
 def q_knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, "embeddings", sf_dir), "vec_id")
