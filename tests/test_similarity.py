@@ -401,3 +401,74 @@ def test_ivf_incremental_frozen_quantizer_and_base_shard_reuse(spark):
     REGISTRY["knn_ivf_incremental"].spark(spark, SF).count()
     after = {p: os.path.getmtime(p) for p in base_paths}
     assert before == after
+
+
+def test_vectorized_bucket_kernel_equals_expression_twin(spark):
+    """The r15 Arrow-vectorized bucket kernel must be BIT-identical to the
+    sequential-fold expression form it replaced (`_multitable_buckets_expr`
+    / `_lsh_bucket_expr` — the structural twins of the oracle SQL), on the
+    real fixture AND on adversarial synthetic vectors: non-64 lengths
+    (the scalar fallback path), zeros, sign-boundary magnitudes, NaN/Inf
+    elements, and NULL embeddings — and at a widened (non-floor) plane
+    count, the adaptive-p path the driver fixtures never reach."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from collect_mobile_devices_datalake_spark.operators.similarity import (
+        N_TABLES,
+        _lsh_bucket_expr,
+        _multitable_buckets,
+        _multitable_buckets_expr,
+        lsh_bucket,
+    )
+    from collect_mobile_devices_datalake_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+    rows = [
+        (10_001, [0.0] * 64),                      # all-zero: every dot == 0, no bit set
+        (10_002, [1e-30] * 64),                    # near-zero magnitudes (sign-boundary)
+        (10_003, [-1e30, 1e30] * 32),              # catastrophic-cancellation ordering
+        (10_004, [float("nan")] * 64),             # NaN dot -> bit 0 on both paths
+        (10_005, [float("inf"), -float("inf")] * 32),
+        (10_006, [0.5] * 32),                      # len 32: scalar-fallback path
+        (10_007, [1.0]),                           # len 1
+        (10_008, None),                            # NULL embedding -> bucket 0 per table
+        (10_009, [float(math.sin(i)) for i in range(64)]),
+        (10_010, [1.0] * 63 + [None]),             # NULL element -> NULL dot -> bucket 0
+        (10_011, [float("nan")] * 32),             # NaN on the scalar-fallback path
+    ]
+    synth = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for planes in (8, 11):  # the floor and a widened (adaptive) count
+        for df in (emb, synth):
+            bad = (
+                df.select(
+                    "vec_id",
+                    _multitable_buckets(F.col("embedding"), planes).alias("fast"),
+                    _multitable_buckets_expr(F.col("embedding"), planes).alias("ref"),
+                )
+                .filter(
+                    ~(
+                        F.col("fast").eqNullSafe(F.col("ref"))
+                        # NULL embedding: the expression twin still folds to
+                        # an all-zero bucket array (NULL dot fails > 0)
+                        | (
+                            F.col("embedding").isNull()
+                            & (F.col("fast") == F.array(*[F.lit(0)] * N_TABLES))
+                        )
+                    )
+                )
+                .count()
+            )
+            assert bad == 0, f"planes={planes}: {bad} mismatching bucket rows"
+    # single-table kernel vs its expression twin (skip NULL/len<1 edge rows:
+    # F.sequence(1, size) is ill-defined there and no fixture contains them)
+    bad = (
+        emb.select(
+            lsh_bucket(F.col("embedding")).alias("fast"),
+            _lsh_bucket_expr(F.col("embedding")).alias("ref"),
+        )
+        .filter(~F.col("fast").eqNullSafe(F.col("ref")))
+        .count()
+    )
+    assert bad == 0
