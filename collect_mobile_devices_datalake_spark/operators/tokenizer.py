@@ -14,8 +14,10 @@ the shape Spark aggregations want. Each iteration is:
 1. adjacent symbol pairs via ``lead`` over (word, pos) — one window;
 2. weighted pair counts + argmax with a deterministic tiebreak
    (count DESC, left ASC, right ASC) — one aggregation of a
-   vocabulary-sized table, argmax kept as a 1-row broadcast DataFrame
-   (never collected to the driver);
+   vocabulary-sized table; the 1-row argmax is collected (a BOUNDED
+   O(1) driver row at any corpus scale — the kcenter_coreset pattern)
+   and re-injected as plan literals, which drops the per-iteration
+   rule-checkpoint job and broadcast exchanges the DataFrame form paid;
 3. greedy left-to-right NON-OVERLAPPING occurrence selection — the only
    subtle part (overlaps arise when left == right, e.g. ``a a a``):
    consecutive occurrence positions form islands (pos − row_number) and
@@ -61,11 +63,16 @@ def _initial_symbols(types: DataFrame) -> DataFrame:
     ).select("word", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
 
 
-def _merge_rebuild(syms: DataFrame, rule: DataFrame, merged) -> DataFrame:
-    """Apply a 1-row (merge_left, merge_right) rule to the symbol table.
+def _merge_rebuild(syms: DataFrame, left: str, right: str, merged: str) -> DataFrame:
+    """Apply one (left, right) merge rule to the symbol table.
 
     Shared by the BPE and WordPiece loops — only the merged-symbol
-    expression differs (plain concat vs continuation-mark strip).
+    string differs (plain concat vs continuation-mark strip). The rule
+    arrives as PYTHON LITERALS (the r15 optimization: the argmax is a
+    bounded 1-row driver collection, the kcenter_coreset r14 pattern),
+    so the rebuild is one job with no broadcast exchanges — the 1-row-
+    DataFrame form paid a localCheckpoint job for the rule plus two
+    BroadcastExchanges per iteration.
     Greedy left-to-right NON-OVERLAPPING occurrence selection — the only
     subtle part (overlaps arise when left == right, e.g. ``a a a``):
     consecutive occurrence positions form islands (pos − row_number) and
@@ -74,8 +81,7 @@ def _merge_rebuild(syms: DataFrame, rule: DataFrame, merged) -> DataFrame:
     w_pos = Window.partitionBy("word").orderBy("pos")
     p = syms.withColumn("nxt", F.lead("sym").over(w_pos))
     occ = (
-        p.crossJoin(F.broadcast(rule.select("merge_left", "merge_right")))
-        .filter((F.col("sym") == F.col("merge_left")) & (F.col("nxt") == F.col("merge_right")))
+        p.filter((F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right)))
         .select("word", "pos")
     )
     isl = occ.withColumn("grp", F.col("pos") - F.row_number().over(w_pos))
@@ -89,12 +95,11 @@ def _merge_rebuild(syms: DataFrame, rule: DataFrame, merged) -> DataFrame:
         syms.join(start, ["word", "pos"], "left")
         .join(consumed, ["word", "pos"], "left")
         .filter(F.col("is_consumed").isNull())
-        .crossJoin(F.broadcast(rule.select("merge_left", "merge_right")))
         .select(
             "word",
             "freq",
             "pos",
-            F.when(F.col("is_start").isNotNull(), merged)
+            F.when(F.col("is_start").isNotNull(), F.lit(merged))
             .otherwise(F.col("sym"))
             .alias("sym"),
         )
@@ -103,25 +108,33 @@ def _merge_rebuild(syms: DataFrame, rule: DataFrame, merged) -> DataFrame:
     )
 
 
-def _one_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE iteration: returns (rule, next_symbols).
+def _one_merge(syms: DataFrame):
+    """One BPE iteration: returns (rule_row, next_symbols).
 
-    ``rule`` is a 1-row DataFrame (merge_left, merge_right, pair_weight);
-    it stays a DataFrame end to end — broadcast into the rebuild, never
-    collected.
-    """
+    ``rule_row`` is the collected 1-row argmax (merge_left, merge_right,
+    pair_weight) — a BOUNDED driver collection, O(1) at any corpus scale
+    (the kcenter_coreset r14 precedent), re-injected into the rebuild as
+    plan literals. ``None`` when no adjacent pair remains (degenerate
+    corpora); the next symbol table is then empty — exactly the old
+    crossJoin-with-an-empty-rule semantics and the oracle's
+    ``CROSS JOIN r{i}``."""
     w_pos = Window.partitionBy("word").orderBy("pos")
     p = syms.withColumn("nxt", F.lead("sym").over(w_pos))
-    rule = (
+    rows = (
         p.filter(F.col("nxt").isNotNull())
         .groupBy(F.col("sym").alias("merge_left"), F.col("nxt").alias("merge_right"))
         .agg(F.sum("freq").cast("bigint").alias("pair_weight"))
         .orderBy(F.desc("pair_weight"), F.asc("merge_left"), F.asc("merge_right"))
         .limit(1)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    nxt_syms = _merge_rebuild(syms, rule, F.concat("merge_left", "merge_right"))
-    return rule, nxt_syms
+    if not rows:
+        return None, syms.filter(F.lit(False))
+    r = rows[0]
+    nxt_syms = _merge_rebuild(
+        syms, r["merge_left"], r["merge_right"], r["merge_left"] + r["merge_right"]
+    )
+    return r, nxt_syms
 
 
 def _bpe_oracle(k: int = BPE_MERGES, final: str | None = None) -> str:
@@ -195,8 +208,9 @@ def _bpe_oracle(k: int = BPE_MERGES, final: str | None = None) -> str:
     f"{BPE_MERGES} merge rules learned from the corpus word-type table, "
     "each iteration = lead-window pairs → weighted argmax (deterministic "
     "tiebreak) → island-parity greedy non-overlap selection → windowed "
-    "rebuild; the argmax stays a 1-row broadcast DataFrame (no driver "
-    "collect) and localCheckpoint is the loop barrier. Works on the "
+    "rebuild; the argmax is a BOUNDED 1-row driver collection re-injected "
+    "as plan literals (the kcenter_coreset pattern — O(1) at any corpus "
+    "scale) and localCheckpoint is the loop barrier. Works on the "
     "Zipf-bounded TYPE table, so the per-iteration working set is "
     "vocabulary-sized at any corpus scale. Oracle = the same iterations "
     "unrolled as a CTE chain (the repo's unrolled-Lloyd pattern) — "
@@ -205,7 +219,7 @@ def _bpe_oracle(k: int = BPE_MERGES, final: str | None = None) -> str:
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     syms = _initial_symbols(_word_types(docs)).localCheckpoint(eager=True)
-    out = None
+    rows: list[tuple] = []
     # the working set is the vocabulary-sized symbol table; on the
     # session default width each of the ~6 shuffles per iteration pays
     # 32 tasks of overhead — scope the width to the data (the same fix
@@ -213,15 +227,21 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_shuffle_width(spark, syms.count()):
         for i in range(1, BPE_MERGES + 1):
             rule, syms = _one_merge(syms)
-            ranked = rule.select(
-                F.lit(i).cast("bigint").alias("merge_rank"),
-                "merge_left",
-                "merge_right",
-                F.concat("merge_left", "merge_right").alias("merged"),
-                "pair_weight",
-            )
-            out = ranked if out is None else out.unionByName(ranked)
-    return out
+            if rule is not None:
+                rows.append(
+                    (
+                        i,
+                        rule["merge_left"],
+                        rule["merge_right"],
+                        rule["merge_left"] + rule["merge_right"],
+                        rule["pair_weight"],
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "merge_rank bigint, merge_left string, merge_right string, "
+        "merged string, pair_weight bigint",
+    )
 
 
 @register(
@@ -686,20 +706,21 @@ def _initial_wp_symbols(types: DataFrame) -> DataFrame:
     )
 
 
-def _wp_merged():
+def _wp_merged_str(left: str, right: str) -> str:
     """Merged symbol: left keeps its own mark; the right side's '##' is
-    consumed by the merge (substring(right, 3) — rights are always
-    word-internal, hence always '##'-prefixed). A function, not a
-    module-level Column: building expressions needs an active session."""
-    return F.concat(F.col("merge_left"), F.expr("substring(merge_right, 3)"))
+    consumed by the merge (right[2:] — rights are always word-internal,
+    hence always '##'-prefixed; matches SQL substring(merge_right, 3))."""
+    return left + right[2:]
 
 
-def _one_wp_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _one_wp_merge(syms: DataFrame):
     """One WordPiece iteration: likelihood-scored rule + rebuild.
 
     Two vocabulary-sized aggregations (pair counts, symbol counts) and
-    two broadcast-sized joins feed the argmax; the rebuild is the shared
-    island-parity machinery (`_merge_rebuild`)."""
+    two broadcast-sized joins feed the argmax, which is collected as a
+    bounded 1-row driver row and re-injected as plan literals (see
+    ``_one_merge``); the rebuild is the shared island-parity machinery
+    (`_merge_rebuild`). ``None`` rule when no adjacent pair remains."""
     w_pos = Window.partitionBy("word").orderBy("pos")
     p = syms.withColumn("nxt", F.lead("sym").over(w_pos))
     counts = syms.groupBy("sym").agg(F.sum("freq").cast("bigint").alias("w"))
@@ -708,7 +729,7 @@ def _one_wp_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy(F.col("sym").alias("merge_left"), F.col("nxt").alias("merge_right"))
         .agg(F.sum("freq").cast("bigint").alias("pair_weight"))
     )
-    rule = (
+    rows = (
         pc.join(
             counts.select(F.col("sym").alias("merge_left"), F.col("w").alias("left_weight")),
             "merge_left",
@@ -727,9 +748,18 @@ def _one_wp_merge(syms: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .limit(1)
         .select("merge_left", "merge_right", "pair_weight", "left_weight", "right_weight")
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    return rule, _merge_rebuild(syms, rule, _wp_merged())
+    if not rows:
+        return None, syms.filter(F.lit(False))
+    r = rows[0]
+    nxt = _merge_rebuild(
+        syms,
+        r["merge_left"],
+        r["merge_right"],
+        _wp_merged_str(r["merge_left"], r["merge_right"]),
+    )
+    return r, nxt
 
 
 def _wp_oracle(k: int = WP_MERGES, final: str | None = None) -> str:
@@ -822,7 +852,7 @@ def _wp_oracle(k: int = WP_MERGES, final: str | None = None) -> str:
     "continuation marks on word-internal symbols so the learned units "
     "are the BERT-style vocab entries. Same Zipf-bounded iterative "
     "shape as bpe_learn_merges (vocabulary-sized working set, 1-row "
-    "broadcast argmax, island-parity non-overlap rebuild — shared "
+    "bounded 1-row argmax, island-parity non-overlap rebuild — shared "
     "machinery); the score adds one symbol-count aggregation and two "
     "broadcast joins per iteration, and is ONE IEEE division of exact "
     "BIGINTs, bit-identical cross-engine. Output keeps the integer "
@@ -832,21 +862,27 @@ def _wp_oracle(k: int = WP_MERGES, final: str | None = None) -> str:
 def q_wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
-    out = None
+    rows: list[tuple] = []
     with scoped_shuffle_width(spark, syms.count()):
         for i in range(1, WP_MERGES + 1):
             rule, syms = _one_wp_merge(syms)
-            ranked = rule.select(
-                F.lit(i).cast("bigint").alias("merge_rank"),
-                "merge_left",
-                "merge_right",
-                _wp_merged().alias("merged"),
-                "pair_weight",
-                "left_weight",
-                "right_weight",
-            )
-            out = ranked if out is None else out.unionByName(ranked)
-    return out
+            if rule is not None:
+                rows.append(
+                    (
+                        i,
+                        rule["merge_left"],
+                        rule["merge_right"],
+                        _wp_merged_str(rule["merge_left"], rule["merge_right"]),
+                        rule["pair_weight"],
+                        rule["left_weight"],
+                        rule["right_weight"],
+                    )
+                )
+    return spark.createDataFrame(
+        rows,
+        "merge_rank bigint, merge_left string, merge_right string, merged string, "
+        "pair_weight bigint, left_weight bigint, right_weight bigint",
+    )
 
 
 @register(
@@ -952,11 +988,17 @@ def _wp_vocab(spark: SparkSession, docs: DataFrame) -> DataFrame:
     the WP_MERGES merged units (BERT keeps every intermediate unit)."""
     syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
     vocab = syms.select("sym").distinct()
+    merged: list[str] = []
     s = syms
     with scoped_shuffle_width(spark, syms.count()):
         for _ in range(WP_MERGES):
             rule, s = _one_wp_merge(s)
-            vocab = vocab.unionByName(rule.select(_wp_merged().alias("sym")))
+            if rule is not None:
+                merged.append(_wp_merged_str(rule["merge_left"], rule["merge_right"]))
+    if merged:
+        vocab = vocab.unionByName(
+            spark.createDataFrame([(m,) for m in merged], "sym string")
+        )
     return vocab.distinct().localCheckpoint(eager=True)
 
 
@@ -1338,15 +1380,19 @@ def _wp_vocab_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
     their earliest rank)."""
     syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
     vocab = syms.select("sym").distinct().withColumn("kreq", F.lit(0).cast("bigint"))
+    merged: list[tuple] = []
     s = syms
     with scoped_shuffle_width(spark, syms.count()):
         for i in range(1, WP_MERGES + 1):
             rule, s = _one_wp_merge(s)
-            vocab = vocab.unionByName(
-                rule.select(
-                    _wp_merged().alias("sym"), F.lit(i).cast("bigint").alias("kreq")
+            if rule is not None:
+                merged.append(
+                    (_wp_merged_str(rule["merge_left"], rule["merge_right"]), i)
                 )
-            )
+    if merged:
+        vocab = vocab.unionByName(
+            spark.createDataFrame(merged, "sym string, kreq bigint")
+        )
     return (
         vocab.groupBy("sym").agg(F.min("kreq").alias("kreq")).localCheckpoint(eager=True)
     )

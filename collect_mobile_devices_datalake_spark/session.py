@@ -178,6 +178,13 @@ def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 50_000):
     a billion-row working set still spreads across the cluster. Restores
     the previous width on exit; only the enclosed query plans are
     affected.
+
+    When the computed width is at most one task per core, AQE is also
+    disabled for the scope (r15): its partition-coalescing and skew
+    machinery has nothing to optimize at that width, but every exchange
+    still pays the adaptive re-planning round trip — measured ~10% of a
+    tokenizer learn loop. Data-adaptive, not a local-mode constant: a
+    billion-row working set computes parts > cores and keeps AQE on.
     """
     parts = max(
         1,
@@ -187,8 +194,12 @@ def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 50_000):
         ),
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    if parts <= spark.sparkContext.defaultParallelism:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield parts
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -99,7 +99,7 @@ def test_one_merge_matches_reference_python_on_random_words(spark):
         [(w, freqs[w]) for w in words], "word string, freq long"
     )
     rule, nxt = _one_merge(_initial_symbols(types))
-    rrow = rule.collect()[0]
+    rrow = rule  # r15: _one_merge returns the collected 1-row argmax directly
     assert (rrow.merge_left, rrow.merge_right) == best
     got = {}
     for r in nxt.orderBy("word", "pos").collect():
@@ -206,7 +206,7 @@ def test_wordpiece_one_merge_matches_reference_python(spark):
         [(w, freqs[w]) for w in words], "word string, freq long"
     )
     rule, nxt = _one_wp_merge(_initial_wp_symbols(types))
-    rrow = rule.collect()[0]
+    rrow = rule  # r15: collected 1-row argmax
     assert (rrow.merge_left, rrow.merge_right) == best
     assert rrow.pair_weight == pair_counts[best]
     assert rrow.left_weight == sym_counts[best[0]]
@@ -232,7 +232,7 @@ def test_wordpiece_differs_from_bpe_criterion(spark):
         [("ab", 20), ("ba", 20), ("cd", 2)], "word string, freq long"
     )
     rule, _ = _one_wp_merge(_initial_wp_symbols(types))
-    r = rule.collect()[0]
+    r = rule  # r15: collected 1-row argmax
     assert (r.merge_left, r.merge_right) == ("c", "##d")
 
 
