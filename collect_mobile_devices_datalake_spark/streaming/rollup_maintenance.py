@@ -146,13 +146,25 @@ def _write_finalized(rollup_dir: str, derived_dir: str | None = None):
     def fn(batch: DataFrame, batch_id: int) -> None:
         # append-mode rows are final; the per-batch partition + overwrite
         # makes checkpoint replays repair partial commits
-        batch.write.mode("overwrite").parquet(
-            os.path.join(rollup_dir, f"batch={batch_id}")
-        )
+        part = os.path.join(rollup_dir, f"batch={batch_id}")
+        batch.write.mode("overwrite").parquet(part)
         if derived_dir is not None:
+            # r15: a batch that FINALIZED nothing (the pre-watermark data
+            # batch; a re-delivery batch fully deduped/dropped) cannot
+            # move the day/month frontier — every derived row aggregates
+            # emitted hourly rows, so the maintenance pass over an empty
+            # emission is a ~6-job no-op. Probe the JUST-WRITTEN partition
+            # (a footer-only read) instead of batch.isEmpty(), which
+            # would re-execute the stateful plan a second time.
+            if spark_is_empty_parquet(batch.sparkSession, part):
+                return
             _maintain_derived_grains(batch.sparkSession, rollup_dir, derived_dir, batch_id)
 
     return fn
+
+
+def spark_is_empty_parquet(spark: SparkSession, path: str) -> bool:
+    return spark.read.parquet(path).isEmpty()
 
 
 def read_grain(spark: SparkSession, rollup_dir: str, derived_dir: str, grain: str) -> DataFrame:
