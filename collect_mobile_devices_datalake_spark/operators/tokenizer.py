@@ -529,10 +529,13 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the tokenizer family's second induction algorithm next to BPE. "
     "Min-cost split where cost is integer improbability bits; exact DP "
     "(not greedy), ties broken by (bits, segment count, lexicographic "
-    f"path). The DP unrolls over positions 1..{UNI_MAXW} as a driver "
-    "loop on the vocabulary-sized type table (scoped shuffle width, "
-    "same as the BPE loop); words longer than the cap are excluded and "
-    "the cap is the documented knob. Integer costs are what make the "
+    "path). r15: computed by direct candidate enumeration in ONE job — "
+    f"the {UNI_MAXW}-char cap bounds the composition table to 223 "
+    "static rows, so every word's segmentations and the argmin fit one "
+    "broadcast-join + aggregate + window over the vocabulary-sized "
+    "type table (provably the DP's answer; see _unigram_segments). "
+    "Words longer than the cap are excluded and the cap is the "
+    "documented knob. Integer costs are what make the "
     "unrolled DuckDB DP bit-identical — float log-probs would flip "
     "argmins in the last ulp. At 100 TB the DP cost is O(types * "
     "maxlen * seg_max) — corpus-size-independent, like every op on the "
@@ -550,55 +553,82 @@ def q_unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word")
 
 
+def _compositions(n: int, max_part: int) -> list[tuple[int, ...]]:
+    """Every ordered composition of ``n`` into parts 1..max_part."""
+    if n == 0:
+        return [()]
+    out: list[tuple[int, ...]] = []
+    for part in range(1, min(max_part, n) + 1):
+        for rest in _compositions(n - part, max_part):
+            out.append((part,) + rest)
+    return out
+
+
 def _unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, freq, nseg, bits, path): the min-cost Viterbi segmentation
     of every capped word type — the shared kernel of the segmentation
-    report and the corpus encoding."""
+    report and the corpus encoding.
+
+    r15 shape: the position-unrolled DP (8 localCheckpoint-barrier jobs,
+    one per word length) is replaced by DIRECT candidate enumeration in
+    ONE job. With the DP capped at UNI_MAXW chars and UNI_SEG_MAX-char
+    segments, the full candidate set per word is the static composition
+    table of its length (compositions(8, 4) = 108; 223 rows across all
+    lengths — a plan-time literal), so every word's segmentations,
+    their integer-bit costs, and the (bits, n_segments, path) argmin
+    fit one broadcast-join + aggregate + window. Provably the DP's
+    answer: bits are additive so the global min is the min over
+    compositions, and among equal-bits candidates the DP's per-prefix
+    (nseg, path) tiebreak equals the global one — equal-(bits, nseg)
+    prefixes ending at the same position have equal string length, so
+    lexicographic order is preserved under any common suffix. A comp
+    survives only when EVERY segment is in the vocabulary (count match
+    below), exactly the DP's inner-join semantics; single chars are
+    always in the vocabulary so every word keeps >= 1 candidate.
+    Oracle unchanged (the unrolled-DP SQL) — parity certifies the
+    equivalence. At any corpus scale the work is O(types x 223 x
+    avg_segs) on the Zipf-bounded type table; the cap is the documented
+    knob and bounds the composition table, not the corpus."""
     wt, vc = _unigram_vocab_frames(spark, sf_dir)
-    b = {
-        0: wt.select(
-            "word",
-            "freq",
-            F.lit(0).cast("long").alias("bits"),
-            F.lit(0).cast("long").alias("nseg"),
-            F.lit("").alias("path"),
-        )
-    }
-    finals = []
+    seg_rows = []  # (word_len, comp_id, seg_idx, start_pos, seg_len)
+    comp_rows = []  # (word_len, comp_id, n_segs)
+    for n in range(1, UNI_MAXW + 1):
+        for cid, comp in enumerate(_compositions(n, UNI_SEG_MAX)):
+            comp_rows.append((n, cid, len(comp)))
+            pos = 1
+            for k, seg_len in enumerate(comp):
+                seg_rows.append((n, cid, k, pos, seg_len))
+                pos += seg_len
+    segs = spark.createDataFrame(seg_rows, "n int, cid int, k int, i int, l int")
+    comps = spark.createDataFrame(comp_rows, "n int, cid int, n_segs int")
     with scoped_shuffle_width(spark, wt.count()):
-        for j in range(1, UNI_MAXW + 1):
-            legs = []
-            for l in range(1, min(UNI_SEG_MAX, j) + 1):
-                prev = b[j - l]
-                legs.append(
-                    prev.filter(F.length("word") >= j)
-                    .withColumn("sub", F.col("word").substr(F.lit(j - l + 1), F.lit(l)))
-                    .join(vc.select("sub", "cost"), "sub")
-                    .select(
-                        "word",
-                        "freq",
-                        (F.col("bits") + F.col("cost")).alias("bits"),
-                        (F.col("nseg") + 1).alias("nseg"),
-                        F.when(F.col("path") == "", F.col("sub"))
-                        .otherwise(F.concat("path", F.lit(" "), "sub"))
-                        .alias("path"),
-                    )
-                )
-            cand = legs[0]
-            for leg in legs[1:]:
-                cand = cand.unionByName(leg)
-            wv = Window.partitionBy("word").orderBy("bits", "nseg", "path")
-            b[j] = (
-                cand.withColumn("rn", F.row_number().over(wv))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-                .localCheckpoint(eager=True)
+        cand = (
+            wt.join(F.broadcast(segs), F.length("word") == F.col("n"))
+            .withColumn("sub", F.col("word").substr(F.col("i"), F.col("l")))
+            .join(F.broadcast(vc.select("sub", "cost")), "sub")
+        )
+        scored = (
+            cand.groupBy("word", "freq", "n", "cid")
+            .agg(
+                F.sum("cost").cast("long").alias("bits"),
+                F.count("*").cast("long").alias("nseg"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "sub"))),
+                        lambda s: s["sub"],
+                    ),
+                    " ",
+                ).alias("path"),
             )
-            finals.append(b[j].filter(F.length("word") == j))
-    out = finals[0]
-    for f_ in finals[1:]:
-        out = out.unionByName(f_)
-    return out
+            .join(F.broadcast(comps), ["n", "cid"])
+            .filter(F.col("nseg") == F.col("n_segs"))  # every segment in-vocab
+        )
+        wv = Window.partitionBy("word").orderBy("bits", "nseg", "path")
+        return (
+            scored.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("word", "freq", "bits", "nseg", "path")
+        )
 
 
 @register(
