@@ -76,7 +76,12 @@ def _data_sized_width(spark: SparkSession, src: str):
     construction."""
     from ..session import scoped_shuffle_width
 
-    return scoped_shuffle_width(spark, spark.read.parquet(src).count())
+    # aqe_off=False: the streaming guard rows measured the width-1
+    # AQE-off variant as noise-level at best (r15 A/B), and these rows
+    # are gate-guarded — keep the engine's adaptive plans for them
+    return scoped_shuffle_width(
+        spark, spark.read.parquet(src).count(), aqe_off=False
+    )
 
 
 def cleanup_stream_temp_roots() -> None:

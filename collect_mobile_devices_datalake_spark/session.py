@@ -165,9 +165,15 @@ def table_fingerprint(sf_dir: str, table: str) -> str:
 
 from contextlib import contextmanager  # noqa: E402
 
+# r15: scoped_shuffle_width disables AQE when the scoped width fits the
+# executor parallelism (module-level so perf harnesses can A/B it).
+SCOPED_AQE_OFF = True
+
 
 @contextmanager
-def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 50_000):
+def scoped_shuffle_width(
+    spark, n_rows: int, rows_per_partition: int = 50_000, aqe_off: bool = True
+):
     """Temporarily size ``spark.sql.shuffle.partitions`` to the data.
 
     Iterative algorithms (connected components, PageRank, BFS) pay the
@@ -179,12 +185,16 @@ def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 50_000):
     the previous width on exit; only the enclosed query plans are
     affected.
 
-    When the computed width is at most one task per core, AQE is also
-    disabled for the scope (r15): its partition-coalescing and skew
-    machinery has nothing to optimize at that width, but every exchange
-    still pays the adaptive re-planning round trip — measured ~10% of a
-    tokenizer learn loop. Data-adaptive, not a local-mode constant: a
-    billion-row working set computes parts > cores and keeps AQE on.
+    When the computed width is ONE partition, AQE is also disabled for
+    the scope (r15): partition coalescing and skew splitting cannot do
+    anything to single-partition exchanges, but every exchange still
+    pays the adaptive re-planning round trip — measured ~10% of a
+    tokenizer learn loop on a quiet box. Data-adaptive, not a
+    local-mode constant: any working set above rows_per_partition
+    computes parts > 1 and keeps AQE on. Callers whose scope runs a
+    Structured Streaming protocol pass ``aqe_off=False`` (the streaming
+    guard rows measured AQE-off as noise-level at best there, and those
+    rows are gate-guarded).
     """
     parts = max(
         1,
@@ -196,7 +206,7 @@ def scoped_shuffle_width(spark, n_rows: int, rows_per_partition: int = 50_000):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    if parts <= spark.sparkContext.defaultParallelism:
+    if aqe_off and SCOPED_AQE_OFF and parts == 1:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         yield parts
