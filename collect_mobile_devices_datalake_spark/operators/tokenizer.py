@@ -111,6 +111,12 @@ def _merge_rebuild(syms: DataFrame, left: str, right: str, merged: str) -> DataF
 def _one_merge(syms: DataFrame):
     """One BPE iteration: returns (rule_row, next_symbols).
 
+    r16: this is the REFERENCE form (row-per-position windows + joins),
+    kept because the unit tests pin it against a from-scratch Python BPE
+    and the array production step (``_one_merge_arr``) is
+    equivalence-tested against it. The learn loops themselves run the
+    array form.
+
     ``rule_row`` is the collected 1-row argmax (merge_left, merge_right,
     pair_weight) — a BOUNDED driver collection, O(1) at any corpus scale
     (the kcenter_coreset r14 precedent), re-injected into the rebuild as
@@ -135,6 +141,175 @@ def _one_merge(syms: DataFrame):
         syms, r["merge_left"], r["merge_right"], r["merge_left"] + r["merge_right"]
     )
     return r, nxt_syms
+
+
+# --- r16: array-per-word learn loop -------------------------------------
+#
+# The production learn loops run on an ARRAY representation of the symbol
+# table — one row per word TYPE, its symbol sequence as array<string> —
+# instead of one row per (word, pos). The per-iteration physical work
+# collapses (guide §1.2 step 1, "the distributed algorithm"):
+#
+#   reference form (kept below for the unit tests): pair lead-window +
+#   aggregation for the argmax, then a rebuild of 3 window passes + 2
+#   joins + a renumber window, ~6 shuffles per iteration;
+#
+#   array form: the argmax is one explode + one aggregation (a single
+#   shuffle), and the rebuild is a PURE PER-ROW FOLD (`_greedy_merge_col`)
+#   — zero shuffles, zero windows, zero joins. The per-iteration
+#   localCheckpoint stays (the loop barrier; it also stops CollapseProject
+#   from substituting the fold into the next iteration's expressions,
+#   which would grow the tree exponentially — measured: 8 uncheckpointed
+#   layers OOM the driver during optimization).
+#
+# Equivalence (pinned by tests/test_tokenizer.py::
+# test_array_loop_equals_reference_forms): greedy left-to-right
+# non-overlapping selection IS the island-parity rule — overlapping
+# occurrences only arise when left == right, where consecutive positions
+# form an island and taking every other occurrence from its start is
+# exactly what the skip-flag fold does; pair counts/argmax are the same
+# aggregation over the same adjacent pairs. Interleaved A/B at sf0.1:
+# BPE loop 3.04 -> 1.96 s, WP loop 3.15 -> 2.36 s (best-of-3).
+
+
+def _initial_symbol_arrays(types: DataFrame, wp: bool = False) -> DataFrame:
+    """(word, freq, a): each word type's initial symbol sequence as an
+    array — plain characters for BPE, '##'-marked word-internal
+    characters for WordPiece. Empty arrays (an empty-string word type,
+    possible on whitespace-only documents) are dropped, matching the
+    row form where ``posexplode`` emits no rows for them."""
+    ch = F.split("word", "")
+    if wp:
+        a = F.transform(
+            ch,
+            lambda x, i: F.when(i == 0, x).otherwise(F.concat(F.lit("##"), x)),
+        )
+    else:
+        a = ch
+    return types.select("word", "freq", a.alias("a")).filter(F.size("a") >= 1)
+
+
+def _pair_counts_arr(at: DataFrame) -> DataFrame:
+    """(merge_left, merge_right, pair_weight): adjacent-pair weights from
+    the array form — one explode of the (size-1) adjacent pairs and one
+    vocabulary-sized aggregation, the map-side-combinable shape."""
+    a = F.col("a")
+    prs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(a) - 1),
+            lambda i: F.struct(
+                F.element_at(a, i).alias("l"), F.element_at(a, i + 1).alias("r")
+            ),
+        )
+    )
+    return (
+        at.filter(F.size(a) >= 2)
+        .select("freq", prs.alias("p"))
+        .groupBy(F.col("p.l").alias("merge_left"), F.col("p.r").alias("merge_right"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_weight"))
+    )
+
+
+def _greedy_merge_col(a, left: str, right: str, merged: str):
+    """Greedy left-to-right non-overlapping application of one merge rule
+    to a symbol array, as a single fold (no shuffle): the skip flag
+    consumes the right-hand symbol of a just-merged pair, which on runs
+    of an overlapping rule (left == right) takes every other occurrence
+    from the run's start — the island-parity selection."""
+    idx = F.sequence(F.lit(1), F.size(a))
+    zero = F.struct(
+        F.lit([]).cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(st, i):
+        hit = (
+            (i < F.size(a))
+            & (F.element_at(a, i) == F.lit(left))
+            & (F.element_at(a, i + 1) == F.lit(right))
+        )
+        return (
+            F.when(
+                st["skip"], F.struct(st["out"].alias("out"), F.lit(False).alias("skip"))
+            )
+            .when(
+                hit,
+                F.struct(
+                    F.concat(st["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(st["out"], F.array(F.element_at(a, i))).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        )
+
+    return F.aggregate(idx, zero, step, lambda st: st["out"])
+
+
+def _one_merge_arr(at: DataFrame, wp: bool = False):
+    """One learn iteration on the array form: returns (rule_row, next).
+
+    The argmax is the same bounded 1-row driver collection as the
+    reference forms (identical aggregation, identical total-order
+    tiebreak); the rebuild applies the rule as a per-row fold and
+    checkpoints (the loop barrier). ``None`` rule on degenerate corpora
+    (no adjacent pair anywhere) with an empty next table, matching the
+    reference forms and the oracle's ``CROSS JOIN r{i}``."""
+    pc = _pair_counts_arr(at)
+    if wp:
+        counts = (
+            at.select("freq", F.explode("a").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("w"))
+        )
+        rows = (
+            pc.join(
+                counts.select(
+                    F.col("sym").alias("merge_left"), F.col("w").alias("left_weight")
+                ),
+                "merge_left",
+            )
+            .join(
+                counts.select(
+                    F.col("sym").alias("merge_right"), F.col("w").alias("right_weight")
+                ),
+                "merge_right",
+            )
+            .orderBy(
+                F.desc(
+                    F.col("pair_weight").cast("double")
+                    / (F.col("left_weight") * F.col("right_weight"))
+                ),
+                F.asc("merge_left"),
+                F.asc("merge_right"),
+            )
+            .limit(1)
+            .select(
+                "merge_left", "merge_right", "pair_weight", "left_weight", "right_weight"
+            )
+            .collect()
+        )
+    else:
+        rows = (
+            pc.orderBy(F.desc("pair_weight"), F.asc("merge_left"), F.asc("merge_right"))
+            .limit(1)
+            .collect()
+        )
+    if not rows:
+        return None, at.filter(F.lit(False))
+    r = rows[0]
+    merged = (
+        _wp_merged_str(r["merge_left"], r["merge_right"])
+        if wp
+        else r["merge_left"] + r["merge_right"]
+    )
+    nxt = at.withColumn(
+        "a", _greedy_merge_col(F.col("a"), r["merge_left"], r["merge_right"], merged)
+    ).localCheckpoint(eager=True)
+    return r, nxt
 
 
 def _bpe_oracle(k: int = BPE_MERGES, final: str | None = None) -> str:
@@ -205,28 +380,30 @@ def _bpe_oracle(k: int = BPE_MERGES, final: str | None = None) -> str:
     "bpe_learn_merges",
     oracle=_bpe_oracle(),
     doc=f"BPE tokenizer induction (Sennrich et al. 2016): the first "
-    f"{BPE_MERGES} merge rules learned from the corpus word-type table, "
-    "each iteration = lead-window pairs → weighted argmax (deterministic "
-    "tiebreak) → island-parity greedy non-overlap selection → windowed "
-    "rebuild; the argmax is a BOUNDED 1-row driver collection re-injected "
-    "as plan literals (the kcenter_coreset pattern — O(1) at any corpus "
-    "scale) and localCheckpoint is the loop barrier. Works on the "
-    "Zipf-bounded TYPE table, so the per-iteration working set is "
-    "vocabulary-sized at any corpus scale. Oracle = the same iterations "
-    "unrolled as a CTE chain (the repo's unrolled-Lloyd pattern) — "
-    "value-level parity for an iterative algorithm.",
+    f"{BPE_MERGES} merge rules learned from the corpus word-type table. "
+    "r16 shape: each word type carries its symbol sequence as an ARRAY, "
+    "so an iteration is one explode+aggregation for the weighted argmax "
+    "(deterministic tiebreak; a BOUNDED 1-row driver collection — the "
+    "kcenter_coreset pattern, O(1) at any corpus scale) and a PER-ROW "
+    "greedy fold for the rebuild (zero shuffles — the skip-flag fold IS "
+    "the island-parity non-overlap selection); localCheckpoint is the "
+    "loop barrier. Works on the Zipf-bounded TYPE table, so the "
+    "per-iteration working set is vocabulary-sized at any corpus scale. "
+    "Oracle = the same iterations unrolled as a CTE chain (the repo's "
+    "unrolled-Lloyd pattern) — value-level parity for an iterative "
+    "algorithm.",
 )
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    syms = _initial_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    at = _initial_symbol_arrays(_word_types(docs)).localCheckpoint(eager=True)
+    # the working set is the vocabulary-sized word-type table; on the
+    # session default width the per-iteration pair shuffle pays 32 tasks
+    # of overhead — scope the width to the data (the same fix that took
+    # connected components 37.7 -> 7.6 s)
     rows: list[tuple] = []
-    # the working set is the vocabulary-sized symbol table; on the
-    # session default width each of the ~6 shuffles per iteration pays
-    # 32 tasks of overhead — scope the width to the data (the same fix
-    # that took connected components 37.7 -> 7.6 s)
-    with scoped_shuffle_width(spark, syms.count()):
+    with scoped_shuffle_width(spark, at.count()):
         for i in range(1, BPE_MERGES + 1):
-            rule, syms = _one_merge(syms)
+            rule, at = _one_merge_arr(at)
             if rule is not None:
                 rows.append(
                     (
@@ -264,12 +441,12 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    syms = _initial_symbols(_word_types(docs)).localCheckpoint(eager=True)
-    with scoped_shuffle_width(spark, syms.count()):
+    at = _initial_symbol_arrays(_word_types(docs)).localCheckpoint(eager=True)
+    with scoped_shuffle_width(spark, at.count()):
         for _ in range(BPE_MERGES):
-            _, syms = _one_merge(syms)
-    return syms.groupBy("word", "freq").agg(
-        F.max("pos").cast("bigint").alias("n_bpe_tokens")
+            _, at = _one_merge_arr(at)
+    return at.select(
+        "word", "freq", F.size("a").cast("bigint").alias("n_bpe_tokens")
     ).select(
         "word",
         "freq",
@@ -323,12 +500,12 @@ def q_bpe_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
 
     def _build_seg() -> DataFrame:
-        syms = _initial_symbols(_word_types(docs)).localCheckpoint(eager=True)
-        with scoped_shuffle_width(spark, syms.count()):
+        at = _initial_symbol_arrays(_word_types(docs)).localCheckpoint(eager=True)
+        with scoped_shuffle_width(spark, at.count()):
             for _ in range(BPE_MERGES):
-                _, syms = _one_merge(syms)
-            return syms.groupBy("word").agg(
-                F.count("*").cast("bigint").alias("n_bpe_tokens")
+                _, at = _one_merge_arr(at)
+            return at.select(
+                "word", F.size("a").cast("bigint").alias("n_bpe_tokens")
             ).localCheckpoint(eager=True)
 
     # r12: the learned segment table is a PERSISTED artifact keyed by
@@ -601,34 +778,38 @@ def _unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pos += seg_len
     segs = spark.createDataFrame(seg_rows, "n int, cid int, k int, i int, l int")
     comps = spark.createDataFrame(comp_rows, "n int, cid int, n_segs int")
-    with scoped_shuffle_width(spark, wt.count()):
-        cand = (
-            wt.join(F.broadcast(segs), F.length("word") == F.col("n"))
-            .withColumn("sub", F.col("word").substr(F.col("i"), F.col("l")))
-            .join(F.broadcast(vc.select("sub", "cost")), "sub")
+    # r16 (ADVICE): no scoped_shuffle_width here — the one-job plan is
+    # returned LAZILY, so a scope would be restored before the caller's
+    # action ever ran (it was inert in r15) while its sizing count paid
+    # a real job. The session default width + AQE coalescing is what
+    # actually executed the r15-measured 1.8 s row.
+    cand = (
+        wt.join(F.broadcast(segs), F.length("word") == F.col("n"))
+        .withColumn("sub", F.col("word").substr(F.col("i"), F.col("l")))
+        .join(F.broadcast(vc.select("sub", "cost")), "sub")
+    )
+    scored = (
+        cand.groupBy("word", "freq", "n", "cid")
+        .agg(
+            F.sum("cost").cast("long").alias("bits"),
+            F.count("*").cast("long").alias("nseg"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "sub"))),
+                    lambda s: s["sub"],
+                ),
+                " ",
+            ).alias("path"),
         )
-        scored = (
-            cand.groupBy("word", "freq", "n", "cid")
-            .agg(
-                F.sum("cost").cast("long").alias("bits"),
-                F.count("*").cast("long").alias("nseg"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("k", "sub"))),
-                        lambda s: s["sub"],
-                    ),
-                    " ",
-                ).alias("path"),
-            )
-            .join(F.broadcast(comps), ["n", "cid"])
-            .filter(F.col("nseg") == F.col("n_segs"))  # every segment in-vocab
-        )
-        wv = Window.partitionBy("word").orderBy("bits", "nseg", "path")
-        return (
-            scored.withColumn("rn", F.row_number().over(wv))
-            .filter(F.col("rn") == 1)
-            .select("word", "freq", "bits", "nseg", "path")
-        )
+        .join(F.broadcast(comps), ["n", "cid"])
+        .filter(F.col("nseg") == F.col("n_segs"))  # every segment in-vocab
+    )
+    wv = Window.partitionBy("word").orderBy("bits", "nseg", "path")
+    return (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("word", "freq", "bits", "nseg", "path")
+    )
 
 
 @register(
@@ -881,8 +1062,8 @@ def _wp_oracle(k: int = WP_MERGES, final: str | None = None) -> str:
     "score(a,b) = count(ab) / (count(a)*count(b)), with '##' "
     "continuation marks on word-internal symbols so the learned units "
     "are the BERT-style vocab entries. Same Zipf-bounded iterative "
-    "shape as bpe_learn_merges (vocabulary-sized working set, 1-row "
-    "bounded 1-row argmax, island-parity non-overlap rebuild — shared "
+    "shape as bpe_learn_merges (vocabulary-sized working set, bounded "
+    "1-row argmax, per-row greedy-fold rebuild — shared array "
     "machinery); the score adds one symbol-count aggregation and two "
     "broadcast joins per iteration, and is ONE IEEE division of exact "
     "BIGINTs, bit-identical cross-engine. Output keeps the integer "
@@ -891,11 +1072,11 @@ def _wp_oracle(k: int = WP_MERGES, final: str | None = None) -> str:
 )
 def q_wordpiece_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
+    at = _initial_symbol_arrays(_word_types(docs), wp=True).localCheckpoint(eager=True)
     rows: list[tuple] = []
-    with scoped_shuffle_width(spark, syms.count()):
+    with scoped_shuffle_width(spark, at.count()):
         for i in range(1, WP_MERGES + 1):
-            rule, syms = _one_wp_merge(syms)
+            rule, at = _one_merge_arr(at, wp=True)
             if rule is not None:
                 rows.append(
                     (
@@ -951,15 +1132,15 @@ def q_wordpiece_corpus_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
 
     def _build_seg() -> DataFrame:
-        syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
-        with scoped_shuffle_width(spark, syms.count()):
+        at = _initial_symbol_arrays(_word_types(docs), wp=True).localCheckpoint(
+            eager=True
+        )
+        with scoped_shuffle_width(spark, at.count()):
             for _ in range(WP_MERGES):
-                _, syms = _one_wp_merge(syms)
-            return (
-                syms.groupBy("word")
-                .agg(F.count("*").cast("bigint").alias("n_wp_tokens"))
-                .localCheckpoint(eager=True)
-            )
+                _, at = _one_merge_arr(at, wp=True)
+            return at.select(
+                "word", F.size("a").cast("bigint").alias("n_wp_tokens")
+            ).localCheckpoint(eager=True)
 
     seg = _persisted_index(
         spark, "wpseg", sf_dir, f"m{WP_MERGES}", _build_seg, table="documents"
@@ -1016,13 +1197,12 @@ WP_DOUBLING = 5  # pointer-doubling rounds: words up to 2^5 = 32 chars
 def _wp_vocab(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """The learned WordPiece vocabulary: the marked initial alphabet plus
     the WP_MERGES merged units (BERT keeps every intermediate unit)."""
-    syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
-    vocab = syms.select("sym").distinct()
+    at = _initial_symbol_arrays(_word_types(docs), wp=True).localCheckpoint(eager=True)
+    vocab = at.select(F.explode("a").alias("sym")).distinct()
     merged: list[str] = []
-    s = syms
-    with scoped_shuffle_width(spark, syms.count()):
+    with scoped_shuffle_width(spark, at.count()):
         for _ in range(WP_MERGES):
-            rule, s = _one_wp_merge(s)
+            rule, at = _one_merge_arr(at, wp=True)
             if rule is not None:
                 merged.append(_wp_merged_str(rule["merge_left"], rule["merge_right"]))
     if merged:
@@ -1408,13 +1588,16 @@ def _wp_vocab_ranked(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(sym, kreq): the WordPiece vocabulary with the merge rank that
     first introduced each unit (0 = initial alphabet; duplicates keep
     their earliest rank)."""
-    syms = _initial_wp_symbols(_word_types(docs)).localCheckpoint(eager=True)
-    vocab = syms.select("sym").distinct().withColumn("kreq", F.lit(0).cast("bigint"))
+    at = _initial_symbol_arrays(_word_types(docs), wp=True).localCheckpoint(eager=True)
+    vocab = (
+        at.select(F.explode("a").alias("sym"))
+        .distinct()
+        .withColumn("kreq", F.lit(0).cast("bigint"))
+    )
     merged: list[tuple] = []
-    s = syms
-    with scoped_shuffle_width(spark, syms.count()):
+    with scoped_shuffle_width(spark, at.count()):
         for i in range(1, WP_MERGES + 1):
-            rule, s = _one_wp_merge(s)
+            rule, at = _one_merge_arr(at, wp=True)
             if rule is not None:
                 merged.append(
                     (_wp_merged_str(rule["merge_left"], rule["merge_right"]), i)

@@ -107,6 +107,83 @@ def test_one_merge_matches_reference_python_on_random_words(spark):
     assert got == expected
 
 
+def test_array_loop_equals_reference_forms(spark):
+    """r16: the array-per-word production iteration (`_one_merge_arr` —
+    argmax from one explode+aggregation, rebuild as a per-row greedy
+    fold) must produce the exact rules AND symbol tables of the
+    windowed row-per-position reference forms (`_one_merge` /
+    `_one_wp_merge`) across a full multi-iteration loop, for both
+    criteria, on an overlap/tie-heavy fixture — and agree on the
+    degenerate single-char corpus (None rule → empty table)."""
+    import random
+
+    from collect_mobile_devices_datalake_spark.operators.tokenizer import (
+        _initial_symbol_arrays,
+        _initial_wp_symbols,
+        _one_merge_arr,
+        _one_wp_merge,
+    )
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(21)
+    words = list(
+        {"".join(rng.choice("ab") for _ in range(rng.randint(1, 9))) for _ in range(25)}
+        | {"".join(rng.choice("abc") for _ in range(rng.randint(2, 11))) for _ in range(25)}
+    )
+    types = spark.createDataFrame(
+        [(w, rng.randint(1, 9)) for w in words], "word string, freq long"
+    )
+
+    def _ref_table(df):
+        return sorted(
+            (r.word, r.freq, r.pos, r.sym)
+            for r in df.select("word", "freq", "pos", "sym").collect()
+        )
+
+    def _arr_table(df):
+        ex = df.select(
+            "word", "freq", SF.posexplode("a").alias("pos0", "sym")
+        ).select("word", "freq", (SF.col("pos0") + 1).alias("pos"), "sym")
+        return sorted((r.word, r.freq, r.pos, r.sym) for r in ex.collect())
+
+    for wp in (False, True):
+        ref = (
+            _initial_wp_symbols(types) if wp else _initial_symbols(types)
+        ).localCheckpoint(eager=True)
+        arr = _initial_symbol_arrays(types, wp=wp).localCheckpoint(eager=True)
+        for _ in range(4):
+            want_rule, ref = (_one_wp_merge if wp else _one_merge)(ref)
+            got_rule, arr = _one_merge_arr(arr, wp=wp)
+            assert (want_rule is None) == (got_rule is None)
+            if want_rule is not None:
+                assert (
+                    want_rule.merge_left,
+                    want_rule.merge_right,
+                    want_rule.pair_weight,
+                ) == (
+                    got_rule["merge_left"],
+                    got_rule["merge_right"],
+                    got_rule["pair_weight"],
+                )
+                if wp:
+                    assert (want_rule.left_weight, want_rule.right_weight) == (
+                        got_rule["left_weight"],
+                        got_rule["right_weight"],
+                    )
+            assert _ref_table(ref) == _arr_table(arr)
+
+    # degenerate: single-char corpus — no adjacent pair anywhere
+    solo = spark.createDataFrame([("a", 3), ("b", 1)], "word string, freq long")
+    rule, t = _one_merge_arr(_initial_symbol_arrays(solo).localCheckpoint(eager=True))
+    assert rule is None and t.count() == 0
+    # empty-string word types: split('', '') yields [''] in both forms —
+    # the array table matches the posexplode table row for row
+    empt = spark.createDataFrame([("", 5), ("ab", 1)], "word string, freq long")
+    assert _arr_table(_initial_symbol_arrays(empt)) == _ref_table(
+        _initial_symbols(empt)
+    )
+
+
 def test_unigram_lm_dp_is_optimal_vs_bruteforce(spark):
     """Independent check of the Viterbi DP: exhaustively enumerate every
     segmentation of every word (<= 2^(len-1) splits, len <= 8) in Python
